@@ -1,0 +1,27 @@
+"""Driver-facing query registry.
+
+Each submodule exposes ``QUERIES: dict[str, tuple[callable, str | None]]``
+mapping a SURVEY.md §2 operator name to
+``(fn(spark, sf_dir) -> DataFrame, duckdb_oracle_sql_or_None)``.
+``registry()`` merges them; ``__spark_entry__.py`` is a thin shim over
+it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def registry() -> dict[str, tuple[QueryFn, str | None]]:
+    from . import relational, scalar, scd2, spatial, text, similarity, streaming_q
+
+    merged: dict[str, tuple[QueryFn, str | None]] = {}
+    for mod in (relational, scalar, scd2, spatial, text, similarity, streaming_q):
+        overlap = merged.keys() & mod.QUERIES.keys()
+        assert not overlap, f"duplicate query names: {overlap}"
+        merged.update(mod.QUERIES)
+    return merged

@@ -1,0 +1,3 @@
+"""Placeholder — filled in as operators land."""
+
+QUERIES: dict = {}

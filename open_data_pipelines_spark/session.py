@@ -1,0 +1,112 @@
+"""SparkSession factory.
+
+The reference delegates all execution to DuckDB/MotherDuck
+(`src/databases/motherduck.py:37-38`); our engine's equivalent of that
+"connection" is a tuned SparkSession. Defaults target the test rig
+(local[N], single JVM) but every knob is cluster-meaningful:
+
+- AQE on: runtime coalesce + skew-join handling replace the
+  reference's hand-tuned batch sizes (BASELINE.md "batch size" rows).
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  overridden (or left to AQE's coalesce) — queries here never depend
+  on a specific partition count.
+- Arrow enabled: pandas UDF / toPandas paths are Arrow-batched.
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle and are stable across machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "open_data_pipelines_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism;
+    defaults to all cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Respect the classic TPC-H-ish ~10MB broadcast default but be
+        # explicit: dims (region/nation/supplier/swa-code-like tables)
+        # must go broadcast, never sort-merge.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # harness events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long and truncate to micros in
+        # load_tables (same truncation DuckDB applies on read).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
+    """Read the harness parquet tables (TESTDATA.md) and register views.
+
+    Returns a dict name -> DataFrame. Reads are schema-on-file parquet
+    scans — column pruning and predicate pushdown apply per query.
+    """
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(sf_dir):
+        raise FileNotFoundError(f"testdata dir not found: {sf_dir}")
+    out = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for col in _NANOS_TS_COLUMNS.get(name, ()):
+            # integer div (not float: ns epoch exceeds double's 53-bit
+            # mantissa) -> micros, the same truncation DuckDB applies.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# tables whose parquet files store TIMESTAMP(NANOS) (read as long via
+# spark.sql.legacy.parquet.nanosAsLong, converted in load_tables)
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
