@@ -1,0 +1,153 @@
+"""SCD Type 2 dimension maintenance (SURVEY.md §2.10 I1/I4, §2.7 W2/W6).
+
+Re-expresses the reference's Section 58 SCD2 machinery
+(``src/data_sources/section_58.py:215-357``, orchestrated by
+``src/data_processors/section_58.py:298-385``):
+
+- **initial load**: window-dedup staging to the latest event per entity
+  (ROW_NUMBER ... ORDER BY event_time DESC, event_reference DESC,
+  ``section_58.py:258-268``) and insert as current rows with
+  ``valid_from = event_time``, ``valid_to = '9999-12-31'``,
+  ``is_current = true`` and an md5 change hash over the tracked
+  attributes (``:250-257``).
+- **incremental merge**: for entities whose newest staged event is
+  *newer* than the dimension's current row (``event_time >`` guard,
+  ``:349-353`` — late/out-of-order events must NOT fire) *and* whose
+  record hash changed, close out the current row
+  (``valid_to = new event_time``, ``is_current = false``) and insert
+  the new version; brand-new entities are plain inserts.
+- **surrogate keys**: the reference uses a DB sequence
+  (``src/data_processors/section_58.py:206-215``). Exact-sequential
+  keys serialize in a distributed engine; parity mode assigns
+  ``row_number() OVER (ORDER BY entity, valid_from)`` over the final
+  snapshot (deterministic, but a global sort — documented as
+  parity-only; at scale use ``monotonically_increasing_id`` or
+  hash-based keys).
+
+The implementation is a pure join-based rewrite over immutable
+storage (oracle-checkable, no Delta dependency): the Delta MERGE
+variant is a drop-in for environments that have it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import record_hash
+from .dedup import top1_per_key
+
+SENTINEL_TS = "9999-12-31 00:00:00"
+
+
+def _latest_per_entity(
+    staging: DataFrame,
+    entity_key: str,
+    event_time: str,
+    tiebreakers: Sequence[str],
+) -> DataFrame:
+    order = [F.col(event_time).desc()] + [F.col(t).desc() for t in tiebreakers]
+    return top1_per_key(staging, [entity_key], order)
+
+
+def scd2_initial_load(
+    staging: DataFrame,
+    entity_key: str,
+    event_time: str,
+    attr_cols: Sequence[str],
+    hash_cols: Sequence[str],
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """W2 dedup -> typed insert with validity window + change hash."""
+    latest = _latest_per_entity(staging, entity_key, event_time, tiebreakers)
+    return latest.select(
+        entity_key,
+        *attr_cols,
+        F.col(event_time).alias("event_time"),
+        F.col(event_time).alias("valid_from"),
+        F.lit(SENTINEL_TS).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        record_hash(*hash_cols).alias("record_hash"),
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    staging: DataFrame,
+    entity_key: str,
+    event_time: str,
+    attr_cols: Sequence[str],
+    hash_cols: Sequence[str],
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental merge -> new dimension snapshot (join-based rewrite).
+
+    One wide shuffle on ``entity_key`` (the dedup window, the
+    change-detection join, and the anti-join all share it — Catalyst
+    reuses the exchange), then a union of four branches.
+    """
+    inc = _latest_per_entity(staging, entity_key, event_time, tiebreakers).select(
+        F.col(entity_key).alias("__k"),
+        *[F.col(c).alias(f"__{c}") for c in attr_cols],
+        F.col(event_time).alias("__t"),
+        record_hash(*hash_cols).alias("__h"),
+    )
+
+    current = dim.filter(F.col("is_current"))
+    history = dim.filter(~F.col("is_current"))
+
+    j = current.join(inc, current[entity_key] == inc["__k"], "left")
+
+    # I4 guard: strictly newer AND changed
+    is_changed = F.col("__k").isNotNull() & (F.col("__t") > F.col("event_time")) & (
+        F.col("__h") != F.col("record_hash")
+    )
+
+    untouched_current = j.filter(~F.coalesce(is_changed, F.lit(False))).select(dim.columns)
+
+    closed_out = (
+        j.filter(is_changed)
+        .withColumn("valid_to", F.col("__t"))
+        .withColumn("is_current", F.lit(False))
+        .select(dim.columns)
+    )
+
+    new_versions = j.filter(is_changed).select(
+        F.col("__k").alias(entity_key),
+        *[F.col(f"__{c}").alias(c) for c in attr_cols],
+        F.col("__t").alias("event_time"),
+        F.col("__t").alias("valid_from"),
+        F.lit(SENTINEL_TS).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.col("__h").alias("record_hash"),
+    )
+
+    dim_keys = dim.select(F.col(entity_key).alias("__dk")).distinct()
+    brand_new = (
+        inc.join(dim_keys, inc["__k"] == dim_keys["__dk"], "left_anti")
+        .select(
+            F.col("__k").alias(entity_key),
+            *[F.col(f"__{c}").alias(c) for c in attr_cols],
+            F.col("__t").alias("event_time"),
+            F.col("__t").alias("valid_from"),
+            F.lit(SENTINEL_TS).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+            F.col("__h").alias("record_hash"),
+        )
+    )
+
+    return (
+        history.unionByName(untouched_current)
+        .unionByName(closed_out)
+        .unionByName(new_versions)
+        .unionByName(brand_new)
+    )
+
+
+def with_surrogate_keys(dim: DataFrame, order_by: Sequence[str]) -> DataFrame:
+    """W6 parity-mode sequential surrogate keys (global sort — document
+    as parity-only; see module docstring for the scale path)."""
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return dim.withColumn("surrogate_key", F.row_number().over(w))

@@ -1,3 +1,112 @@
-"""Placeholder — filled in as operators land."""
+"""Planar spatial queries (SURVEY.md §2.9 X8-X10, §2.5 J6, §2.4 F4).
 
-QUERIES: dict = {}
+The harness tables carry no geometry, so planar coordinates are
+synthesized deterministically from keys (same arithmetic in both
+engines) — integer coordinates keep every distance test exact. The
+WKT round-trip (make POINT -> regexp-parse -> centroid) mirrors the
+reference's geometry-as-WKT-string model (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.spatial import wkt_coords, wkt_point, wkt_point_x, wkt_point_y
+from ..operators.joins import range_join_within_gridded
+from ..session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, register_views=False)
+    return [tables[n] for n in names]
+
+
+# --- X8/X10 centroid_xy: WKT construct -> parse -> per-group centroid -------
+def q_centroid_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        "p_brand",
+        wkt_point((F.col("p_partkey") * 37) % 1000, (F.col("p_partkey") * 91) % 1000).alias(
+            "geometry"
+        ),
+    )
+    parsed = pts.select(
+        "p_brand",
+        wkt_point_x("geometry").alias("x"),
+        wkt_point_y("geometry").alias("y"),
+        F.element_at(wkt_coords("geometry"), 1).try_cast("double").alias("x_via_coords"),
+    )
+    return parsed.groupBy("p_brand").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("centroid_x"),
+        (F.sum("y") / F.count(F.lit(1))).alias("centroid_y"),
+        F.sum((F.col("x") == F.col("x_via_coords")).cast("long")).alias("parse_agree"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+ORACLE_CENTROID_XY = """
+WITH pts AS (
+  SELECT p_brand,
+         'POINT (' || CAST((p_partkey * 37) % 1000 AS VARCHAR) || ' '
+                   || CAST((p_partkey * 91) % 1000 AS VARCHAR) || ')' AS geometry
+  FROM part
+), parsed AS (
+  SELECT p_brand,
+         TRY_CAST(regexp_extract(geometry, 'POINT \\(([-+]?\\d+(?:\\.\\d+)?) ', 1) AS DOUBLE) AS x,
+         TRY_CAST(regexp_extract(geometry, 'POINT \\([-+]?\\d+(?:\\.\\d+)? ([-+]?\\d+(?:\\.\\d+)?)\\)', 1) AS DOUBLE) AS y,
+         TRY_CAST(regexp_extract_all(geometry, '([-+]?\\d+(?:\\.\\d+)?)', 1)[1] AS DOUBLE) AS x_via_coords
+  FROM pts
+)
+SELECT p_brand,
+       SUM(x) / count(*) AS centroid_x,
+       SUM(y) / count(*) AS centroid_y,
+       CAST(SUM(CAST(x = x_via_coords AS BIGINT)) AS BIGINT) AS parse_agree,
+       count(*) AS n_points
+FROM parsed GROUP BY p_brand
+"""
+
+
+# --- J6/F4/X9 range_join_bbox: grid-partitioned planar range join -----------
+def q_range_join_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    works = customer.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 500).alias("wx"),
+        ((F.col("c_custkey") * 91) % 500).alias("wy"),
+    )
+    sites = supplier.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53) % 500).alias("sx"),
+        ((F.col("s_suppkey") * 17) % 500).alias("sy"),
+    )
+    pairs = range_join_within_gridded(works, sites, "wx", "wy", "sx", "sy", 25.0)
+    dx = F.col("wx") - F.col("sx")
+    dy = F.col("wy") - F.col("sy")
+    return pairs.select(
+        "c_custkey", "s_suppkey", (dx * dx + dy * dy).alias("dist_sq")
+    )
+
+
+ORACLE_RANGE_JOIN_BBOX = """
+WITH works AS (
+  SELECT c_custkey, (c_custkey * 37) % 500 AS wx, (c_custkey * 91) % 500 AS wy
+  FROM customer
+), sites AS (
+  SELECT s_suppkey, (s_suppkey * 53) % 500 AS sx, (s_suppkey * 17) % 500 AS sy
+  FROM supplier
+)
+SELECT w.c_custkey, s.s_suppkey,
+       (w.wx - s.sx) * (w.wx - s.sx) + (w.wy - s.sy) * (w.wy - s.sy) AS dist_sq
+FROM works w JOIN sites s
+  ON w.wx >= s.sx - 25 AND w.wx <= s.sx + 25
+ AND w.wy >= s.sy - 25 AND w.wy <= s.sy + 25
+ AND (w.wx - s.sx) * (w.wx - s.sx) + (w.wy - s.sy) * (w.wy - s.sy) <= 625
+"""
+
+
+QUERIES = {
+    "centroid_xy": (q_centroid_xy, ORACLE_CENTROID_XY),
+    "range_join_bbox": (q_range_join_bbox, ORACLE_RANGE_JOIN_BBOX),
+}
