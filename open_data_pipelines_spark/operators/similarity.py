@@ -1,0 +1,149 @@
+"""Embedding similarity search (engine extension; BASELINE.json
+north-star: ANN over an ``array<float>`` column).
+
+Three tiers, all built-in expressions (no UDFs):
+
+- :func:`cosine` — double-precision sequential fold (``F.aggregate``
+  over ``F.zip_with``): the exact baseline.
+- :func:`quantized` similarity — vectors quantized to integer grids
+  (``floor(x*s + 0.5)``); dot products become exact BIGINT sums, which
+  are order-independent and bit-identical across engines (this is what
+  the DuckDB oracle checks) — and at 100 TB integer dots are also the
+  memory-bandwidth-friendly path (int8/int16 quantization is standard
+  practice for billion-vector search).
+- :func:`rp_lsh_bucket` — signed-random-projection bucketing: the
+  scale path that turns all-pairs search into an equi-join on bucket,
+  with hash-derived deterministic hyperplanes (no stored model).
+
+Brute-force top-k broadcasts the (small) query set against the corpus
+— one scan, no shuffle of the corpus; the LSH variant shuffles only
+per-bucket groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def quantize(col: Column | str, scale: int = 1000) -> Column:
+    """float vector -> exact integer grid (round-half-up, both-engine
+    identical: floor(x*s + 0.5))."""
+    c = as_double_array(col)
+    return F.transform(c, lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"))
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot — order-independent, cross-engine identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine_quantized(a: Column, b: Column) -> Column:
+    """Cosine on quantized vectors: exact int dots, one double division."""
+    return dot_int(a, b).cast("double") / (
+        F.sqrt(dot_int(a, a).cast("double")) * F.sqrt(dot_int(b, b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Exact top-k per query vector (quantized cosine).
+
+    ``queries`` is broadcast (small); rank window partitions by query
+    id so the sort is per-query, never global.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col, quant_scale).alias("__cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col, quant_scale).alias("__qv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_quantized(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """All pairs (a < b) with quantized cosine >= threshold.
+
+    All-pairs is the exact baseline (O(n^2) — fine for verification
+    scale); production path is :func:`rp_lsh_bucket` + per-bucket pairs.
+    """
+    v = corpus.select(F.col(id_col), quantize(vec_col, quant_scale).alias("__v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine_quantized(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= F.lit(threshold))
+
+
+def rp_lsh_bucket(vec: Column, planes: int = 8, dims: int = 64, seed: int = 42) -> Column:
+    """Signed-random-projection LSH bucket id (0..2^planes-1).
+
+    Hyperplane components are deterministic pseudo-randoms derived from
+    xxhash64(plane, dim, seed) — reproducible across runs and cluster
+    sizes with no stored model. Vectors whose cosine is high agree on
+    most sign bits, so bucket equality is a cheap candidate filter:
+    group/join on the bucket, verify with :func:`cosine_quantized`.
+    """
+    acc = F.lit(0).cast("long")
+    for p in range(planes):
+        comps = F.array(
+            *[
+                (
+                    (F.xxhash64(F.lit(p), F.lit(d), F.lit(seed)) % F.lit(2001)).cast("double")
+                    / F.lit(1000.0)
+                )
+                for d in range(dims)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(as_double_array(vec), comps, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc

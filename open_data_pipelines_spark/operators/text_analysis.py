@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Engine extensions beyond the reference surface (BASELINE.json
+north-star: language-ID, quality scoring, token counting, document
+fingerprinting). All pure Column expressions — JVM-side, codegen'd, no
+Python in the hot path; at 100 TB these run as a single scan with no
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.hashing import record_hash, stable_long_hash
+
+# BPE-ish word/number/punct splitter (public GPT-2-style pattern family,
+# simplified to the engine-portable subset)
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "que"),
+    "de": ("der", "die", "und", "das", "ist", "von", "den", "mit", "ein", "zu"),
+}
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(whitespace_tokens(c)))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish regex token count (letters / digit runs / punct marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(f"({TOKEN_REGEX})"), 1))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = whitespace_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(col: Column | str, min_hits: int = 1) -> Column:
+    """N-gram-heuristic language ID: argmax of stopword hits, 'und'
+    (undetermined) when no language reaches ``min_hits``."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.when(best < min_hits, F.lit("und"))
+    for lang, h in hits.items():  # insertion order = deterministic tie-break
+        out = out.when(h == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"([^A-Za-z0-9\s])"), 1))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def quality_score(col: Column | str, lang: str = "en") -> Column:
+    """Heuristic document quality in [0, 1]: length band + mean token
+    length band + low punctuation + stopword presence. Weights are
+    exact binary fractions (0.25 each) so scores are exact doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_toks = token_count_ws(c)
+    mean_tok = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        n_chars.cast("double") / n_toks.cast("double")
+    )
+    length_ok = (n_chars >= 100) & (n_chars <= 20000)
+    tok_ok = (mean_tok >= 3.0) & (mean_tok <= 12.0)
+    punct_ok = punct_ratio(c) <= 0.2
+    stop_ok = stopword_hits(c, lang) >= 1
+    return (
+        length_ok.cast("double") * 0.25
+        + tok_ok.cast("double") * 0.25
+        + punct_ok.cast("double") * 0.25
+        + stop_ok.cast("double") * 0.25
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Normalization-invariant content fingerprint (md5 of lowercased,
+    whitespace-collapsed text). Cheap exact-dup key at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(norm)
+
+
+def doc_fingerprint_long(col: Column | str) -> Column:
+    """60-bit integer variant (cross-engine-portable, join-friendly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return stable_long_hash(norm)

@@ -1,3 +1,378 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis + near-dup-dedup driver queries (engine extensions
+for training-data pipelines; BASELINE.json north-star) on the harness
+``documents`` table.
 
-QUERIES: dict = {}
+The harness corpus has no duplicates, so dedup queries first synthesize
+them deterministically (copies / mutated copies at shifted doc_ids —
+identical construction in the DuckDB oracle). MinHash/SimHash oracles
+are generated programmatically (k permutations / b bits of the same
+algebra) — both engines execute the exact same hash-and-compare
+construction, so results hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text_analysis import (
+    STOPWORDS,
+    TOKEN_REGEX,
+    doc_fingerprint,
+    doc_fingerprint_long,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+from ..operators.text_dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash,
+)
+from ..session import load_tables
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, register_views=False)["documents"]
+
+
+def _with_exact_dups(docs: DataFrame) -> DataFrame:
+    """Corpus ∪ exact copies of every 5th doc at doc_id+10000."""
+    copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return docs.unionByName(copies)
+
+
+_DUPS_SQL = """
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _with_near_dups(docs: DataFrame) -> DataFrame:
+    """Corpus ∪ mutated copies (suffix appended) of every 10th doc."""
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz mutated suffix")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+_NEAR_DUPS_SQL = """
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' zz mutated suffix' AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+# DuckDB fragments mirroring the Spark expressions exactly
+_TOKENS = "regexp_split_to_array(trim({t}), '\\s+')"
+_SHINGLES = (
+    "CASE WHEN len(" + _TOKENS + ") >= 3 THEN "
+    "list_transform(range(1, len(" + _TOKENS + ") - 1), "
+    "i -> array_to_string((" + _TOKENS + ")[i:i+2], ' ')) "
+    "ELSE [] END"
+)
+_NORM = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+_LONG_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# --- dedup_exact --------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_exact_dups(_docs(spark, sf_dir))
+    return dedup_exact(corpus, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH corpus AS ({_DUPS_SQL}),
+keyed AS (SELECT *, md5({_NORM.format(t='text')}) AS fp FROM corpus),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY fp)
+SELECT k.doc_id, k.lang, k.source, k.n_chars
+FROM keyed k JOIN keep USING (fp, doc_id)
+"""
+
+
+# --- token_count --------------------------------------------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("ws_tokens"),
+        token_count_bpe("text").alias("bpe_tokens"),
+        F.length("text").alias("char_len"),
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len({_TOKENS.format(t='text')}) END AS ws_tokens,
+       len(regexp_extract_all(text, '({TOKEN_REGEX})', 1)) AS bpe_tokens,
+       length(text) AS char_len
+FROM documents
+"""
+
+
+# --- lang_id ------------------------------------------------------------------
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = _TOKENS.format(t="lower(text)")
+    return f"len(list_filter({toks}, t -> t IN ({words})))"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id("text").alias("predicted_lang"),
+    )
+
+
+_LANG_CASES = " ".join(
+    f"WHEN {_hits_sql(lang)} = best THEN '{lang}'" for lang in STOPWORDS
+)
+ORACLE_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         greatest({', '.join(_hits_sql(lang) for lang in STOPWORDS)}) AS best,
+         text
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN best < 1 THEN 'und' {_LANG_CASES} ELSE 'und' END AS predicted_lang
+FROM scored
+"""
+
+
+# --- quality_score ------------------------------------------------------------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("char_len"),
+        token_count_ws("text").alias("ws_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_Q_TOKS = _TOKENS.format(t="text")
+_Q_NT = f"(CASE WHEN trim(text) = '' THEN 0 ELSE len({_Q_TOKS}) END)"
+_Q_MEAN = f"(CASE WHEN {_Q_NT} = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / CAST({_Q_NT} AS DOUBLE) END)"
+_Q_PUNCT = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "CAST(len(regexp_extract_all(text, '([^A-Za-z0-9\\s])', 1)) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) END)"
+)
+ORACLE_QUALITY_SCORE = f"""
+SELECT doc_id,
+       length(text) AS char_len,
+       {_Q_NT} AS ws_tokens,
+       {_Q_PUNCT} AS punct_ratio,
+       CAST(length(text) >= 100 AND length(text) <= 20000 AS DOUBLE) * 0.25
+       + CAST({_Q_MEAN} >= 3.0 AND {_Q_MEAN} <= 12.0 AS DOUBLE) * 0.25
+       + CAST({_Q_PUNCT} <= 0.2 AS DOUBLE) * 0.25
+       + CAST({_hits_sql('en')} >= 1 AS DOUBLE) * 0.25 AS quality
+FROM documents
+"""
+
+
+# --- doc_fingerprint ----------------------------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        doc_fingerprint_long("text").alias("fingerprint_long"),
+    )
+
+
+_N = _NORM.format(t="text")
+ORACLE_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5({_N}) AS fingerprint,
+       {_LONG_HASH.format(x=_N)} AS fingerprint_long
+FROM documents
+"""
+
+
+# --- minhash_lsh_dedup ----------------------------------------------------------
+_K, _BANDS, _ROWS = 8, 4, 2
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_dups(_docs(spark, sf_dir))
+    cands = minhash_lsh_candidates(corpus, "text", "doc_id", n=3, k=_K, bands=_BANDS)
+    verified = jaccard_pairs(corpus, cands, "text", "doc_id", n=3)
+    return verified.filter(F.col("jaccard") >= 0.3).select(
+        "id_a", "id_b", "intersection_size", "jaccard"
+    )
+
+
+# build the oracle programmatically (same algebra, k permutations)
+_MH_COLS = ",\n         ".join(
+    "list_min(list_transform(shingles, s -> "
+    + _LONG_HASH.format(x=f"'{j}|' || s")
+    + f")) AS mh{j}"
+    for j in range(_K)
+)
+_BAND_COLS = ",\n         ".join(
+    f"md5(CAST(mh{b * _ROWS} AS VARCHAR) || '|' || CAST(mh{b * _ROWS + 1} AS VARCHAR)) AS band_{b}"
+    for b in range(_BANDS)
+)
+_BAND_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, band_{b} AS band_hash FROM banded" for b in range(_BANDS)
+)
+ORACLE_MINHASH = f"""
+WITH corpus AS ({_NEAR_DUPS_SQL}),
+shingled AS (
+  SELECT doc_id, {_SHINGLES.format(t='text')} AS shingles FROM corpus
+),
+sigs AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM shingled
+),
+banded AS (
+  SELECT doc_id,
+         {_BAND_COLS}
+  FROM sigs
+),
+bands_long AS (
+{_BAND_UNION}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_long a JOIN bands_long b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+distinct_shingles AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM shingled
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM distinct_shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter_n
+  FROM cands c
+  JOIN distinct_shingles sa ON sa.doc_id = c.id_a
+  JOIN distinct_shingles sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         COALESCE(i.inter_n, 0) AS intersection_size,
+         CAST(COALESCE(i.inter_n, 0) AS DOUBLE)
+           / CAST(na.n + nb.n - COALESCE(i.inter_n, 0) AS DOUBLE) AS jaccard
+  FROM cands c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+)
+SELECT id_a, id_b, intersection_size, jaccard FROM jac WHERE jaccard >= 0.3
+"""
+
+
+# --- simhash_dedup --------------------------------------------------------------
+_SIM_BITS = 16
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_exact_dups(_docs(spark, sf_dir))
+    sig = corpus.select("doc_id", simhash("text", _SIM_BITS).alias("simhash"))
+    a = sig.select(F.col("doc_id").alias("id_a"), "simhash")
+    b = sig.select(F.col("doc_id").alias("id_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
+_SIM_TERMS = "\n       + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hashes, h -> (h >> {i}) & 1 = 1)) - len(hashes) > 0 "
+    f"THEN {2**i} ELSE 0 END)"
+    for i in range(_SIM_BITS)
+)
+ORACLE_SIMHASH = f"""
+WITH corpus AS ({_DUPS_SQL}),
+hashed AS (
+  SELECT doc_id,
+         list_transform({_TOKENS.format(t='text')},
+                        t -> {_LONG_HASH.format(x="'0|' || t")}) AS hashes
+  FROM corpus
+),
+sigs AS (
+  SELECT doc_id,
+       {_SIM_TERMS} AS simhash
+  FROM hashed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+FROM sigs a JOIN sigs b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+
+
+# --- ngram_jaccard (adjacent-doc exact verifier, standalone) --------------------
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return jaccard_pairs(docs, pairs, "text", "doc_id", n=2).select(
+        "id_a", "id_b", "intersection_size", "jaccard"
+    )
+
+
+_SH2 = (
+    "CASE WHEN len(" + _Q_TOKS + ") >= 2 THEN "
+    "list_transform(range(1, len(" + _Q_TOKS + ")), "
+    "i -> array_to_string((" + _Q_TOKS + ")[i:i+1], ' ')) "
+    "ELSE [] END"
+)
+ORACLE_NGRAM_JACCARD = f"""
+WITH pairs AS (
+  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+  FROM documents a WHERE EXISTS (SELECT 1 FROM documents b WHERE b.doc_id = a.doc_id + 1)
+),
+distinct_shingles AS (
+  SELECT doc_id, unnest(list_distinct({_SH2})) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM distinct_shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter_n
+  FROM pairs p
+  JOIN distinct_shingles sa ON sa.doc_id = p.id_a
+  JOIN distinct_shingles sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       COALESCE(i.inter_n, 0) AS intersection_size,
+       CAST(COALESCE(i.inter_n, 0) AS DOUBLE)
+         / CAST(na.n + nb.n - COALESCE(i.inter_n, 0) AS DOUBLE) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes na ON na.doc_id = p.id_a
+JOIN sizes nb ON nb.doc_id = p.id_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_MINHASH),
+    "simhash_dedup": (q_simhash_dedup, ORACLE_SIMHASH),
+    "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+}

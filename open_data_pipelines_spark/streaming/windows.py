@@ -1,0 +1,91 @@
+"""Event-time windowed aggregation over streams.
+
+Batch/stream parity: the same ``F.window`` expressions back both the
+batch driver queries (``queries/streaming_q.py``) and these streaming
+pipelines, so results converge to the batch answer once the stream
+drains (verified in tests with ``trigger(availableNow=True)``).
+
+Scale notes: watermarks bound state (late events beyond the watermark
+are dropped — the reference's late-event policy I4 is 'latest wins',
+which the SCD2 path handles; here lateness is bounded explicitly);
+state store partitioning follows ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival source — the streaming analog of the reference's
+    monthly-drop ingest (new files in a landing dir = new micro-batch).
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — no reference counterpart;
+    idiomatic-Spark extension."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain the stream with availableNow into an in-memory table —
+    the test harness analog of the reference's in-memory-DuckDB
+    substitution pattern (SURVEY.md §5)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
