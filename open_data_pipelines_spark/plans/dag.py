@@ -1,0 +1,110 @@
+"""dbt-style transform DAG (SURVEY.md §2.2 K8, §3.3, §5).
+
+The reference materializes an ordered SQL DAG via dbt
+(``dbt_project.yml:36-56``): each model is CREATE TABLE AS SELECT with
+``ref()`` dependencies, pre/post hooks (``clean_up.sql:3-9`` drops
+intermediates), plus schema tests (unique / not_null) and singular
+data tests (anti-join must return zero rows).
+
+Here a model is ``name -> fn(spark) -> DataFrame`` with declared deps;
+the runner topo-sorts, materializes each model as a temp view (or a
+table for ``materialize='table'``), runs attached assertions, and
+drops intermediates afterwards (the clean_up post-hook). Catalyst
+optimizes each model exactly as DuckDB did for dbt (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+class ModelTestFailure(AssertionError):
+    pass
+
+
+# --- reference-style assertion tests (SURVEY.md §5) --------------------------
+def assert_unique(df: DataFrame, *cols: str) -> None:
+    dup = df.groupBy(*cols).count().filter(F.col("count") > 1).count()
+    if dup:
+        raise ModelTestFailure(f"unique({cols}) violated: {dup} duplicated keys")
+
+
+def assert_not_null(df: DataFrame, *cols: str) -> None:
+    for c in cols:
+        n = df.filter(F.col(c).isNull()).count()
+        if n:
+            raise ModelTestFailure(f"not_null({c}) violated: {n} nulls")
+
+
+def assert_empty(df: DataFrame, description: str = "singular test") -> None:
+    """Singular data test: query must return zero rows (e.g. the
+    no-permit-in-both-lists anti-join)."""
+    n = df.count()
+    if n:
+        raise ModelTestFailure(f"{description}: expected 0 rows, got {n}")
+
+
+@dataclass
+class Model:
+    name: str
+    fn: Callable[[SparkSession], DataFrame]
+    deps: Sequence[str] = ()
+    materialize: str = "view"  # 'view' | 'table' | 'ephemeral'
+    tests: Sequence[Callable[[DataFrame], None]] = ()
+    keep: bool = True  # False -> dropped in cleanup (dbt post_hook)
+
+
+@dataclass
+class Dag:
+    models: dict[str, Model] = field(default_factory=dict)
+
+    def model(
+        self,
+        name: str,
+        deps: Sequence[str] = (),
+        materialize: str = "view",
+        tests: Sequence[Callable[[DataFrame], None]] = (),
+        keep: bool = True,
+    ):
+        """Decorator: ``@dag.model("m1", deps=["m0"])``."""
+
+        def wrap(fn: Callable[[SparkSession], DataFrame]):
+            self.models[name] = Model(name, fn, deps, materialize, tests, keep)
+            return fn
+
+        return wrap
+
+    def order(self) -> list[str]:
+        ts = TopologicalSorter({m.name: set(m.deps) for m in self.models.values()})
+        return list(ts.static_order())
+
+    def run(self, spark: SparkSession, cleanup: bool = True) -> dict[str, DataFrame]:
+        """Materialize in dependency order; run tests; drop non-keep
+        views at the end (the reference's clean_up post-hook)."""
+        out: dict[str, DataFrame] = {}
+        for name in self.order():
+            m = self.models[name]
+            log.info("model %s (deps=%s)", name, list(m.deps))
+            df = m.fn(spark)
+            if m.materialize == "table":
+                df.write.mode("overwrite").saveAsTable(name)
+                df = spark.table(name)
+            elif m.materialize == "view":
+                df.createOrReplaceTempView(name)
+            out[name] = df
+            for test in m.tests:
+                test(df)
+        if cleanup:
+            for name in self.order():
+                m = self.models[name]
+                if not m.keep and m.materialize == "view":
+                    spark.catalog.dropTempView(name)
+        return out
