@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is materialized with the ``noop`` datasource (full
+execution, zero sink cost, nothing collected to the driver) — the
+number measured is the engine, not pandas conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: one per operator family (joins/windows/aggs/SCD2/
+# spatial/text-dedup/similarity/streaming-batch)
+HEADLINE = [
+    "impact_score",
+    "distinct_on",
+    "join_count",
+    "group_sum",
+    "agg_battery",
+    "anti_join",
+    "range_join_bbox",
+    "scd2_merge",
+    "window_tumbling",
+    "minhash_lsh_dedup",
+    "ann_cosine_topk",
+    "dedup_exact",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # pass 1: warmup (codegen compile + broadcast build); pass 2:
+        # measured steady-state engine time
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "mode": "steady_state",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,11 +26,28 @@ production runs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import fast_long_hash, stable_long_hash
 from .text_analysis import doc_fingerprint, whitespace_tokens
+
+
+def scale_out(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Ensure CPU-heavy per-row work fans out across all cores.
+
+    A single parquet file scans as 1-2 input partitions; hashing
+    thousands of shingles per row then runs on 2 of 32 cores. When the
+    input has fewer partitions than the cluster's default parallelism,
+    repartition (by key if given — keeps later same-key shuffles
+    cheap). No-op when the scan is already wide (the 100 TB case: file
+    splits provide parallelism for free).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -45,19 +62,51 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _shingle_hash(s: Column, perm: int, fast: bool) -> Column:
+_MERSENNE_31 = 2147483647  # prime modulus for universal hashing
+
+
+def _affine_params(perm: int) -> tuple[int, int]:
+    """Deterministic (a, b) per permutation; a odd so the map is a
+    bijection mod 2^k components and products stay < 2^63 (base hash
+    is 52 bits, a < 2^10)."""
+    return 2 * perm + 1, 1000003 * perm + 12345
+
+
+def _base_hash(s: Column, fast: bool) -> Column:
+    """One hash per shingle (52-bit). Permutations derive from this via
+    affine maps — k permutations cost ONE md5, not k (the md5 string
+    pass dominates minhash cost otherwise)."""
     if fast:
-        return F.xxhash64(s, F.lit(perm))
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{perm}|"), s)), 1, 15), 16, 10
-    ).cast("long")
+        return F.shiftrightunsigned(F.xxhash64(s), 12)  # 52 bits, non-negative
+    return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+
+
+def _shingle_hash(s: Column, perm: int, fast: bool) -> Column:
+    a, b = _affine_params(perm)
+    return (F.lit(a) * _base_hash(s, fast) + F.lit(b)) % F.lit(_MERSENNE_31)
+
+
+def base_hashes(shingles: Column, fast: bool = False) -> Column:
+    return F.transform(shingles, lambda s: _base_hash(s, fast))
+
+
+def minhash_signature_from_base(base: Column, k: int = 8) -> Column:
+    """Array of k min-hashes from pre-computed base hashes
+    ((a_j * h + b_j) mod M — universal hashing, cross-engine exact)."""
+    sigs = []
+    for j in range(k):
+        a, b = _affine_params(j)
+        sigs.append(
+            F.array_min(
+                F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_31))
+            )
+        )
+    return F.array(*sigs)
 
 
 def minhash_signature(shingles: Column, k: int = 8, fast: bool = False) -> Column:
-    """Array of k min-hashes (NULL-free; empty shingle set -> NULLs)."""
-    return F.array(
-        *[F.array_min(F.transform(shingles, lambda s: _shingle_hash(s, j, fast))) for j in range(k)]
-    )
+    """Array of k min-hashes (NULL components for empty shingle sets)."""
+    return minhash_signature_from_base(base_hashes(shingles, fast), k)
 
 
 def lsh_bands(signature: Column, bands: int, rows: int) -> list[Column]:
@@ -71,12 +120,19 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> list[Column]:
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id representative per identical (normalized)
-    text — hash-groupBy, no window, no sort."""
+    text.
+
+    One projection computes the fingerprint, one hash shuffle on it,
+    one per-group sort by id — strictly cheaper than the
+    groupBy-min + join-back formulation (which scans and fingerprints
+    the corpus twice).
+    """
     keyed = df.withColumn("__fp", doc_fingerprint(text_col))
-    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     return (
-        keyed.join(keep, ["__fp", id_col], "inner")
-        .drop("__fp")
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
     )
 
 
@@ -89,18 +145,32 @@ def minhash_lsh_candidates(
     bands: int = 4,
     fast: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band."""
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    The signature projection is materialized (persisted) before the
+    self-join: otherwise Spark re-evaluates the k md5 minhash scans
+    once per join side. Shingling is repartitioned to full parallelism
+    first (see :func:`scale_out`).
+    """
     rows = k // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(word_shingles(text_col, n), k, fast).alias("__sig"),
+    sig = (
+        scale_out(df, id_col)
+        .select(
+            F.col(id_col),
+            # stage the expensive pieces as real columns so each is
+            # evaluated once: shingles -> base hashes -> k cheap
+            # affine minima
+            word_shingles(text_col, n).alias("__sh"),
+        )
+        .select(F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh"))
+        .select(F.col(id_col), minhash_signature_from_base(F.col("__bh"), k).alias("__sig"))
     )
     banded = sig.select(
         id_col,
         F.posexplode(F.array(*[c for c in lsh_bands(F.col("__sig"), bands, rows)])).alias(
             "band_id", "band_hash"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
@@ -117,10 +187,16 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for the given (id_a, id_b) pairs.
 
     Distinct-shingle explode + equi-join — intersection counting is a
-    hash join on shingle strings, never an all-pairs scan.
+    hash join on shingle strings, never an all-pairs scan. The exploded
+    shingle table is persisted: it feeds three branches (sizes + both
+    join sides).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__s")
+    sh = (
+        scale_out(df, id_col)
+        .select(
+            F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__s")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
 

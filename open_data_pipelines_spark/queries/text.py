@@ -85,6 +85,15 @@ _SHINGLES = (
 )
 _NORM = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
 _LONG_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+# minhash/simhash base hash: ONE md5 per token/shingle, 52-bit; k
+# permutations derive via affine maps mod the Mersenne prime
+# (operators/text_dedup.py:_base_hash/_affine_params)
+_BASE_HASH = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
+_M31 = 2147483647
+
+
+def _affine_params(perm: int) -> tuple[int, int]:
+    return 2 * perm + 1, 1000003 * perm + 12345
 
 
 # --- dedup_exact --------------------------------------------------------------
@@ -95,10 +104,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_EXACT = f"""
 WITH corpus AS ({_DUPS_SQL}),
-keyed AS (SELECT *, md5({_NORM.format(t='text')}) AS fp FROM corpus),
-keep AS (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY fp)
-SELECT k.doc_id, k.lang, k.source, k.n_chars
-FROM keyed k JOIN keep USING (fp, doc_id)
+keyed AS (SELECT *, md5({_NORM.format(t='text')}) AS fp FROM corpus)
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+  FROM keyed
+) WHERE rn = 1
 """
 
 
@@ -221,9 +231,9 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # build the oracle programmatically (same algebra, k permutations)
 _MH_COLS = ",\n         ".join(
-    "list_min(list_transform(shingles, s -> "
-    + _LONG_HASH.format(x=f"'{j}|' || s")
-    + f")) AS mh{j}"
+    "list_min(list_transform(base_hashes, h -> "
+    f"({_affine_params(j)[0]} * h + {_affine_params(j)[1]}) % {_M31}"
+    f")) AS mh{j}"
     for j in range(_K)
 )
 _BAND_COLS = ",\n         ".join(
@@ -238,10 +248,15 @@ WITH corpus AS ({_NEAR_DUPS_SQL}),
 shingled AS (
   SELECT doc_id, {_SHINGLES.format(t='text')} AS shingles FROM corpus
 ),
+based AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {_BASE_HASH.format(x='s')}) AS base_hashes
+  FROM shingled
+),
 sigs AS (
   SELECT doc_id,
          {_MH_COLS}
-  FROM shingled
+  FROM based
 ),
 banded AS (
   SELECT doc_id,
@@ -307,7 +322,8 @@ WITH corpus AS ({_DUPS_SQL}),
 hashed AS (
   SELECT doc_id,
          list_transform({_TOKENS.format(t='text')},
-                        t -> {_LONG_HASH.format(x="'0|' || t")}) AS hashes
+                        t -> ({_affine_params(0)[0]} * {_BASE_HASH.format(x='t')}
+                              + {_affine_params(0)[1]}) % {_M31}) AS hashes
   FROM corpus
 ),
 sigs AS (

@@ -52,7 +52,14 @@ def get_spark(
         # explicit: dims (region/nation/supplier/swa-code-like tables)
         # must go broadcast, never sort-merge.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # local test files are single small parquet files: small split
+        # size fans scans across cores. On a real cluster RAISE this
+        # (128m is the classic default) — file splits already provide
+        # parallelism there and tiny splits would explode task counts.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "4m"),
+        )
         # harness events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long and truncate to micros in
         # load_tables (same truncation DuckDB applies on read).
