@@ -95,3 +95,12 @@ def clean_org_name(
 def audit_timestamp(df: DataFrame, col: str = "date_time_processed") -> DataFrame:
     """Append processing-time audit column (P10)."""
     return df.withColumn(col, F.current_timestamp())
+
+
+def null_timestamp_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P6: wholesale-null known-bad timestamp columns while keeping the
+    declared type (NaPTAN CreationDateTime/ModificationDateTime,
+    ``naptan.py:64-66``)."""
+    for c in cols:
+        df = df.withColumn(c, F.lit(None).cast("timestamp"))
+    return df

@@ -48,6 +48,34 @@ def wkt_coords(wkt: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(f"({_NUM})"), 1)
 
 
+def wkt_xs(wkt: Column | str) -> Column:
+    """X coordinates of any WKT geometry (POINT/LINESTRING/POLYGON):
+    first number of each non-overlapping "x y" pair."""
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    return F.regexp_extract_all(c, F.lit(rf"({_NUM}) {_NUM}"), 1)
+
+
+def wkt_ys(wkt: Column | str) -> Column:
+    c = F.col(wkt) if isinstance(wkt, str) else wkt
+    return F.regexp_extract_all(c, F.lit(rf"{_NUM} ({_NUM})"), 1)
+
+
+def _mean_of(tokens: Column) -> Column:
+    nums = F.transform(tokens, lambda t: t.cast("double"))
+    return F.aggregate(nums, F.lit(0.0), lambda a, x: a + x) / F.size(nums)
+
+
+def linestring_centroid_x(wkt: Column | str) -> Column:
+    """ST_X(ST_Centroid(geom)) for point sets / linestring vertices —
+    vertex mean on planar coords (X8, ``stg_emergency_works_by_authority
+    .sql:24-38`` computes centroids of permit work locations)."""
+    return _mean_of(wkt_xs(wkt))
+
+
+def linestring_centroid_y(wkt: Column | str) -> Column:
+    return _mean_of(wkt_ys(wkt))
+
+
 def squared_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     dx = x1 - x2
     dy = y1 - y2

@@ -90,6 +90,48 @@ def minmax_normalize(
     )
 
 
+def salted_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    salt: Column,
+    salt_mod: int,
+    alias: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Skew-resistant two-stage sum: partial-aggregate on
+    (keys, salt % salt_mod) then merge on keys.
+
+    With a hot key, a plain groupBy funnels that key's rows through
+    one reducer; salting spreads them over ``salt_mod`` reducers and
+    merges the (tiny) partials. Decimal-routed, so the result is
+    bit-identical to the unsalted sum — salting changes the shuffle,
+    never the answer. (Spark's map-side partial aggregation already
+    mitigates this for algebraic aggs; explicit salting is the pattern
+    for when combine ratios are poor — many distinct keys per task —
+    or for non-algebraic states.)
+    """
+    stage1 = df.groupBy(
+        *keys, F.pmod(salt, F.lit(salt_mod)).alias("__salt")
+    ).agg(F.sum(value.cast(f"decimal(18,{scale})")).alias("__partial"))
+    return stage1.groupBy(*keys).agg(
+        F.sum("__partial").cast("double").alias(alias)
+    )
+
+
+def approx_distinct(
+    df: DataFrame, keys: Sequence[str], col: str, rsd: float = 0.05
+) -> DataFrame:
+    """The 100 TB-scale variant of A4's exact COUNT(DISTINCT):
+    HyperLogLog++ sketch, one pass, mergeable, no per-key set state.
+    Exact semantics stay available for oracle checks (A4 note,
+    SURVEY.md §2.6)."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(col, rsd).alias(f"approx_{col}"),
+        F.countDistinct(col).alias(f"exact_{col}"),
+    )
+
+
 def percent_rank_over(
     df: DataFrame,
     order_by: Sequence[Column],

@@ -77,6 +77,30 @@ def overlap_count(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return semi_join(left, right, on).agg(F.count(F.lit(1)).alias("overlap_count"))
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    salt_mod: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, replicate the
+    other side across all salts, join on (key, salt).
+
+    A hot key's rows land in ``salt_mod`` different shuffle partitions
+    instead of one. AQE's skew-join split covers most cases at runtime;
+    explicit salting is for pathological keys known up front (the
+    reference's uprn->usrn fan-out, FIXTURES.md F3). Result is
+    identical to the plain join — only the shuffle changes.
+    """
+    s = skewed.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_mod)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)))
+    o = other.withColumn("__salt", salts)
+    out = s.join(o, (s[skewed_key] == o[other_key]) & (s["__salt"] == o["__salt"]), how)
+    return out.drop("__salt")
+
+
 def grid_cell(x: Column, y: Column, cell: float) -> Column:
     """Coarse grid-cell id for planar points — the scale path for
     range joins: equi-join on cell (plus neighbor cells) co-locates

@@ -17,10 +17,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
-    from . import relational, scalar, scd2, spatial, text, similarity, streaming_q
+    from . import (
+        advanced,
+        relational,
+        scalar,
+        scd2,
+        similarity,
+        spatial,
+        streaming_q,
+        text,
+    )
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (relational, scalar, scd2, spatial, text, similarity, streaming_q):
+    for mod in (relational, scalar, scd2, spatial, text, similarity, streaming_q, advanced):
         overlap = merged.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         merged.update(mod.QUERIES)

@@ -1,0 +1,146 @@
+"""Advanced relational queries: correlated-subquery decorrelation
+(J8), session/rolling windows (engine extensions past the reference's
+ranking-only window surface, SURVEY.md §2.7), skew-salted aggregation
+and approx-distinct (§2.6 scale notes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import approx_distinct, salted_sum
+from ..session import load_tables
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, register_views=False)["events"]
+
+
+# --- J8 correlated_max: scalar-subquery predicate, decorrelated --------------
+def q_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference shape: ``event_time > (SELECT MAX(event_time) FROM dim
+    WHERE ref = staging.ref)`` (``section_58.py:349-353``). Decorrelated
+    to pre-aggregate + join — the only plan that scales (a correlated
+    scalar subquery is a per-row lookup)."""
+    events = _events(spark, sf_dir)
+    dim = (
+        events.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("__max_ts"))
+    )
+    staged = events.filter(F.col("event_id") % 2 == 1)
+    out = staged.join(dim, "user_id").filter(F.col("ts") > F.col("__max_ts"))
+    return out.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+
+
+ORACLE_CORRELATED_MAX = """
+SELECT o.event_id, o.user_id, epoch_us(o.ts) AS ts_us
+FROM events o
+WHERE o.event_id % 2 = 1
+  AND o.ts > (SELECT MAX(i.ts) FROM events i
+              WHERE i.event_id % 2 = 0 AND i.user_id = o.user_id)
+"""
+
+
+# --- session_agg: gap-based sessions (F.session_window) ----------------------
+_GAP_MIN = 30
+
+
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    out = events.groupBy(
+        F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        "user_id",
+        "n_events",
+    )
+
+
+# gaps-and-islands replication; session boundary when the gap is >= the
+# window (Spark sessions are half-open [start, last+gap))
+ORACLE_SESSION_AGG = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL {_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT epoch_us(min(ts)) AS session_start_us, user_id, count(*) AS n_events
+FROM g GROUP BY user_id, session_id
+"""
+
+
+# --- rolling_avg: moving frame (rowsBetween) --------------------------------
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    rolling_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    rolling_n = F.count(F.lit(1)).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        (rolling_sum / rolling_n).alias("rolling_avg_3"),
+    )
+
+
+ORACLE_ROLLING_AVG = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS rolling_avg_3
+FROM events
+"""
+
+
+# --- salted_group_sum: skew-resistant two-stage aggregation ------------------
+def q_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    return salted_sum(
+        events,
+        ["event_type"],
+        F.col("value"),
+        salt=F.col("event_id"),
+        salt_mod=16,
+        alias="sum_value",
+    )
+
+
+# salting never changes the answer — the oracle is the plain GROUP BY
+ORACLE_SALTED_GROUP_SUM = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- approx_distinct: HLL++ scale variant (sketch differs per engine ->
+# rows-only driver check; the exact column rides along for eyeballing) -------
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    return approx_distinct(events, ["event_type"], "user_id")
+
+
+QUERIES = {
+    "correlated_max": (q_correlated_max, ORACLE_CORRELATED_MAX),
+    "session_agg": (q_session_agg, ORACLE_SESSION_AGG),
+    "rolling_avg": (q_rolling_avg, ORACLE_ROLLING_AVG),
+    "salted_group_sum": (q_salted_group_sum, ORACLE_SALTED_GROUP_SUM),
+    "approx_distinct": (q_approx_distinct, None),
+}

@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.spatial import wkt_coords, wkt_point, wkt_point_x, wkt_point_y
+from ..functions.spatial import (
+    linestring_centroid_x,
+    linestring_centroid_y,
+    wkt_coords,
+    wkt_point,
+    wkt_point_x,
+    wkt_point_y,
+)
 from ..operators.joins import range_join_within_gridded
 from ..session import load_tables
 
@@ -106,7 +113,57 @@ FROM works w JOIN sites s
 """
 
 
+# --- X8 linestring_centroid: vertex-mean centroid of WKT linestrings --------
+def q_linestring_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Centroid analog on synthesized 3-vertex LINESTRINGs (the
+    reference computes centroids of permit work-location linestrings,
+    ``stg_emergency_works_by_authority.sql:24-38``)."""
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    geom = F.format_string(
+        "LINESTRING (%s %s, %s %s, %s %s)",
+        (k * 11 % 100).cast("string"),
+        (k * 13 % 100).cast("string"),
+        (k * 17 % 100).cast("string"),
+        (k * 19 % 100).cast("string"),
+        (k * 23 % 100).cast("string"),
+        (k * 29 % 100).cast("string"),
+    )
+    df = supplier.select("s_suppkey", geom.alias("geometry"))
+    return df.select(
+        "s_suppkey",
+        "geometry",
+        linestring_centroid_x("geometry").alias("centroid_x"),
+        linestring_centroid_y("geometry").alias("centroid_y"),
+    )
+
+
+_PAIR_X = r"([-+]?\d+(?:\.\d+)?) [-+]?\d+(?:\.\d+)?"
+_PAIR_Y = r"[-+]?\d+(?:\.\d+)? ([-+]?\d+(?:\.\d+)?)"
+ORACLE_LINESTRING_CENTROID = f"""
+WITH g AS (
+  SELECT s_suppkey,
+         'LINESTRING (' || CAST(s_suppkey * 11 % 100 AS VARCHAR) || ' '
+           || CAST(s_suppkey * 13 % 100 AS VARCHAR) || ', '
+           || CAST(s_suppkey * 17 % 100 AS VARCHAR) || ' '
+           || CAST(s_suppkey * 19 % 100 AS VARCHAR) || ', '
+           || CAST(s_suppkey * 23 % 100 AS VARCHAR) || ' '
+           || CAST(s_suppkey * 29 % 100 AS VARCHAR) || ')' AS geometry
+  FROM supplier
+)
+SELECT s_suppkey, geometry,
+       list_reduce(list_transform(regexp_extract_all(geometry, '{_PAIR_X}', 1),
+                                  t -> CAST(t AS DOUBLE)), (a, x) -> a + x)
+         / len(regexp_extract_all(geometry, '{_PAIR_X}', 1)) AS centroid_x,
+       list_reduce(list_transform(regexp_extract_all(geometry, '{_PAIR_Y}', 1),
+                                  t -> CAST(t AS DOUBLE)), (a, x) -> a + x)
+         / len(regexp_extract_all(geometry, '{_PAIR_Y}', 1)) AS centroid_y
+FROM g
+"""
+
+
 QUERIES = {
     "centroid_xy": (q_centroid_xy, ORACLE_CENTROID_XY),
+    "linestring_centroid": (q_linestring_centroid, ORACLE_LINESTRING_CENTROID),
     "range_join_bbox": (q_range_join_bbox, ORACLE_RANGE_JOIN_BBOX),
 }

@@ -110,6 +110,27 @@ def write_jdbc(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Bucketed table write — the co-located-join scale path.
+
+    Two tables bucketed identically on the join key sort-merge-join
+    with NO exchange on either side (the shuffle is paid once at write
+    time, amortized over every subsequent join/agg on that key). This
+    is the engine's replacement for the reference's implicit reliance
+    on single-node DuckDB locality for the uprn<->usrn joins.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def compact_partitions(
     spark: SparkSession,
     src_path: str,

@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.functions.cleaning import null_timestamp_columns
+from open_data_pipelines_spark.functions.spatial import (
+    linestring_centroid_x,
+    linestring_centroid_y,
+    wkt_point,
+    wkt_point_x,
+    wkt_point_y,
+    within_distance,
+)
+from open_data_pipelines_spark.sinks.writers import write_bucketed
+from open_data_pipelines_spark.sources.geopackage import GeoEngineUnavailable, gpkg_to_parquet
+
+
+def test_wkt_point_roundtrip(spark):
+    df = spark.createDataFrame([(530100, 180200)], ["e", "n"]).select(
+        wkt_point(F.col("e"), F.col("n")).alias("wkt")
+    )
+    r = df.select(
+        "wkt",
+        wkt_point_x("wkt").alias("x"),
+        wkt_point_y("wkt").alias("y"),
+    ).collect()[0]
+    assert r["wkt"] == "POINT (530100 180200)"
+    assert (r["x"], r["y"]) == (530100.0, 180200.0)
+
+
+def test_linestring_centroid(spark):
+    df = spark.createDataFrame(
+        [("LINESTRING (0 0, 10 20, 20 40)",), ("POINT (5 7)",)], ["geom"]
+    )
+    got = df.select(
+        linestring_centroid_x("geom").alias("cx"),
+        linestring_centroid_y("geom").alias("cy"),
+    ).collect()
+    assert (got[0]["cx"], got[0]["cy"]) == (10.0, 20.0)
+    assert (got[1]["cx"], got[1]["cy"]) == (5.0, 7.0)
+
+
+def test_buffer_contains_equiv(spark):
+    # ST_Contains(ST_Buffer(p, r), q) == dist <= r on planar coords
+    df = spark.createDataFrame([(0, 0, 3, 4), (0, 0, 30, 40)], ["x1", "y1", "x2", "y2"])
+    got = [
+        r[0]
+        for r in df.select(
+            within_distance(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"), 5.0)
+        ).collect()
+    ]
+    assert got == [True, False]
+
+
+def test_null_timestamp_columns(spark):
+    df = spark.createDataFrame([("a", "2024-01-01")], ["k", "CreationDateTime"])
+    out = null_timestamp_columns(df, ["CreationDateTime"])
+    assert out.schema["CreationDateTime"].dataType.simpleString() == "timestamp"
+    assert out.collect()[0]["CreationDateTime"] is None
+
+
+def test_geopackage_gated():
+    with pytest.raises(GeoEngineUnavailable):
+        gpkg_to_parquet("/nonexistent.gpkg", "/tmp/out.parquet")
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # tables land in ./spark-warehouse (gitignored), dropped in finally
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dims = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    write_bucketed(facts, "b_facts", ("k",), 8, ("k",))
+    write_bucketed(dims, "b_dims", ("k",), 8, ("k",))
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # co-located: bucket join, no shuffle
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_dims")
