@@ -98,6 +98,13 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
 
     if not os.path.isdir(sf_dir):
         raise FileNotFoundError(f"testdata dir not found: {sf_dir}")
+    # defensive: the caller may pass a session built elsewhere (the
+    # driver does) — without this runtime conf, events.parquet's
+    # TIMESTAMP(NANOS) column is unreadable (PARQUET_TYPE_ILLEGAL);
+    # and timestamp-literal -> epoch conversions (SCD2 sentinel) are
+    # session-TZ-sensitive, so pin UTC to match the DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
