@@ -226,6 +226,77 @@ def jaccard_pairs(
     )
 
 
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.3,
+    fast: bool = False,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard ->
+    threshold. The shingled corpus is computed ONCE and persisted —
+    shared by the signature path and the Jaccard verifier (three
+    consumers; without sharing the corpus is re-shingled per branch).
+    """
+    rows = k // bands
+    shingled = (
+        scale_out(df, id_col)
+        .select(F.col(id_col), word_shingles(text_col, n).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    sig = shingled.select(
+        F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh")
+    ).select(F.col(id_col), minhash_signature_from_base(F.col("__bh"), k).alias("__sig"))
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*lsh_bands(F.col("__sig"), bands, rows))).alias(
+            "band_id", "band_hash"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = shingled.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    ea = sh.select(F.col(id_col).alias("id_a"), "__s")
+    eb = sh.select(F.col(id_col).alias("id_b"), "__s")
+    inter = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("__inter", F.lit(0)).alias("intersection_size"),
+            (
+                F.coalesce("__inter", F.lit(0)).cast("double")
+                / (F.col("__na") + F.col("__nb") - F.coalesce("__inter", F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= F.lit(threshold))
+
+
 def simhash(col: Column | str, bits: int = 16, fast: bool = False) -> Column:
     """Frequency-weighted SimHash over whitespace tokens.
 

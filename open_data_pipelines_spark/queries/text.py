@@ -29,7 +29,7 @@ from ..operators.text_analysis import (
 from ..operators.text_dedup import (
     dedup_exact,
     jaccard_pairs,
-    minhash_lsh_candidates,
+    minhash_lsh_dedup,
     simhash,
 )
 from ..session import load_tables
@@ -222,11 +222,9 @@ _K, _BANDS, _ROWS = 8, 4, 2
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_near_dups(_docs(spark, sf_dir))
-    cands = minhash_lsh_candidates(corpus, "text", "doc_id", n=3, k=_K, bands=_BANDS)
-    verified = jaccard_pairs(corpus, cands, "text", "doc_id", n=3)
-    return verified.filter(F.col("jaccard") >= 0.3).select(
-        "id_a", "id_b", "intersection_size", "jaccard"
-    )
+    return minhash_lsh_dedup(
+        corpus, "text", "doc_id", n=3, k=_K, bands=_BANDS, threshold=0.3
+    ).select("id_a", "id_b", "intersection_size", "jaccard")
 
 
 # build the oracle programmatically (same algebra, k permutations)

@@ -76,6 +76,48 @@ def sessionized_counts(
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: duplicates of a key arriving within the
+    watermark horizon are dropped; state is bounded by the watermark
+    (vs. unbounded ``dropDuplicates``). The streaming analog of the
+    reference's idempotent re-load semantics (I2/I4)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def stream_to_month_partitions(
+    stream: DataFrame,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+):
+    """foreachBatch sink: derive (year, month) from event time and
+    append each micro-batch into the SAME partitioned warehouse table
+    the batch pipelines write — streaming and batch ingest converge on
+    one layout (checkpointed => exactly-once per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("year", F.year(ts_col))
+            .withColumn("month", F.month(ts_col))
+            .write.mode("append")
+            .partitionBy("year", "month")
+            .parquet(warehouse_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory table —
     the test harness analog of the reference's in-memory-DuckDB

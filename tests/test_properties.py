@@ -13,11 +13,14 @@ from open_data_pipelines_spark.sources.discovery import monthly_links
 # pure-python properties (no Spark session — fast)
 
 
-@given(st.floats(min_value=0, max_value=1e12, allow_nan=False, allow_infinity=False))
+@given(st.floats(min_value=0, max_value=1e9, allow_nan=False, allow_infinity=False))
 def test_round_half_up_formula_properties(x):
-    # the floor-based formula the engine uses on BOTH engines
+    # the floor-based formula the engine uses on BOTH engines; domain
+    # bounded to the documented money range (numeric.py: |x*100| must
+    # stay well under 2^53 — float spacing breaks the bound near 1e12,
+    # which hypothesis duly found)
     r = math.floor(x * 100 + 0.5) / 100
-    assert abs(r - x) <= 0.005 + 1e-9
+    assert abs(r - x) <= 0.005 + 1e-6
     assert r >= 0
 
 
