@@ -36,7 +36,8 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = scd2_merge(dim, batch2, "user_id", "ts", ATTRS, HASH_COLS, tiebreakers=["event_id"])
     final = with_surrogate_keys(merged, ["user_id", "valid_from"])
     return final.select(
-        "surrogate_key",
+        # bigint: DuckDB row_number() is BIGINT, Spark's is INT — align
+        F.col("surrogate_key").cast("long").alias("surrogate_key"),
         "user_id",
         "event_type",
         "props",

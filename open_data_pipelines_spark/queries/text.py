@@ -117,9 +117,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        token_count_ws("text").alias("ws_tokens"),
-        token_count_bpe("text").alias("bpe_tokens"),
-        F.length("text").alias("char_len"),
+        # bigint: DuckDB len()/length() are BIGINT, Spark size/length INT
+        token_count_ws("text").cast("long").alias("ws_tokens"),
+        token_count_bpe("text").cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("char_len"),
     )
 
 
@@ -170,8 +171,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        F.length("text").alias("char_len"),
-        token_count_ws("text").alias("ws_tokens"),
+        F.length("text").cast("long").alias("char_len"),
+        token_count_ws("text").cast("long").alias("ws_tokens"),
         punct_ratio("text").alias("punct_ratio"),
         quality_score("text").alias("quality"),
     )
@@ -326,7 +327,7 @@ hashed AS (
 ),
 sigs AS (
   SELECT doc_id,
-       {_SIM_TERMS} AS simhash
+       CAST({_SIM_TERMS} AS BIGINT) AS simhash
   FROM hashed
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash

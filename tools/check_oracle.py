@@ -85,6 +85,13 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {ex}")
             continue
+        raw_dtype_mismatch = {
+            c: (str(sdf[c].dtype), str(odf[c].dtype))
+            for c in sorted(set(sdf.columns) & set(odf.columns))
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+        }
+        if raw_dtype_mismatch:
+            print(f"DTYPE {name}: {raw_dtype_mismatch}")
         s, o = canon(sdf), canon(odf)
         problems = []
         if len(s) != len(o):
