@@ -137,7 +137,46 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct(events, ["event_type"], "user_id")
 
 
+# --- A7 column_profile: per-column ELT profiling ----------------------------
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling battery (A7: the reference computes active/inactive
+    nunique counts for metadata, ``geoplace_swa.py:141-148``) — one
+    pass, one row per profiled column: rows/nulls/distinct/min/max."""
+    orders = load_tables(spark, sf_dir, register_views=False)["orders"]
+
+    def profile(col: str) -> DataFrame:
+        c = F.col(col)
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(c.isNull().cast("long")).alias("null_count"),
+            F.countDistinct(c).alias("distinct_count"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        )
+
+    return profile("o_orderstatus").unionByName(profile("o_orderpriority"))
+
+
+ORACLE_COLUMN_PROFILE = """
+SELECT 'o_orderstatus' AS column_name, count(*) AS row_count,
+       CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT) AS null_count,
+       count(DISTINCT o_orderstatus) AS distinct_count,
+       CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+       CAST(max(o_orderstatus) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       CAST(SUM(CAST(o_orderpriority IS NULL AS BIGINT)) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR),
+       CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+
 QUERIES = {
+    "column_profile": (q_column_profile, ORACLE_COLUMN_PROFILE),
     "correlated_max": (q_correlated_max, ORACLE_CORRELATED_MAX),
     "session_agg": (q_session_agg, ORACLE_SESSION_AGG),
     "rolling_avg": (q_rolling_avg, ORACLE_ROLLING_AVG),
