@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions.hashing import record_hash, stable_long_hash
+from ..functions.hashing import stable_long_hash
 
 # BPE-ish word/number/punct splitter (public GPT-2-style pattern family,
 # simplified to the engine-portable subset)

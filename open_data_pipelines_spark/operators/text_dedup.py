@@ -30,7 +30,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.hashing import fast_long_hash, stable_long_hash
 from .text_analysis import doc_fingerprint, whitespace_tokens
 
 

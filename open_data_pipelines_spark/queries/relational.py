@@ -12,7 +12,7 @@ Determinism rules used throughout (see operators/aggregates.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import (

@@ -112,9 +112,14 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
             continue
         df = spark.read.parquet(path)
         for col in _NANOS_TS_COLUMNS.get(name, ()):
+            # only when the file actually stores NANOS (read as long —
+            # re-written copies of the table have real timestamps):
             # integer div (not float: ns epoch exceeds double's 53-bit
             # mantissa) -> micros, the same truncation DuckDB applies.
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            from pyspark.sql import types as T
+
+            if isinstance(df.schema[col].dataType, T.LongType):
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df
