@@ -8,7 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import approx_distinct, salted_sum
+from ..operators.aggregates import approx_distinct, decimal_sum, salted_sum
+from ..operators.asof import asof_join
 from ..session import load_tables
 
 
@@ -175,7 +176,60 @@ FROM orders
 """
 
 
+# --- asof_join: latest-state-at-time enrichment ------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe = odd events, state = even events; each probe picks up the
+    most recent state event_type at-or-before its timestamp per user.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    events = _events(spark, sf_dir)
+    probe = events.filter(F.col("event_id") % 2 == 1)
+    state = events.filter(F.col("event_id") % 2 == 0)
+    out = asof_join(probe, state, "user_id", "ts", ["event_type"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "event_type_asof",
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.event_type,
+       r.event_type AS event_type_asof
+FROM (SELECT * FROM events WHERE event_id % 2 = 1) l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 0) r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# --- time_rollup: multi-granularity (hypertable-style) aggregate -------------
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (day, hour): per-hour rows + per-day subtotals +
+    grand total in one pass (partial aggregation reuses the same
+    shuffle — the idiomatic continuous-aggregate shape)."""
+    events = _events(spark, sf_dir)
+    d = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    h = F.hour("ts").alias("hour")
+    return events.rollup(d, h).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum("value", 2, "sum_value"),
+    )
+
+
+ORACLE_TIME_ROLLUP = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(date_part('hour', ts) AS INT) AS hour,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (day, hour)
+"""
+
+
 QUERIES = {
+    "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+    "time_rollup": (q_time_rollup, ORACLE_TIME_ROLLUP),
     "column_profile": (q_column_profile, ORACLE_COLUMN_PROFILE),
     "correlated_max": (q_correlated_max, ORACLE_CORRELATED_MAX),
     "session_agg": (q_session_agg, ORACLE_SESSION_AGG),

@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from open_data_pipelines_spark.operators.asof import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_semantics(spark):
+    probe = spark.createDataFrame(
+        [(1, _ts(5), "p1"), (1, _ts(10), "p2"), (1, _ts(2), "p0"), (2, _ts(5), "q1")],
+        ["k", "ts", "name"],
+    )
+    state = spark.createDataFrame(
+        [(1, _ts(3), "A"), (1, _ts(5), "B"), (1, _ts(8), "C")],
+        ["k", "ts", "st"],
+    )
+    out = {r["name"]: r["st_asof"] for r in asof_join(probe, state, "k", "ts", ["st"]).collect()}
+    assert out["p0"] is None  # before any state
+    assert out["p1"] == "B"  # state at exactly t IS visible (ties: state first)
+    assert out["p2"] == "C"  # latest earlier state
+    assert out["q1"] is None  # key with no state rows
+
+
+def test_asof_join_keeps_left_columns(spark):
+    probe = spark.createDataFrame([(1, _ts(9), 42.0)], ["k", "ts", "metric"])
+    state = spark.createDataFrame([(1, _ts(1), "X")], ["k", "ts", "st"])
+    row = asof_join(probe, state, "k", "ts", ["st"]).collect()[0]
+    assert row["metric"] == 42.0 and row["st_asof"] == "X"
+    assert set(asof_join(probe, state, "k", "ts", ["st"]).columns) == {"k", "ts", "metric", "st_asof"}
