@@ -57,9 +57,10 @@ class Model:
     name: str
     fn: Callable[[SparkSession], DataFrame]
     deps: Sequence[str] = ()
-    materialize: str = "view"  # 'view' | 'table' | 'ephemeral'
+    materialize: str = "view"  # 'view' | 'table' | 'incremental'
     tests: Sequence[Callable[[DataFrame], None]] = ()
     keep: bool = True  # False -> dropped in cleanup (dbt post_hook)
+    unique_key: str | None = None  # incremental: replaces matching rows
 
 
 @dataclass
@@ -73,11 +74,12 @@ class Dag:
         materialize: str = "view",
         tests: Sequence[Callable[[DataFrame], None]] = (),
         keep: bool = True,
+        unique_key: str | None = None,
     ):
         """Decorator: ``@dag.model("m1", deps=["m0"])``."""
 
         def wrap(fn: Callable[[SparkSession], DataFrame]):
-            self.models[name] = Model(name, fn, deps, materialize, tests, keep)
+            self.models[name] = Model(name, fn, deps, materialize, tests, keep, unique_key)
             return fn
 
         return wrap
@@ -96,6 +98,32 @@ class Dag:
             df = m.fn(spark)
             if m.materialize == "table":
                 df.write.mode("overwrite").saveAsTable(name)
+                df = spark.table(name)
+            elif m.materialize == "incremental":
+                # dbt incremental semantics: first run = full build;
+                # later runs merge the new batch into the existing table
+                # (delete-on-unique-key + insert, as a join-rewrite —
+                # no Delta dependency).
+                if spark.catalog.tableExists(name):
+                    existing = spark.table(name)
+                    if m.unique_key:
+                        keys = df.select(m.unique_key).distinct()
+                        existing = existing.join(
+                            keys,
+                            existing[m.unique_key] == keys[m.unique_key],
+                            "left_anti",
+                        )
+                    merged = existing.unionByName(df)
+                    # localCheckpoint truncates lineage so the plan no
+                    # longer references the table we're about to
+                    # overwrite (cache() is not enough — the analyzer
+                    # still sees the self-read)
+                    merged = merged.localCheckpoint(eager=True)
+                    merged.write.mode("overwrite").option(
+                        "overwriteSchema", "true"
+                    ).saveAsTable(name)
+                else:
+                    df.write.mode("overwrite").saveAsTable(name)
                 df = spark.table(name)
             elif m.materialize == "view":
                 df.createOrReplaceTempView(name)

@@ -227,7 +227,59 @@ GROUP BY ROLLUP (day, hour)
 """
 
 
+# --- pivot_agg: wide conditional aggregation (pivot) -------------------------
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns. Catalyst compiles pivot to the
+    same conditional-aggregation the oracle spells out — one shuffle."""
+    lineitem = load_tables(spark, sf_dir, register_views=False)["lineitem"]
+    out = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+ORACLE_PIVOT_AGG = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- lag_delta: LAG/LEAD consecutive-event deltas ----------------------------
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+ORACLE_LAG_DELTA = """
+SELECT event_id, user_id,
+       value - lag(value) OVER w AS value_delta,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+       lead(event_type) OVER w AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
+    "pivot_agg": (q_pivot_agg, ORACLE_PIVOT_AGG),
+    "lag_delta": (q_lag_delta, ORACLE_LAG_DELTA),
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "time_rollup": (q_time_rollup, ORACLE_TIME_ROLLUP),
     "column_profile": (q_column_profile, ORACLE_COLUMN_PROFILE),
