@@ -37,14 +37,24 @@ def asof_join(
     value_cols: Sequence[str],
     suffix: str = "_asof",
 ) -> DataFrame:
-    """Columns of ``left`` + ``{v}{suffix}`` for each right value col."""
-    lt = left.withColumn("__tag", F.lit(1))
-    for v in value_cols:
-        lt = lt.withColumn(f"__r_{v}", F.lit(None).cast(right.schema[v].dataType))
+    """Columns of ``left`` + ``{v}{suffix}`` for each right value col.
+
+    The right row's value columns are carried as ONE struct, so (a) a
+    right row whose value is legitimately NULL still *matches* (the
+    struct is non-null — DuckDB ASOF semantics), and (b) multiple
+    value columns always come from the same right row, never a chimera
+    of different rows.
+    """
+    struct_type = "struct<" + ",".join(
+        f"{v}:{right.schema[v].dataType.simpleString()}" for v in value_cols
+    ) + ">"
+    lt = left.withColumn("__tag", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(struct_type)
+    )
     rt = right.select(
         key,
         ts,
-        *[F.col(v).alias(f"__r_{v}") for v in value_cols],
+        F.struct(*[F.col(v) for v in value_cols]).alias("__r"),
     ).withColumn("__tag", F.lit(0))
     for c in left.columns:
         if c not in (key, ts):
@@ -56,10 +66,8 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    unioned = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = unioned.filter(F.col("__tag") == 1)
     for v in value_cols:
-        unioned = unioned.withColumn(
-            f"{v}{suffix}", F.last(f"__r_{v}", ignorenulls=True).over(w)
-        )
-    return unioned.filter(F.col("__tag") == 1).drop(
-        "__tag", *[f"__r_{v}" for v in value_cols]
-    )
+        out = out.withColumn(f"{v}{suffix}", F.col(f"__match.{v}"))
+    return out.drop("__tag", "__r", "__match")

@@ -93,7 +93,13 @@ def salted_join(
     explicit salting is for pathological keys known up front (the
     reference's uprn->usrn fan-out, FIXTURES.md F3). Result is
     identical to the plain join — only the shuffle changes.
+
+    Only inner/left joins: the ``other`` side is replicated per salt,
+    so right/full-outer would emit unmatched ``other`` rows salt_mod
+    times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     s = skewed.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_mod)))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)))
     o = other.withColumn("__salt", salts)

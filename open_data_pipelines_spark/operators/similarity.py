@@ -147,28 +147,28 @@ def cosine_pandas_udf():
     return F.pandas_udf(_cos, T.DoubleType())
 
 
-def rp_lsh_bucket(vec: Column, planes: int = 8, dims: int = 64, seed: int = 42) -> Column:
+def rp_lsh_bucket(vec: Column, planes: int = 8, seed: int = 42) -> Column:
     """Signed-random-projection LSH bucket id (0..2^planes-1).
 
     Hyperplane components are deterministic pseudo-randoms derived from
-    xxhash64(plane, dim, seed) — reproducible across runs and cluster
-    sizes with no stored model. Vectors whose cosine is high agree on
+    xxhash64(plane, dim_index, seed) via an index-aware transform —
+    reproducible across runs/cluster sizes with no stored model, and
+    dimension-agnostic (no dims parameter to get wrong: a mismatched
+    static plane array would null-poison the projection and collapse
+    every vector into bucket 0). Vectors whose cosine is high agree on
     most sign bits, so bucket equality is a cheap candidate filter:
     group/join on the bucket, verify with :func:`cosine_quantized`.
     """
     acc = F.lit(0).cast("long")
+    v = as_double_array(vec)
     for p in range(planes):
-        comps = F.array(
-            *[
-                (
-                    (F.xxhash64(F.lit(p), F.lit(d), F.lit(seed)) % F.lit(2001)).cast("double")
-                    / F.lit(1000.0)
-                )
-                for d in range(dims)
-            ]
-        )
         proj = F.aggregate(
-            F.zip_with(as_double_array(vec), comps, lambda x, c: x * c),
+            F.transform(
+                v,
+                lambda x, i: x
+                * (F.xxhash64(F.lit(p), i, F.lit(seed)) % F.lit(2001)).cast("double")
+                / F.lit(1000.0),
+            ),
             F.lit(0.0),
             lambda a, x: a + x,
         )

@@ -26,7 +26,7 @@ production runs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -117,56 +117,53 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> list[Column]:
     return out
 
 
-def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def dedup_exact_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id representative per identical (normalized)
-    text.
+    text: fingerprint projection + :func:`~.dedup.top1_per_key` — one
+    hash shuffle, one per-group sort, one fingerprint pass."""
+    from .dedup import top1_per_key
 
-    One projection computes the fingerprint, one hash shuffle on it,
-    one per-group sort by id — strictly cheaper than the
-    groupBy-min + join-back formulation (which scans and fingerprints
-    the corpus twice).
-    """
     keyed = df.withColumn("__fp", doc_fingerprint(text_col))
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return top1_per_key(keyed, ["__fp"], [F.col(id_col).asc()]).drop("__fp")
+
+
+def shingle_corpus(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles) corpus, persisted — the shared input of candidate
+    generation and Jaccard verification. Caller (or session teardown /
+    ``spark.catalog.clearCache``) owns the cache lifecycle."""
     return (
-        keyed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        scale_out(df, id_col)
+        .select(F.col(id_col), word_shingles(text_col, n).alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str,
+def candidates_from_shingled(
+    shingled: DataFrame,
     id_col: str,
-    n: int = 3,
     k: int = 8,
     bands: int = 4,
     fast: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+    """LSH candidate pairs (id_a < id_b) sharing >= 1 band.
 
-    The signature projection is materialized (persisted) before the
-    self-join: otherwise Spark re-evaluates the k md5 minhash scans
-    once per join side. Shingling is repartitioned to full parallelism
-    first (see :func:`scale_out`).
+    Docs with NO shingles are excluded before banding: their all-NULL
+    signatures would otherwise share one md5('') band bucket and pair
+    every short doc with every other (quadratic blowup on corpora with
+    many sub-n-token rows). The signature projection is persisted so
+    the k minhash scans aren't re-evaluated per join side.
     """
     rows = k // bands
     sig = (
-        scale_out(df, id_col)
-        .select(
-            F.col(id_col),
-            # stage the expensive pieces as real columns so each is
-            # evaluated once: shingles -> base hashes -> k cheap
-            # affine minima
-            word_shingles(text_col, n).alias("__sh"),
-        )
+        shingled.filter(F.size("__sh") > 0)
+        # stage expensive pieces as real columns so each is evaluated
+        # once: shingles -> base hashes -> k cheap affine minima
         .select(F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh"))
         .select(F.col(id_col), minhash_signature_from_base(F.col("__bh"), k).alias("__sig"))
     )
     banded = sig.select(
         id_col,
-        F.posexplode(F.array(*[c for c in lsh_bands(F.col("__sig"), bands, rows)])).alias(
+        F.posexplode(F.array(*lsh_bands(F.col("__sig"), bands, rows))).alias(
             "band_id", "band_hash"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -176,27 +173,18 @@ def minhash_lsh_candidates(
     return pairs.select("id_a", "id_b").distinct()
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    pairs: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
+def jaccard_from_shingled(
+    shingled: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
-    """Exact n-gram Jaccard for the given (id_a, id_b) pairs.
+    """Exact shingle-set Jaccard for the given (id_a, id_b) pairs.
 
     Distinct-shingle explode + equi-join — intersection counting is a
-    hash join on shingle strings, never an all-pairs scan. The exploded
-    shingle table is persisted: it feeds three branches (sizes + both
-    join sides).
+    hash join on shingle strings, never an all-pairs scan. Pairs whose
+    side has zero shingles drop out via the inner size join.
     """
-    sh = (
-        scale_out(df, id_col)
-        .select(
-            F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__s")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sh = shingled.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "__s")
@@ -225,6 +213,30 @@ def jaccard_pairs(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    fast: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs from raw text (shingles + banding)."""
+    return candidates_from_shingled(shingle_corpus(df, text_col, id_col, n), id_col, k, bands, fast)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for the given pairs, from raw text."""
+    return jaccard_from_shingled(shingle_corpus(df, text_col, id_col, n), pairs, id_col)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,
@@ -236,64 +248,12 @@ def minhash_lsh_dedup(
     fast: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard ->
-    threshold. The shingled corpus is computed ONCE and persisted —
-    shared by the signature path and the Jaccard verifier (three
-    consumers; without sharing the corpus is re-shingled per branch).
-    """
-    rows = k // bands
-    shingled = (
-        scale_out(df, id_col)
-        .select(F.col(id_col), word_shingles(text_col, n).alias("__sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    sig = shingled.select(
-        F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh")
-    ).select(F.col(id_col), minhash_signature_from_base(F.col("__bh"), k).alias("__sig"))
-    banded = sig.select(
-        id_col,
-        F.posexplode(F.array(*lsh_bands(F.col("__sig"), bands, rows))).alias(
-            "band_id", "band_hash"
-        ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
-    sh = shingled.select(
-        F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    ea = sh.select(F.col(id_col).alias("id_a"), "__s")
-    eb = sh.select(F.col(id_col).alias("id_b"), "__s")
-    inter = (
-        pairs.join(ea, "id_a")
-        .join(eb, ["id_b", "__s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
-    out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.coalesce("__inter", F.lit(0)).alias("intersection_size"),
-            (
-                F.coalesce("__inter", F.lit(0)).cast("double")
-                / (F.col("__na") + F.col("__nb") - F.coalesce("__inter", F.lit(0))).cast("double")
-            ).alias("jaccard"),
-        )
-    )
-    return out.filter(F.col("jaccard") >= F.lit(threshold))
+    threshold. The shingled corpus is computed ONCE (persisted) and
+    shared by both stages."""
+    shingled = shingle_corpus(df, text_col, id_col, n)
+    pairs = candidates_from_shingled(shingled, id_col, k, bands, fast)
+    verified = jaccard_from_shingled(shingled, pairs, id_col)
+    return verified.filter(F.col("jaccard") >= F.lit(threshold))
 
 
 def simhash(col: Column | str, bits: int = 16, fast: bool = False) -> Column:

@@ -63,7 +63,7 @@ def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window (Spark sessions are half-open [start, last+gap))
 ORACLE_SESSION_AGG = f"""
 WITH o AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL {_GAP_MIN} MINUTE
               THEN 1 ELSE 0 END AS new_session
@@ -72,7 +72,7 @@ WITH o AS (
 ),
 g AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM o
 )

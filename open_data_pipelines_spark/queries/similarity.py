@@ -92,7 +92,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.col("embedding").alias("vec"),
-        rp_lsh_bucket(F.col("embedding"), planes=6, dims=64).alias("bucket"),
+        rp_lsh_bucket(F.col("embedding"), planes=6).alias("bucket"),
     )
     a = v.select(
         F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("bucket")

@@ -27,7 +27,7 @@ from ..operators.text_analysis import (
     token_count_ws,
 )
 from ..operators.text_dedup import (
-    dedup_exact,
+    dedup_exact_text,
     jaccard_pairs,
     minhash_lsh_dedup,
     simhash,
@@ -99,7 +99,9 @@ def _affine_params(perm: int) -> tuple[int, int]:
 # --- dedup_exact --------------------------------------------------------------
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_exact_dups(_docs(spark, sf_dir))
-    return dedup_exact(corpus, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")
+    return dedup_exact_text(corpus, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 ORACLE_DEDUP_EXACT = f"""

@@ -58,14 +58,24 @@ def extract_zip(
     dest = Path(landing_dir)
     dest.mkdir(parents=True, exist_ok=True)
     out_paths: list[str] = []
+    seen: set[str] = set()
     with zipfile.ZipFile(zip_path) as zf:
         for info in zf.infolist():
             if info.is_dir() or not fnmatch.fnmatch(info.filename, member_glob):
                 continue
-            target = dest / (Path(info.filename).name if flatten else info.filename)
+            if flatten:
+                name = Path(info.filename).name
+                if str(dest / name) in seen:
+                    # basename collision across ZIP dirs: disambiguate
+                    # instead of silently overwriting the first member
+                    name = info.filename.replace("/", "_")
+                target = dest / name
+            else:
+                target = dest / info.filename
             target.parent.mkdir(parents=True, exist_ok=True)
             with zf.open(info) as src, open(target, "wb") as dst:
                 shutil.copyfileobj(src, dst, CHUNK)
+            seen.add(str(target))
             out_paths.append(str(target))
     return sorted(out_paths)
 

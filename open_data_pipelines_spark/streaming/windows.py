@@ -98,7 +98,14 @@ def stream_to_month_partitions(
     """foreachBatch sink: derive (year, month) from event time and
     append each micro-batch into the SAME partitioned warehouse table
     the batch pipelines write — streaming and batch ingest converge on
-    one layout (checkpointed => exactly-once per micro-batch)."""
+    one layout.
+
+    Delivery is AT-LEAST-ONCE: a failure between the parquet append
+    and the checkpoint commit re-runs the batch and re-appends its
+    rows. For exactly-once either dedup upstream
+    (:func:`dedup_within_watermark` on a natural key) or write to a
+    transactional sink (Delta with txnAppId/txnVersion).
+    """
     from pyspark.sql import functions as F
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -25,6 +25,19 @@ def test_asof_join_semantics(spark):
     assert out["q1"] is None  # key with no state rows
 
 
+def test_asof_null_state_value_matches_not_skips(spark):
+    # a right row whose VALUE is NULL still matches (DuckDB ASOF
+    # semantics) — the carry must not skip it and resurrect older state
+    probe = spark.createDataFrame([(1, _ts(9), "p")], ["k", "ts", "name"])
+    state = spark.createDataFrame(
+        [(1, _ts(1), "old", "x1"), (1, _ts(5), None, "x2")],
+        ["k", "ts", "st", "aux"],
+    )
+    row = asof_join(probe, state, "k", "ts", ["st", "aux"]).collect()[0]
+    assert row["st_asof"] is None  # NOT 'old'
+    assert row["aux_asof"] == "x2"  # both values from the SAME right row
+
+
 def test_asof_join_keeps_left_columns(spark):
     probe = spark.createDataFrame([(1, _ts(9), 42.0)], ["k", "ts", "metric"])
     state = spark.createDataFrame([(1, _ts(1), "X")], ["k", "ts", "st"])

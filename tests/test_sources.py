@@ -54,6 +54,17 @@ def test_extract_zip_glob_and_stream(tmp_path, landing):
     assert Path(got[0]).read_text() == "a,b\n1,2\n"
 
 
+def test_extract_zip_flatten_collision_disambiguates(tmp_path, landing):
+    z = _make_zip(
+        tmp_path / "coll.zip",
+        {"2024/data.csv": "a\n1\n", "2025/data.csv": "a\n2\n"},
+    )
+    got = extract_zip(z, landing, member_glob="*.csv")
+    assert len(got) == len(set(got)) == 2  # no silent overwrite
+    contents = sorted(Path(p).read_text() for p in got)
+    assert contents == ["a\n1\n", "a\n2\n"]
+
+
 def test_fetch_and_extract_file_url(tmp_path, landing):
     z = _make_zip(tmp_path / "dl.zip", {"events.json": "{}"})
     got = fetch_and_extract(f"file://{z}", landing, "*.json")
