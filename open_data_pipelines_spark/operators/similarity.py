@@ -74,18 +74,23 @@ def brute_force_topk(
     """Exact top-k per query vector (quantized cosine).
 
     ``queries`` is broadcast (small); rank window partitions by query
-    id so the sort is per-query, never global.
+    id so the sort is per-query, never global. Norms are hoisted out of
+    the pair loop (computed once per vector, not once per pair) —
+    identical arithmetic, 3x less per-pair work.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col, quant_scale).alias("__cv")
-    )
+    ).withColumn("__cn", F.sqrt(dot_int(F.col("__cv"), F.col("__cv")).cast("double")))
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col, quant_scale).alias("__qv")
-    )
+    ).withColumn("__qn", F.sqrt(dot_int(F.col("__qv"), F.col("__qv")).cast("double")))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine_quantized(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        (
+            dot_int(F.col("__qv"), F.col("__cv")).cast("double")
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -109,14 +114,19 @@ def near_dup_pairs(
     All-pairs is the exact baseline (O(n^2) — fine for verification
     scale); production path is :func:`rp_lsh_bucket` + per-bucket pairs.
     """
-    v = corpus.select(F.col(id_col), quantize(vec_col, quant_scale).alias("__v"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    v = corpus.select(
+        F.col(id_col), quantize(vec_col, quant_scale).alias("__v")
+    ).withColumn("__n", F.sqrt(dot_int(F.col("__v"), F.col("__v")).cast("double")))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
-        cosine_quantized(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
+        (
+            dot_int(F.col("__va"), F.col("__vb")).cast("double")
+            / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") >= F.lit(threshold))
 
 
