@@ -1,0 +1,180 @@
+"""Wellbeing-impact pipeline — the reference's second analytics DAG
+(``dbt .../models/wellbeing_overview/*``), end to end on the harness
+star schema:
+
+  stg_emergency_works    emergency-category permits, deduped, with
+                         planar work coordinates and a duration in
+                         days (``stg_emergency_works_by_authority.sql``:
+                         DISTINCT ON dedup :10,58-59, ST_Centroid
+                         coords :24-38, duration math :40-48)
+  int_postcodes          postcode points + household counts
+                         (``int_postcodes.sql:44-50``)
+  int_works_postcodes    ±radius bbox prefilter AND exact containment
+                         (``int_emergency_works_postcodes_by_authority
+                         .sql:32-38``)
+  wellbeing              ROUND(2.10 * duration_days * SUM(households), 2)
+                         per work, rolled up per authority
+                         (``emergency_wellbeing.sql:18-26,44``)
+
+Analog mapping: orders = permits (1-URGENT/2-HIGH = the emergency
+categories), latest lineitem shipdate = actual end (duration),
+customers = postcodes with synthesized planar coords and household
+counts, nation = highway authority. The £2.10/household/day constant
+and 500m->25u buffer radius mirror the reference's parameters.
+
+Everything is exact-by-construction for the oracle: integer coords,
+integer day differences, decimal-routed sums, floor-based rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+from ..operators.aggregates import decimal_sum
+from ..operators.dedup import top1_per_key
+from ..operators.joins import range_join_within_gridded
+from ..session import load_tables
+
+POUNDS_PER_HOUSEHOLD_DAY = 2.10  # emergency_wellbeing.sql:23-26
+RADIUS = 25.0  # 500 m analog on the synthesized grid
+
+
+def stg_emergency_works(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Emergency permits, one row each, with coords + duration days."""
+    latest_line = top1_per_key(
+        lineitem.select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity"),
+        ["l_orderkey"],
+        [
+            F.col("l_shipdate").desc(),
+            F.col("l_linenumber").desc(),
+            F.col("l_quantity").desc(),
+        ],
+    ).select("l_orderkey", F.col("l_shipdate").alias("end_ts"))
+
+    emergency = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderdate").isNotNull()
+    )
+    out = emergency.join(latest_line, emergency["o_orderkey"] == latest_line["l_orderkey"], "inner")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        ((F.col("o_orderkey") * 37) % 500).alias("wx"),
+        ((F.col("o_orderkey") * 91) % 500).alias("wy"),
+        F.greatest(F.datediff(F.col("end_ts"), F.col("o_orderdate")), F.lit(1)).alias(
+            "duration_days"
+        ),
+    )
+
+
+def int_postcodes(customer: DataFrame) -> DataFrame:
+    """Postcode points with household counts (COALESCE-to-0 path is
+    exercised by the modulo: some 'postcodes' carry 0 households)."""
+    return customer.select(
+        F.col("c_custkey").alias("postcode_id"),
+        F.col("c_nationkey"),
+        ((F.col("c_custkey") * 53) % 500).alias("px"),
+        ((F.col("c_custkey") * 17) % 500).alias("py"),
+        (F.col("c_custkey") % 7).alias("households"),
+    )
+
+
+def wellbeing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    works = stg_emergency_works(t["orders"], t["lineitem"])
+    postcodes = int_postcodes(t["customer"])
+
+    # J6: bbox prefilter + exact distance, grid-partitioned (scale path)
+    pairs = range_join_within_gridded(works, postcodes, "wx", "wy", "px", "py", RADIUS)
+
+    per_work = pairs.groupBy("o_orderkey", "duration_days").agg(
+        F.count(F.lit(1)).alias("n_postcodes"),
+        F.sum("households").alias("total_households"),
+    )
+    per_work = per_work.withColumn(
+        "wellbeing_cost",
+        round_half_up(
+            F.lit(POUNDS_PER_HOUSEHOLD_DAY)
+            * F.col("duration_days").cast("double")
+            * F.col("total_households").cast("double"),
+            2,
+        ),
+    )
+
+    # roll up per authority (nation of the permit's customer)
+    enriched = per_work.join(
+        t["orders"].select("o_orderkey", "o_custkey"), "o_orderkey"
+    ).join(
+        F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    ).join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+
+    return enriched.groupBy(F.coalesce("n_name", F.lit("UNKNOWN")).alias("authority")).agg(
+        F.count(F.lit(1)).alias("n_works"),
+        F.sum("total_households").alias("total_households"),
+        decimal_sum("wellbeing_cost", 2, "wellbeing_total_impact"),
+    )
+
+
+WELLBEING_ORACLE_SQL = f"""
+WITH latest_line AS (
+  SELECT l_orderkey, l_shipdate AS end_ts FROM (
+    SELECT l_orderkey, l_shipdate, row_number() OVER (
+      PARTITION BY l_orderkey
+      ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC) AS rn
+    FROM lineitem) WHERE rn = 1
+),
+works AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         (o.o_orderkey * 37) % 500 AS wx,
+         (o.o_orderkey * 91) % 500 AS wy,
+         greatest(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(ll.end_ts AS DATE)), 1) AS duration_days
+  FROM orders o JOIN latest_line ll ON o.o_orderkey = ll.l_orderkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH') AND o.o_orderdate IS NOT NULL
+),
+postcodes AS (
+  SELECT c_custkey AS postcode_id, c_nationkey,
+         (c_custkey * 53) % 500 AS px,
+         (c_custkey * 17) % 500 AS py,
+         c_custkey % 7 AS households
+  FROM customer
+),
+pairs AS (
+  SELECT w.o_orderkey, w.duration_days, p.households
+  FROM works w JOIN postcodes p
+    ON w.wx >= p.px - {RADIUS} AND w.wx <= p.px + {RADIUS}
+   AND w.wy >= p.py - {RADIUS} AND w.wy <= p.py + {RADIUS}
+   AND (w.wx - p.px) * (w.wx - p.px) + (w.wy - p.py) * (w.wy - p.py)
+         <= {RADIUS * RADIUS}
+),
+per_work AS (
+  SELECT o_orderkey, duration_days,
+         count(*) AS n_postcodes,
+         CAST(SUM(households) AS BIGINT) AS total_households
+  FROM pairs GROUP BY o_orderkey, duration_days
+),
+costed AS (
+  SELECT *,
+         CAST(floor(({POUNDS_PER_HOUSEHOLD_DAY} * CAST(duration_days AS DOUBLE)
+                     * CAST(total_households AS DOUBLE)) * 100.0 + 0.5) / 100.0
+              AS DOUBLE) AS wellbeing_cost
+  FROM per_work
+),
+enriched AS (
+  SELECT c2.*, o.o_custkey, c.c_nationkey, n.n_name
+  FROM costed c2
+  JOIN orders o ON c2.o_orderkey = o.o_orderkey
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT COALESCE(n_name, 'UNKNOWN') AS authority,
+       count(*) AS n_works,
+       CAST(SUM(total_households) AS BIGINT) AS total_households,
+       CAST(SUM(CAST(wellbeing_cost AS DECIMAL(18,2))) AS DOUBLE)
+         AS wellbeing_total_impact
+FROM enriched GROUP BY COALESCE(n_name, 'UNKNOWN')
+"""

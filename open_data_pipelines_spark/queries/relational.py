@@ -26,6 +26,7 @@ from ..operators.aggregates import (
 from ..operators.dedup import top1_per_key
 from ..operators.joins import anti_join, cast_key_join, overlap_count
 from ..plans.impact import IMPACT_ORACLE_SQL, impact_scores
+from ..plans.wellbeing import WELLBEING_ORACLE_SQL, wellbeing_impact
 from ..session import load_tables
 
 
@@ -383,4 +384,5 @@ QUERIES = {
     "pct_rank_grouped": (q_pct_rank_grouped, ORACLE_PCT_RANK_GROUPED),
     "wellbeing_formula": (q_wellbeing_formula, ORACLE_WELLBEING),
     "impact_score": (impact_scores, IMPACT_ORACLE_SQL),
+    "wellbeing_pipeline": (wellbeing_impact, WELLBEING_ORACLE_SQL),
 }
