@@ -37,8 +37,6 @@ from pyspark.sql import functions as F
 
 from ..functions.scoring import bucket_label, category_score, flag_bonus, tier_score
 from ..operators.aggregates import decimal_sum, minmax_normalize
-from ..operators.dedup import top1_per_key
-from ..operators.joins import anti_join
 from ..session import load_tables
 
 PRIORITY_SCORES = {
@@ -63,37 +61,39 @@ def impact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["nation"],
     )
 
-    # W1: latest line per order — total order (shipdate desc, linenumber desc)
-    # NB: (l_shipdate, l_linenumber) is NOT unique in the harness data —
-    # extend the sort until it covers every carried column, otherwise
-    # ties break engine-dependently (SURVEY.md §7 watch list).
-    latest_line = top1_per_key(
-        lineitem.select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_linenumber"),
-        ["l_orderkey"],
-        [
-            F.col("l_shipdate").desc(),
-            F.col("l_linenumber").desc(),
-            F.col("l_quantity").desc(),
-            F.col("l_returnflag").desc(),
-        ],
-    ).select("l_orderkey", "l_quantity", "l_returnflag")
-
-    # J1/A1: density — lines per order
-    line_counts = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("line_count"))
-
-    # J4: in-progress orders minus those with a returned ('R') line
-    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
-    in_progress = anti_join(
-        orders.filter(F.col("o_orderstatus") == "O"),
-        returned,
-        orders["o_orderkey"] == returned["l_orderkey"],
-    ).withColumn("list_type", F.lit("in_progress"))
-    completed = orders.filter(F.col("o_orderstatus") == "F").withColumn(
-        "list_type", F.lit("completed")
+    # ONE lineitem aggregation replaces three separate passes
+    # (W1 window-dedup + J4's DISTINCT + J1's count), all sharing the
+    # l_orderkey shuffle key:
+    # - latest line (W1) as a lexicographic struct-max — identical to
+    #   row_number over (shipdate DESC, linenumber DESC, quantity DESC,
+    #   returnflag DESC): the sort keys cover every carried column
+    #   because (l_shipdate, l_linenumber) alone is NOT unique in the
+    #   harness data (SURVEY.md §7 watch list);
+    # - has_returned flag (J4's exclusion set);
+    # - line count (J1 density).
+    line_stats = lineitem.groupBy("l_orderkey").agg(
+        F.max(
+            F.struct("l_shipdate", "l_linenumber", "l_quantity", "l_returnflag")
+        ).alias("__latest"),
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("__has_returned"),
+        F.count(F.lit(1)).alias("line_count"),
     )
 
-    # U1: union by name
-    permits = in_progress.unionByName(completed)
+    # J2 + J4 + U1 in one pass: left-join the stats once, then a CASE
+    # list_type filter (semantically the anti-join + union of the
+    # reference's two list models, without re-scanning orders).
+    joined = orders.join(line_stats, orders["o_orderkey"] == line_stats["l_orderkey"], "left")
+    permits = joined.withColumn(
+        "list_type",
+        F.when(
+            (F.col("o_orderstatus") == "O")
+            & (F.coalesce(F.col("__has_returned"), F.lit(0)) == 0),
+            F.lit("in_progress"),
+        ).when(F.col("o_orderstatus") == "F", F.lit("completed")),
+    ).filter(F.col("list_type").isNotNull())
+    permits = permits.withColumn("l_quantity", F.col("__latest.l_quantity")).withColumn(
+        "l_returnflag", F.col("__latest.l_returnflag")
+    )
 
     # J3 (CAST-key) + J2 enrichment, broadcast small dims
     permits = permits.join(
@@ -104,9 +104,6 @@ def impact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     permits = permits.join(
         F.broadcast(nation), permits["c_nationkey"] == nation["n_nationkey"], "left"
     )
-    permits = permits.join(latest_line, permits["o_orderkey"] == latest_line["l_orderkey"], "left")
-    line_counts = line_counts.withColumnRenamed("l_orderkey", "lc_orderkey")
-    permits = permits.join(line_counts, permits["o_orderkey"] == line_counts["lc_orderkey"], "left")
 
     # X1: scoring — addition order matters for float determinism; keep
     # left-assoc base + ttro + sensitive + tier + density (all halves).
