@@ -273,6 +273,51 @@ def simhash(col: Column | str, bits: int = 16, fast: bool = False) -> Column:
     return acc
 
 
+def simhash_band_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int | None = None,
+    fast: bool = False,
+) -> DataFrame:
+    """Near-dup candidates within Hamming distance of each other's
+    SimHash — banded: two signatures within distance d < bits/band_bits
+    share at least one identical band (pigeonhole), so candidates come
+    from an equi-join on (band_id, band_value), never a product.
+    Optionally verify with an exact popcount Hamming filter.
+    """
+    n_bands = bits // band_bits
+    sig = df.select(F.col(id_col), simhash(text_col, bits, fast).alias("__sh"))
+    banded = sig.select(
+        id_col,
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), b * band_bits).bitwiseAND(
+                        F.lit(2**band_bits - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_value"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"), "band_id", "band_value")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"), "band_id", "band_value")
+    pairs = (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    out = pairs.withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out.select("id_a", "id_b", "hamming")
+
+
 def simhash_dedup_candidates(
     df: DataFrame, text_col: str, id_col: str, bits: int = 16, fast: bool = False
 ) -> DataFrame:

@@ -52,6 +52,30 @@ def assert_empty(df: DataFrame, description: str = "singular test") -> None:
         raise ModelTestFailure(f"{description}: expected 0 rows, got {n}")
 
 
+def assert_accepted_values(df: DataFrame, col: str, values: Sequence[str]) -> None:
+    """dbt ``accepted_values`` test: every non-null value in the
+    allowlist."""
+    bad = df.filter(F.col(col).isNotNull() & ~F.col(col).isin(*values))
+    n = bad.count()
+    if n:
+        sample = [r[0] for r in bad.select(col).distinct().limit(5).collect()]
+        raise ModelTestFailure(f"accepted_values({col}) violated: {n} rows, e.g. {sample}")
+
+
+def assert_relationship(child: DataFrame, child_col: str, parent: DataFrame, parent_col: str) -> None:
+    """dbt ``relationships`` test: referential integrity — every
+    non-null child key exists in the parent (left_anti must be empty)."""
+    orphans = (
+        child.filter(F.col(child_col).isNotNull())
+        .join(parent, child[child_col] == parent[parent_col], "left_anti")
+        .count()
+    )
+    if orphans:
+        raise ModelTestFailure(
+            f"relationship {child_col} -> {parent_col} violated: {orphans} orphans"
+        )
+
+
 @dataclass
 class Model:
     name: str
