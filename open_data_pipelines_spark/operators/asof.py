@@ -61,9 +61,14 @@ def asof_join(
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = lt.unionByName(rt.select(lt.columns))
 
+    # total order: ties at (ts, tag) among right rows are broken by the
+    # value struct itself (ascending -> last() picks the lexicographic
+    # max), so the matched row is deterministic even when the right
+    # side has duplicate timestamps per key. Left rows have NULL __r
+    # but sort after all same-ts right rows via the tag anyway.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc(), F.col("__r").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))

@@ -127,9 +127,12 @@ class Dag:
                 # dbt incremental semantics: first run = full build;
                 # later runs merge the new batch into the existing table
                 # (delete-on-unique-key + insert, as a join-rewrite —
-                # no Delta dependency).
-                if spark.catalog.tableExists(name):
-                    existing = spark.table(name)
+                # no Delta dependency). The db-qualified name bypasses
+                # any same-named TEMP VIEW (which unqualified
+                # spark.table/tableExists would silently resolve to).
+                qualified = f"default.{name}"
+                if spark.catalog.tableExists(qualified):
+                    existing = spark.table(qualified)
                     if m.unique_key:
                         keys = df.select(m.unique_key).distinct()
                         existing = existing.join(
@@ -137,7 +140,9 @@ class Dag:
                             existing[m.unique_key] == keys[m.unique_key],
                             "left_anti",
                         )
-                    merged = existing.unionByName(df)
+                    # allowMissingColumns: later batches may add
+                    # columns (schema evolution — old rows get NULLs)
+                    merged = existing.unionByName(df, allowMissingColumns=True)
                     # localCheckpoint truncates lineage so the plan no
                     # longer references the table we're about to
                     # overwrite (cache() is not enough — the analyzer
@@ -145,10 +150,10 @@ class Dag:
                     merged = merged.localCheckpoint(eager=True)
                     merged.write.mode("overwrite").option(
                         "overwriteSchema", "true"
-                    ).saveAsTable(name)
+                    ).saveAsTable(qualified)
                 else:
-                    df.write.mode("overwrite").saveAsTable(name)
-                df = spark.table(name)
+                    df.write.mode("overwrite").saveAsTable(qualified)
+                df = spark.table(qualified)
             elif m.materialize == "view":
                 df.createOrReplaceTempView(name)
             out[name] = df

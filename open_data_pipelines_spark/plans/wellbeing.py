@@ -89,7 +89,10 @@ def wellbeing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J6: bbox prefilter + exact distance, grid-partitioned (scale path)
     pairs = range_join_within_gridded(works, postcodes, "wx", "wy", "px", "py", RADIUS)
 
-    per_work = pairs.groupBy("o_orderkey", "duration_days").agg(
+    # o_custkey rides the group keys (functionally dependent on
+    # o_orderkey) — avoids re-joining the orders table afterwards just
+    # to recover it
+    per_work = pairs.groupBy("o_orderkey", "o_custkey", "duration_days").agg(
         F.count(F.lit(1)).alias("n_postcodes"),
         F.sum("households").alias("total_households"),
     )
@@ -105,8 +108,6 @@ def wellbeing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # roll up per authority (nation of the permit's customer)
     enriched = per_work.join(
-        t["orders"].select("o_orderkey", "o_custkey"), "o_orderkey"
-    ).join(
         F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
         F.col("o_custkey") == F.col("c_custkey"),
         "left",
@@ -144,7 +145,7 @@ postcodes AS (
   FROM customer
 ),
 pairs AS (
-  SELECT w.o_orderkey, w.duration_days, p.households
+  SELECT w.o_orderkey, w.o_custkey, w.duration_days, p.households
   FROM works w JOIN postcodes p
     ON w.wx >= p.px - {RADIUS} AND w.wx <= p.px + {RADIUS}
    AND w.wy >= p.py - {RADIUS} AND w.wy <= p.py + {RADIUS}
@@ -152,10 +153,10 @@ pairs AS (
          <= {RADIUS * RADIUS}
 ),
 per_work AS (
-  SELECT o_orderkey, duration_days,
+  SELECT o_orderkey, o_custkey, duration_days,
          count(*) AS n_postcodes,
          CAST(SUM(households) AS BIGINT) AS total_households
-  FROM pairs GROUP BY o_orderkey, duration_days
+  FROM pairs GROUP BY o_orderkey, o_custkey, duration_days
 ),
 costed AS (
   SELECT *,
@@ -165,10 +166,9 @@ costed AS (
   FROM per_work
 ),
 enriched AS (
-  SELECT c2.*, o.o_custkey, c.c_nationkey, n.n_name
+  SELECT c2.*, c.c_nationkey, n.n_name
   FROM costed c2
-  JOIN orders o ON c2.o_orderkey = o.o_orderkey
-  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN customer c ON c2.o_custkey = c.c_custkey
   LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 )
 SELECT COALESCE(n_name, 'UNKNOWN') AS authority,

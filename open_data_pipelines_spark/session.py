@@ -88,23 +88,34 @@ TESTDATA_TABLES = (
 )
 
 
-def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    register_views: bool = True,
+    configure_session: bool = True,
+):
     """Read the harness parquet tables (TESTDATA.md) and register views.
 
     Returns a dict name -> DataFrame. Reads are schema-on-file parquet
     scans — column pruning and predicate pushdown apply per query.
+
+    ``configure_session`` (default True) SETS SESSION-WIDE CONFS on the
+    caller's session: ``nanosAsLong`` (without it events.parquet's
+    TIMESTAMP(NANOS) column is unreadable — the driver passes a session
+    this library didn't build) and UTC session timezone (timestamp
+    -literal -> epoch conversions must match the DuckDB oracle). An
+    application embedding this library in a session with its own
+    timezone semantics should pass ``configure_session=False`` and own
+    those two confs itself.
     """
     from pyspark.sql import functions as F
 
     if not os.path.isdir(sf_dir):
         raise FileNotFoundError(f"testdata dir not found: {sf_dir}")
-    # defensive: the caller may pass a session built elsewhere (the
-    # driver does) — without this runtime conf, events.parquet's
-    # TIMESTAMP(NANOS) column is unreadable (PARQUET_TYPE_ILLEGAL);
-    # and timestamp-literal -> epoch conversions (SCD2 sentinel) are
-    # session-TZ-sensitive, so pin UTC to match the DuckDB oracle.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if configure_session:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -67,8 +67,14 @@ def extract_zip(
                 name = Path(info.filename).name
                 if str(dest / name) in seen:
                     # basename collision across ZIP dirs: disambiguate
-                    # instead of silently overwriting the first member
-                    name = info.filename.replace("/", "_")
+                    # instead of silently overwriting the first member;
+                    # loop until genuinely unused (a flattened full
+                    # path can itself collide)
+                    base = info.filename.replace("/", "_")
+                    name, i = base, 1
+                    while str(dest / name) in seen:
+                        name = f"{i}_{base}"
+                        i += 1
                 target = dest / name
             else:
                 target = dest / info.filename

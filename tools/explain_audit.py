@@ -24,7 +24,9 @@ def summarize(plan: str) -> dict:
         "broadcast_joins": plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "shuffle_hash_joins": plan.count("ShuffledHashJoin"),
-        "exchanges": plan.count("Exchange"),
+        # substring 'Exchange' also matches BroadcastExchange (not a
+        # shuffle) — subtract it so the column measures actual shuffles
+        "shuffles": plan.count("Exchange") - plan.count("BroadcastExchange"),
         "pushed_filters": sum(1 for p in pushed if p.strip()),
         "scan_widths": [len(s.split(",")) for s in schemas],
         "global_sorts": plan.count("Sort [") - plan.count("Sort [__"),
@@ -47,7 +49,7 @@ def main() -> None:
         "(local sizes — join strategy picks differ at cluster scale; the",
         "point is that dims broadcast, filters push, scans prune).",
         "",
-        "| query | broadcast | sort-merge | shuffle-hash | exchanges | pushed filters | scan widths |",
+        "| query | broadcast | sort-merge | shuffle-hash | shuffles | pushed filters | scan widths |",
         "|---|---|---|---|---|---|---|",
     ]
     for name, fn in e.queries().items():
@@ -57,7 +59,7 @@ def main() -> None:
             s = summarize(plan)
             lines.append(
                 f"| {name} | {s['broadcast_joins']} | {s['sortmerge_joins']} | "
-                f"{s['shuffle_hash_joins']} | {s['exchanges']} | {s['pushed_filters']} | "
+                f"{s['shuffle_hash_joins']} | {s['shuffles']} | {s['pushed_filters']} | "
                 f"{s['scan_widths']} |"
             )
         except Exception as ex:  # noqa: BLE001

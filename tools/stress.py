@@ -66,7 +66,12 @@ def main() -> None:
     spark = get_spark("stress")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(dest, "lineitem.parquet")):
+    from open_data_pipelines_spark.session import TESTDATA_TABLES
+
+    complete = all(
+        os.path.exists(os.path.join(dest, f"{t}.parquet")) for t in TESTDATA_TABLES
+    )
+    if not complete:  # partial builds (interrupted runs) are rebuilt
         t0 = time.perf_counter()
         build(spark, factor, dest)
         print(f"built x{factor} dataset in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
