@@ -146,6 +146,77 @@ def scd2_merge(
     )
 
 
+def scd2_two_batch_single_shuffle(
+    events: DataFrame,
+    batch_col: Column,
+    entity_key: str,
+    event_time: str,
+    attr_cols: Sequence[str],
+    hash_cols: Sequence[str],
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Scale-optimized SCD2 for the common both-batches-from-one-source
+    case: ONE hash aggregation replaces the generic path's two dedup
+    windows + change-detection join + anti-join (4 shuffles -> 1).
+
+    Both batches' latest events are computed simultaneously as
+    *conditional struct-maxes* per entity (lexicographic max over
+    (event_time, tiebreakers, attrs) == the total-order row_number
+    pick), then the merge decision is row-local and the up-to-two dim
+    rows per entity are exploded out. Result is identical to
+    ``scd2_initial_load`` + :func:`scd2_merge` (asserted in tests).
+
+    ``batch_col``: boolean column — True = initial batch, False =
+    incremental batch.
+    """
+    order_cols = [event_time, *tiebreakers]
+    payload = F.struct(
+        *[F.col(c) for c in order_cols], *[F.col(c) for c in attr_cols]
+    )
+    agg = events.groupBy(entity_key).agg(
+        F.max(F.when(batch_col, payload)).alias("__init"),
+        F.max(F.when(~batch_col, payload)).alias("__inc"),
+    )
+
+    def _hash(side: str) -> Column:
+        return F.md5(
+            F.concat_ws("|", *[F.col(f"{side}.{c}").cast("string") for c in hash_cols])
+        )
+
+    sentinel = F.lit(SENTINEL_TS).cast("timestamp")
+    is_changed = (
+        F.col("__inc").isNotNull()
+        & F.col("__init").isNotNull()
+        & (F.col(f"__inc.{event_time}") > F.col(f"__init.{event_time}"))
+        & (_hash("__inc") != _hash("__init"))
+    )
+    is_new = F.col("__init").isNull() & F.col("__inc").isNotNull()
+
+    def _row(side: str, valid_to: Column, current: Column) -> Column:
+        t = F.col(f"{side}.{event_time}")
+        return F.struct(
+            *[F.col(f"{side}.{c}").alias(c) for c in attr_cols],
+            t.alias("event_time"),
+            t.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            current.alias("is_current"),
+            _hash(side).alias("record_hash"),
+        )
+
+    rows = F.when(
+        is_changed,
+        F.array(
+            _row("__init", F.col(f"__inc.{event_time}"), F.lit(False)),
+            _row("__inc", sentinel, F.lit(True)),
+        ),
+    ).when(is_new, F.array(_row("__inc", sentinel, F.lit(True)))).when(
+        F.col("__init").isNotNull(), F.array(_row("__init", sentinel, F.lit(True)))
+    )
+
+    exploded = agg.select(entity_key, F.explode(rows).alias("__d"))
+    return exploded.select(entity_key, "__d.*")
+
+
 def with_surrogate_keys(dim: DataFrame, order_by: Sequence[str]) -> DataFrame:
     """W6 parity-mode sequential surrogate keys (global sort — document
     as parity-only; see module docstring for the scale path)."""

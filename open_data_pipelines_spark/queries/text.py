@@ -383,7 +383,34 @@ JOIN sizes nb ON nb.doc_id = p.id_b
 """
 
 
+# --- top_terms: corpus term frequencies, top-k ------------------------------
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency top-20 — explode + count is fully
+    map-side-combinable; the final top-k is a tiny ordered limit, never
+    a global sort of the full term table at scale (Spark's TakeOrdered)."""
+    docs = _docs(spark, sf_dir)
+    from ..operators.text_analysis import whitespace_tokens
+
+    terms = docs.select(F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .orderBy(F.col("term_count").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOP_TERMS = f"""
+SELECT term, count(*) AS term_count
+FROM (SELECT unnest({_TOKENS.format(t='lower(text)')}) AS term FROM documents)
+GROUP BY term
+ORDER BY term_count DESC, term ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "top_terms": (q_top_terms, ORACLE_TOP_TERMS),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
