@@ -157,6 +157,114 @@ def cosine_pandas_udf():
     return F.pandas_udf(_cos, T.DoubleType())
 
 
+def rp_lsh_buckets(vec: Column, planes: int, tables: int, seed: int = 42) -> Column:
+    """Array of ``tables`` independent RP-LSH bucket ids (multi-table
+    LSH).
+
+    One table of b sign-bits catches a neighbor at angular agreement
+    probability p^b — far too lossy for moderate-similarity neighbors
+    (p ~= 0.6 at cosine 0.3). The standard fix is L independent tables:
+    a pair is a candidate if it collides in ANY table, lifting recall to
+    1 - (1 - p^b)^L (b=2, L=32 -> miss probability ~1e-6 per true
+    neighbor). Each table's hyperplanes are derived from a disjoint
+    seed, so the whole bank is deterministic and model-free.
+    """
+    return F.array(
+        *[rp_lsh_bucket(vec, planes=planes, seed=seed + 7919 * t) for t in range(tables)]
+    )
+
+
+def rp_lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: int = 2,
+    tables: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct (query_id, neighbor_id) candidate pairs via multi-table
+    RP-LSH banding — the equi-join that replaces the O(n*q) product.
+
+    Shape mirrors MinHash-LSH banding (``text_dedup.py``): explode each
+    side to (table_idx, bucket) keys, equi-join on the composite key,
+    then ``distinct`` the id pairs. Only ids ride through the explode
+    (vectors are re-joined by id afterwards), so the shuffled banding
+    rows are 3 small integers wide regardless of embedding dimension —
+    at 100 TB the banding shuffle stays proportional to row count, not
+    vector payload.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(rp_lsh_buckets(F.col(vec_col), planes, tables, seed)).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(rp_lsh_buckets(F.col(vec_col), planes, tables, seed)).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    return (
+        c.join(F.broadcast(q), ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    planes: int = 2,
+    tables: int = 32,
+    seed: int = 42,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """LSH-accelerated top-k: multi-table candidate generation, then
+    exact quantized-cosine scoring of candidates only.
+
+    Same output contract as :func:`brute_force_topk` (query_id,
+    neighbor_id, rank, cosine_sim; identical tie-break), so when the
+    table bank's recall is 1.0 the two are row-identical — which is how
+    the driver oracle checks this path against the brute-force SQL.
+    At 500x the corpus the scored set stays |candidates|, not |corpus|*q.
+    """
+    cand = rp_lsh_candidates(
+        corpus, queries, vec_col, id_col, planes=planes, tables=tables, seed=seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col, quant_scale).alias("__cv")
+    ).withColumn("__cn", F.sqrt(dot_int(F.col("__cv"), F.col("__cv")).cast("double")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col, quant_scale).alias("__qv")
+    ).withColumn("__qn", F.sqrt(dot_int(F.col("__qv"), F.col("__qv")).cast("double")))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_int(F.col("__qv"), F.col("__cv")).cast("double")
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def rp_lsh_bucket(vec: Column, planes: int = 8, seed: int = 42) -> Column:
     """Signed-random-projection LSH bucket id (0..2^planes-1).
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    ann_lsh_topk,
     brute_force_topk,
     cosine_quantized,
     near_dup_pairs,
@@ -109,8 +110,27 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cosine_sim") >= F.lit(0.25))
 
 
+# --- ann_lsh_topk: multi-table LSH candidates + exact rescoring --------------
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-accelerated top-k sharing brute-force's output contract.
+
+    The (planes=2, tables=32) bank has per-true-neighbor miss
+    probability ~1e-6 at the harness cosine range (~0.25-0.5), and the
+    hash-derived planes are deterministic — so the result is
+    row-identical to brute force and is oracle-checked against the SAME
+    brute-force SQL. That hash-match IS the recall proof: any missed
+    candidate would flip the hash.
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ann_lsh_topk(
+        emb, queries, "embedding", "vec_id", k=_TOP_K, planes=2, tables=32
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_TOPK),
 }
