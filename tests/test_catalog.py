@@ -1,0 +1,220 @@
+"""Per-source catalog tests: every reference pipeline entry point is a
+named config, URL resolution works per strategy offline, and the
+Street Manager- / NHS-shaped fixtures (FIXTURES.md F1/F2) run end to
+end through config lookup alone."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import types as T
+
+from open_data_pipelines_spark.sources.catalog import (
+    CATALOG,
+    SourceConfig,
+    resolve_url,
+    run_source,
+)
+
+# the reference's pipeline entry points (src/pipelines/*.py) by source
+# code; nhs custom-range shares the nhs config, sept_2024 ships as a
+# data source only — both covered by the same catalog rows.
+REFERENCE_PIPELINE_CODES = {
+    "street_manager",
+    "section_58",
+    "geoplace_swa",
+    "os_open_usrn",
+    "os_usrn_uprn",
+    "bduk_premises_jul_2025",
+    "bduk_premises_sept_2025",
+    "cadent_gas_underground_pipes",
+    "code_point",
+    "dft_road_stats",
+    "naptan_data",
+    "bods_timetables",
+    "postcode_p001",
+    "postcode_p002",
+    "national_statistic_postcode_lookup",
+    "ons_uprn_directory",
+    "nhs_english_prescribing_data",
+}
+
+
+def test_catalog_covers_every_reference_pipeline():
+    missing = REFERENCE_PIPELINE_CODES - CATALOG.keys()
+    assert not missing, f"catalog missing reference pipelines: {missing}"
+    for cfg in CATALOG.values():
+        assert isinstance(cfg, SourceConfig)
+        assert cfg.base_url.startswith("https://")
+        assert cfg.ref, f"{cfg.name} lacks a reference pointer"
+
+
+def test_resolve_url_strategies():
+    assert resolve_url(CATALOG["naptan_data"]).endswith("/Download/National/csv")
+
+    sm = resolve_url(CATALOG["street_manager"], year=2024, month=3)
+    assert sm == "https://opendata.manage-roadworks.service.gov.uk/permit/2024/03.zip"
+
+    ckan = {
+        "result": {
+            "resources": [
+                {"name": "EPD_SNOMED_202401", "format": "CSV", "url": "u1"},
+                {"name": "EPD_SNOMED_202403", "format": "CSV", "url": "u3"},
+                {"name": "EPD_SNOMED_202402", "format": "CSV", "url": "u2"},
+            ]
+        }
+    }
+    assert resolve_url(CATALOG["nhs_english_prescribing_data"], catalogue=ckan) == "u3"
+
+    products = [{"id": "LIDS", "format": "CSV", "url": "lids.zip"}]
+    assert resolve_url(CATALOG["os_usrn_uprn"], catalogue=products) == "lids.zip"
+
+    html = '<a href="/files/road_stats.ods">ods</a><a href="/files/notes.pdf">pdf</a>'
+    assert resolve_url(CATALOG["dft_road_stats"], fetch=lambda u: html) == (
+        "/files/road_stats.ods"
+    )
+
+    assert (
+        resolve_url(CATALOG["os_open_usrn"], fetch=lambda u: u + "#signed")
+        == CATALOG["os_open_usrn"].base_url + "#signed"
+    )
+
+
+@pytest.fixture()
+def street_manager_drop(tmp_path):
+    """F1-shaped ZIP-of-JSON monthly drop."""
+    events = [
+        {
+            "event_reference": 1,
+            "event_type": "PERMIT_GRANTED",
+            "event_time": "2024-03-01T10:00:00",
+            "object_data": {
+                "permit_reference_number": "PRN-1",
+                "work_category": "Major",
+                "usrn": "12345",
+            },
+        },
+        {
+            "event_reference": 2,
+            "event_type": "WORK_START",
+            "event_time": "2024-03-02T09:30:00",
+            "object_data": {
+                "permit_reference_number": "PRN-1",
+                "work_category": "Major",
+                "usrn": "12345",
+            },
+        },
+        {
+            "event_reference": 3,
+            "event_type": "PERMIT_GRANTED",
+            "event_time": "2024-03-02T11:00:00",
+            "object_data": {
+                "permit_reference_number": "PRN-2",
+                "work_category": "Minor",
+                "usrn": "67890",
+            },
+        },
+    ]
+    z = tmp_path / "03.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr(
+            "permits.json", "\n".join(json.dumps(e) for e in events)
+        )
+    return f"file://{z}"
+
+
+SM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_reference", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_time", T.StringType()),
+        T.StructField(
+            "object_data",
+            T.StructType(
+                [
+                    T.StructField("permit_reference_number", T.StringType()),
+                    T.StructField("work_category", T.StringType()),
+                    T.StructField("usrn", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def test_street_manager_by_name(spark, tmp_path, street_manager_drop):
+    df = run_source(
+        spark,
+        "street_manager",
+        landing_dir=str(tmp_path / "landing"),
+        warehouse_path=str(tmp_path / "wh"),
+        log_path=str(tmp_path / "logs"),
+        year=2024,
+        month=3,
+        url=street_manager_drop,
+        json_schema=SM_SCHEMA,
+    )
+    rows = {r["event_reference"]: r for r in df.collect()}
+    assert len(rows) == 3
+    # object_data.* flattened to top level, reference column names intact
+    assert rows[1]["permit_reference_number"] == "PRN-1"
+    assert rows[3]["work_category"] == "Minor"
+
+
+def test_nhs_by_name(spark, tmp_path):
+    csv = tmp_path / "EPD_SNOMED_202403.csv"
+    csv.write_text(
+        "YEAR_MONTH,PRACTICE_CODE,BNF_CODE,ITEMS\n"
+        "202403,P1,0101,5\n"
+        "202403,P2,0102,7\n"
+    )
+    wh = str(tmp_path / "wh")
+    df = run_source(
+        spark,
+        "nhs_english_prescribing_data",
+        landing_dir=str(tmp_path / "landing"),
+        warehouse_path=wh,
+        log_path=str(tmp_path / "logs"),
+        year=2024,
+        month=3,
+        url=f"file://{csv}",
+    )
+    assert df.count() == 2
+    table = spark.read.parquet(wh)
+    got = {r["practice_code"] for r in table.collect()}
+    assert got == {"P1", "P2"}
+    log = spark.read.parquet(str(tmp_path / "logs")).collect()
+    assert len(log) == 1 and log[0]["status"] == "SUCCESS"
+    assert log[0]["rows_processed"] == 2
+
+
+def test_gated_kinds_raise_cleanly(spark, tmp_path):
+    """ODS/geopackage ingests must fail with their module gate error,
+    not an obscure stack, when the engines are absent."""
+    from open_data_pipelines_spark.sources.spreadsheet import (
+        SpreadsheetEngineUnavailable,
+    )
+
+    try:
+        import odf  # noqa: F401
+
+        pytest.skip("odfpy present")
+    except ImportError:
+        pass
+
+    ods = tmp_path / "x.ods"
+    ods.write_bytes(b"not really an ods")
+    with pytest.raises(SpreadsheetEngineUnavailable):
+        run_source(
+            spark,
+            "dft_road_stats",
+            landing_dir=str(tmp_path / "landing"),
+            warehouse_path=str(tmp_path / "wh"),
+            log_path=str(tmp_path / "logs"),
+            year=2024,
+            month=1,
+            url=f"file://{ods}",
+        )
