@@ -61,18 +61,39 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "mode": "steady_state",
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "mode": "steady_state",
+    }
+
+    # regression guard: compare against the checked-in round-1 numbers
+    # (only meaningful at the reference's scale factor)
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_reference.json")
+    regressions: dict[str, dict] = {}
+    if os.path.exists(ref_path):
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        if sf == ref.get("sf"):
+            limit = float(ref.get("ratio_limit", 2.0))
+            for name, secs in timings.items():
+                base = ref["queries"].get(name)
+                if base and secs > limit * base:
+                    regressions[name] = {"ref": base, "now": secs, "ratio": round(secs / base, 2)}
+            result["regressions"] = regressions
+            for name, r in regressions.items():
+                print(
+                    f"BENCH REGRESSION: {name} {r['now']}s vs reference {r['ref']}s "
+                    f"({r['ratio']}x > {limit}x limit)",
+                    file=sys.stderr,
+                )
+
+    print(json.dumps(result))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(3)
 
 
 if __name__ == "__main__":
