@@ -125,6 +125,37 @@ def stream_to_month_partitions(
     )
 
 
+def drain_to_parquet(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    output_mode: str = "complete",
+):
+    """availableNow drain of a (windowed-aggregate) stream into a
+    parquet table.
+
+    Complete-mode aggregations have no native file sink, so each
+    micro-batch idempotently overwrites the output (the streaming
+    analog of the reference's CREATE OR REPLACE month table, I2); the
+    checkpoint dir gives exactly-once across restarts (K7/I3 pairing:
+    attach :class:`..streaming.listener.MetadataStreamListener` for
+    the per-batch metadata rows).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain the stream with availableNow into an in-memory table —
     the test harness analog of the reference's in-memory-DuckDB
