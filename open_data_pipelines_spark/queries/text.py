@@ -244,8 +244,10 @@ _BAND_COLS = ",\n         ".join(
 _BAND_UNION = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band_id, band_{b} AS band_hash FROM banded" for b in range(_BANDS)
 )
-ORACLE_MINHASH = f"""
-WITH corpus AS ({_NEAR_DUPS_SQL}),
+# shared CTE chain: corpus -> shingles -> minhash sigs -> banded
+# candidates -> exact-Jaccard pairs; ORACLE_MINHASH selects the pairs,
+# ORACLE_DEDUP_CLUSTERS closes them transitively (recursive CTE)
+_MINHASH_CTES = f"""corpus AS ({_NEAR_DUPS_SQL}),
 shingled AS (
   SELECT doc_id, {_SHINGLES.format(t='text')} AS shingles FROM corpus
 ),
@@ -292,8 +294,46 @@ jac AS (
   LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
   JOIN sizes na ON na.doc_id = c.id_a
   JOIN sizes nb ON nb.doc_id = c.id_b
-)
+)"""
+
+ORACLE_MINHASH = f"""
+WITH {_MINHASH_CTES}
 SELECT id_a, id_b, intersection_size, jaccard FROM jac WHERE jaccard >= 0.3
+"""
+
+
+# --- dedup_clusters -----------------------------------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> canonical keeper per
+    cluster (min doc_id) + cluster size: the dedup endgame. Spark side
+    is iterative min-label propagation (operators/graph.py); the
+    oracle closes the same pair list with a recursive CTE."""
+    from ..operators.graph import cluster_members
+
+    corpus = _with_near_dups(_docs(spark, sf_dir))
+    pairs = minhash_lsh_dedup(
+        corpus, "text", "doc_id", n=3, k=_K, bands=_BANDS, threshold=0.3
+    ).select("id_a", "id_b")
+    return cluster_members(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lab) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node, MIN(lab) AS cluster_rep FROM reach GROUP BY node),
+csizes AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_rep)
+SELECT c.node AS doc_id, c.cluster_rep, s.cluster_size
+FROM comp c JOIN csizes s USING (cluster_rep)
 """
 
 
@@ -417,6 +457,7 @@ QUERIES = {
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "simhash_dedup": (q_simhash_dedup, ORACLE_SIMHASH),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
 }

@@ -105,9 +105,12 @@ def gpkg_wkb_to_wkt(blob: bytes) -> str:
 def gpkg_layers(gpkg_path: str) -> list[str]:
     """Feature layers declared in ``gpkg_contents`` (stdlib sqlite3)."""
     with sqlite3.connect(gpkg_path) as con:
-        rows = con.execute(
-            "SELECT table_name FROM gpkg_contents WHERE data_type = 'features'"
-        ).fetchall()
+        try:
+            rows = con.execute(
+                "SELECT table_name FROM gpkg_contents WHERE data_type = 'features'"
+            ).fetchall()
+        except sqlite3.OperationalError as ex:
+            raise ValueError(f"{gpkg_path} is not a GeoPackage: {ex}") from ex
     return [r[0] for r in rows]
 
 
@@ -120,8 +123,13 @@ def gpkg_to_parquet_native(
     ``gpkg_geometry_columns`` and converts each GP-header WKB blob with
     :func:`gpkg_wkb_to_wkt`.
     """
+    import os
+
     import pandas as pd
 
+    if not os.path.exists(gpkg_path):
+        # sqlite3.connect would silently create an empty db here
+        raise FileNotFoundError(gpkg_path)
     with sqlite3.connect(gpkg_path) as con:
         if layer is None:
             layers = gpkg_layers(gpkg_path)

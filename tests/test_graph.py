@@ -1,0 +1,45 @@
+"""Connected-components / dedup-cluster operator tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from open_data_pipelines_spark.operators.graph import (
+    ConvergenceError,
+    cluster_members,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+
+def test_chain_and_island(spark):
+    # chain 1-2-3-4 plus island {10, 11}: two components, min-labeled
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_edge_direction_irrelevant(spark):
+    e = _edges(spark, [(5, 2), (2, 9), (9, 1)])
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_cluster_members_sizes(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in cluster_members(e).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+def test_convergence_guard(spark):
+    # a 6-node chain labeled high-to-low needs several rounds; one
+    # round cannot reach fixpoint
+    e = _edges(spark, [(6, 5), (5, 4), (4, 3), (3, 2), (2, 1)])
+    with pytest.raises(ConvergenceError):
+        connected_components(e, max_rounds=1)

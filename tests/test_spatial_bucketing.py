@@ -60,8 +60,12 @@ def test_null_timestamp_columns(spark):
     assert out.collect()[0]["CreationDateTime"] is None
 
 
-def test_geopackage_gated():
-    with pytest.raises(GeoEngineUnavailable):
+def test_geopackage_missing_file():
+    # fiona absent -> dispatcher falls through to the native sqlite3
+    # reader, which must fail fast on a missing path (not create an
+    # empty db); GeoEngineUnavailable is now reserved for geometry
+    # variants the native parser can't handle
+    with pytest.raises(FileNotFoundError):
         gpkg_to_parquet("/nonexistent.gpkg", "/tmp/out.parquet")
 
 
