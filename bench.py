@@ -7,6 +7,12 @@ JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 Each query is materialized with the ``noop`` datasource (full
 execution, zero sink cost, nothing collected to the driver) — the
 number measured is the engine, not pandas conversion.
+
+Noise control (round 3): after one warmup pass, each query is timed
+``$SPARK_GRAFT_BENCH_PASSES`` times (default 3) and the MEDIAN is
+reported — single-pass numbers on this container swing 2-6x under
+load (round-2 driver run flagged a 2.2x "regression" on code that
+hadn't changed; fresh runs measured 0.95-1.2x).
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -49,17 +56,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # pass 1: warmup (codegen compile + broadcast build); pass 2:
-        # measured steady-state engine time
+        # pass 0: warmup (codegen compile + broadcast build); then
+        # `passes` measured runs -> median steady-state engine time
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 3)
 
     result = {
         "metric": "headline_total_runtime",
@@ -67,7 +78,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "mode": "steady_state",
+        "mode": f"steady_state_median{passes}",
     }
 
     # regression guard: compare against the checked-in round-1 numbers

@@ -15,11 +15,13 @@ eager ``localCheckpoint`` (swap for a reliable ``checkpoint`` dir on a
 real cluster). Rounds needed equal the graph diameter; near-dup
 clusters are shallow (dups of a doc are dups of each other), so this
 converges in a handful of rounds. For adversarially deep graphs
-(long chains), switch to the large-star/small-star alternation of
-Kiveris et al. ("Connected Components in MapReduce and Beyond",
-SoCC'14) which converges in O(log n) rounds — same join primitives,
-noted here deliberately: the propagation loop below is the simple,
-oracle-matchable variant.
+(long chains), :func:`connected_components` also ships the
+large-star/small-star alternation of Kiveris et al. ("Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log^2 n) rounds — same join primitives, selectable via
+``algorithm="star"`` (the propagation loop stays the default: it is
+the simple, oracle-matchable variant, and near-dup graphs are
+shallow).
 """
 
 from __future__ import annotations
@@ -37,13 +39,24 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``.
 
     ``component`` is the minimum node id in the node's connected
     component (deterministic canonical label). Nodes with no edges are
     absent — union singletons in the caller if needed.
+
+    ``algorithm="propagation"`` (default): min-label propagation,
+    O(diameter) rounds — right for shallow near-dup graphs.
+    ``algorithm="star"``: large-star/small-star contraction
+    (Kiveris et al., SoCC'14), O(log^2 n) rounds — right for deep
+    chains where propagation would need diameter rounds.
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_rounds)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     adj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -89,6 +102,82 @@ def connected_components(
         )
     finally:
         adj.unpersist()
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14).
+
+    Each round is two grouped joins over the (shrinking) edge list:
+
+    - **large-star**: every node attaches its strictly-larger
+      neighbors to the minimum of its closed neighborhood — long
+      chains halve in depth;
+    - **small-star**: every node attaches its smaller-or-equal
+      neighbors (and itself) to that minimum — stars flatten.
+
+    At fixpoint the edge list is exactly (child -> component-minimum)
+    pointers, read off directly as labels. Fixpoint detection compares
+    the distinct edge set by (count, XOR of xxhash64) — one tiny
+    aggregate per round, no driver-side edge collection. Same
+    shuffle-key discipline as propagation: every join/groupBy keys on
+    a node id, and ``localCheckpoint`` truncates lineage per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # single-node components never appear in `edges` (caller contract),
+    # so every node survives in the star edges until fixpoint.
+    sig_prev: tuple[int, int] | None = None
+    for _ in range(max_rounds):
+        # large-star: symmetric neighborhoods, m = min(N(u) + {u})
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("__mn"))
+        mins = mins.select("u", F.least("__mn", F.col("u")).alias("m"))
+        e = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient to (larger, smaller), attach all + self to min
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # set signature: count + XOR of per-edge hashes (edges are
+        # distinct, so XOR is an order-independent, overflow-free
+        # (ANSI-safe) multiset-of-distinct fingerprint)
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == sig_prev:
+            roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+                "component", F.col("node")
+            )
+            return e.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            ).unionByName(roots)
+        sig_prev = sig
+    raise ConvergenceError(f"star contraction: no fixpoint after {max_rounds} rounds")
 
 
 def cluster_members(

@@ -46,6 +46,8 @@ def decode_bmp(content: bytes) -> dict:
     if header_size < 40:
         raise UnsupportedMediaError("BMP core-header variant not supported")
     width, height = struct.unpack_from("<ii", content, 18)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     planes, bpp = struct.unpack_from("<HH", content, 26)
     compression = struct.unpack_from("<I", content, 30)[0]
     if planes != 1 or compression != 0:

@@ -179,12 +179,25 @@ def rp_lsh_candidates(
     queries: DataFrame,
     vec_col: str,
     id_col: str,
-    planes: int = 2,
+    planes: int = 8,
     tables: int = 32,
     seed: int = 42,
 ) -> DataFrame:
     """Distinct (query_id, neighbor_id) candidate pairs via multi-table
     RP-LSH banding — the equi-join that replaces the O(n*q) product.
+
+    Parameter regimes (p = per-plane sign-agreement probability,
+    1 - angle/pi; unrelated vectors p = 0.5):
+
+    - **scale default (planes=8, tables=32)**: unrelated-pair candidate
+      rate 1-(1-0.5^8)^32 ~= 0.12 — a real pruning of the cross
+      product; recall 1-(1-p^8)^32 (e.g. ~0.97 at p=0.75).
+    - **exactness setting (planes=2, tables=32)**: per-true-neighbor
+      miss probability ~1e-6 at the harness cosine range, but the
+      unrelated-pair candidate rate is ~1-(0.75)^32 ~= 0.9999 — i.e.
+      near-all-pairs. That is deliberately exactness-over-pruning (it
+      buys the bit-for-bit brute-force oracle match in the driver
+      query); do NOT use it as the scale path.
 
     Shape mirrors MinHash-LSH banding (``text_dedup.py``): explode each
     side to (table_idx, bucket) keys, equi-join on the composite key,
@@ -220,7 +233,7 @@ def ann_lsh_topk(
     vec_col: str,
     id_col: str,
     k: int = 5,
-    planes: int = 2,
+    planes: int = 8,
     tables: int = 32,
     seed: int = 42,
     quant_scale: int = 1000,
@@ -231,8 +244,12 @@ def ann_lsh_topk(
     Same output contract as :func:`brute_force_topk` (query_id,
     neighbor_id, rank, cosine_sim; identical tie-break), so when the
     table bank's recall is 1.0 the two are row-identical — which is how
-    the driver oracle checks this path against the brute-force SQL.
-    At 500x the corpus the scored set stays |candidates|, not |corpus|*q.
+    the driver oracle checks this path against the brute-force SQL
+    (which passes planes=2/tables=32 explicitly — the
+    exactness-over-pruning regime documented on
+    :func:`rp_lsh_candidates`). The sparser (planes=8, tables=32)
+    default here is the scale regime: the scored set stays
+    |candidates| ~= 0.12*|corpus|*q worst-case, not |corpus|*q.
     """
     cand = rp_lsh_candidates(
         corpus, queries, vec_col, id_col, planes=planes, tables=tables, seed=seed

@@ -81,35 +81,6 @@ FROM g GROUP BY user_id, session_id
 """
 
 
-# --- rolling_avg: moving frame (rowsBetween) --------------------------------
-def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(-2, 0)
-    )
-    rolling_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
-    rolling_n = F.count(F.lit(1)).over(w)
-    return events.select(
-        "event_id",
-        "user_id",
-        (rolling_sum / rolling_n).alias("rolling_avg_3"),
-    )
-
-
-ORACLE_ROLLING_AVG = """
-SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2)))
-              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-       / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-         AS rolling_avg_3
-FROM events
-"""
-
-
 # --- salted_group_sum: skew-resistant two-stage aggregation ------------------
 def q_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
@@ -131,11 +102,30 @@ FROM events GROUP BY event_type
 """
 
 
-# --- approx_distinct: HLL++ scale variant (sketch differs per engine ->
-# rows-only driver check; the exact column rides along for eyeballing) -------
+# --- approx_distinct: HLL++ scale variant, oracle-checked --------------------
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketches differ per engine, so the raw approx count can't
+    hash-match DuckDB. Instead emit (key, exact count, |approx-exact|/
+    exact < rsd) — the sketch still executes on the Spark side, and the
+    boolean is literally TRUE in the oracle (HLL++ at rsd=0.05 on these
+    cardinalities), making the whole frame hash-matchable."""
     events = _events(spark, sf_dir)
-    return approx_distinct(events, ["event_type"], "user_id")
+    both = approx_distinct(events, ["event_type"], "user_id", rsd=0.05)
+    exact = F.col("exact_user_id").cast("double")
+    approx = F.col("approx_user_id").cast("double")
+    return both.select(
+        "event_type",
+        F.col("exact_user_id").alias("exact_distinct"),
+        (F.abs(approx - exact) / exact < F.lit(0.05)).alias("within_5pct"),
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_distinct,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
 
 
 # --- A7 column_profile: per-column ELT profiling ----------------------------
@@ -254,16 +244,25 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-# --- lag_delta: LAG/LEAD consecutive-event deltas ----------------------------
+# --- lag_delta: LAG/LEAD deltas + moving-frame rolling average ---------------
 def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window family, one shuffle: LAG/LEAD offsets and the 3-row
+    rolling average share the identical (user_id, ts, event_id)
+    ordering, so Catalyst evaluates them in a single Window node.
+    (Absorbed the former ``rolling_avg`` registry entry in round 3 —
+    same partitioning, same frame ordering, zero extra shuffles.)"""
     events = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame = w.rowsBetween(-2, 0)
+    rolling_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(frame).cast("double")
+    rolling_n = F.count(F.lit(1)).over(frame)
     return events.select(
         "event_id",
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
         F.lead("event_type").over(w).alias("next_event_type"),
+        (rolling_sum / rolling_n).alias("rolling_avg_3"),
     )
 
 
@@ -271,9 +270,13 @@ ORACLE_LAG_DELTA = """
 SELECT event_id, user_id,
        value - lag(value) OVER w AS value_delta,
        epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
-       lead(event_type) OVER w AS next_event_type
+       lead(event_type) OVER w AS next_event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+         / COUNT(*) OVER f AS rolling_avg_3
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       f AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -285,7 +288,6 @@ QUERIES = {
     "column_profile": (q_column_profile, ORACLE_COLUMN_PROFILE),
     "correlated_max": (q_correlated_max, ORACLE_CORRELATED_MAX),
     "session_agg": (q_session_agg, ORACLE_SESSION_AGG),
-    "rolling_avg": (q_rolling_avg, ORACLE_ROLLING_AVG),
     "salted_group_sum": (q_salted_group_sum, ORACLE_SALTED_GROUP_SUM),
-    "approx_distinct": (q_approx_distinct, None),
+    "approx_distinct": (q_approx_distinct, ORACLE_APPROX_DISTINCT),
 }

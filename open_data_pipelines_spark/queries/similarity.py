@@ -7,8 +7,9 @@ Oracle-exactness: vectors are quantized to an integer grid
 order-independent and bit-identical across engines; cosine then adds
 one sqrt + one division (both IEEE-deterministic). See
 ``operators/similarity.py`` for the float baseline and the LSH scale
-path (xxhash64 planes — no DuckDB equivalent, so that query is a
-rows-only check).
+path; ``ann_lsh_topk`` runs the RP-LSH bucketed candidates + exact
+rescore and is oracle-checked against the brute-force SQL (the
+hash-match doubles as the recall proof).
 """
 
 from __future__ import annotations
@@ -19,10 +20,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
-    cosine_quantized,
     near_dup_pairs,
-    quantize,
-    rp_lsh_bucket,
 )
 from ..session import load_tables
 
@@ -82,35 +80,11 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {_NEAR_DUP_T}
 """
 
 
-# --- ann_lsh_bucketed: signed-random-projection scale path (rows-only) -------
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket by RP-LSH then verify within-bucket pairs — the
-    equi-join shape that replaces the O(n^2) product at scale.
-    xxhash64-derived hyperplanes have no DuckDB equivalent -> driver
-    records a rows-only check for this one."""
-    emb = _emb(spark, sf_dir)
-    v = emb.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("vec"),
-        rp_lsh_bucket(F.col("embedding"), planes=6).alias("bucket"),
-    )
-    a = v.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("bucket")
-    )
-    b = v.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("bucket")
-    )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "bucket",
-        "id_a",
-        "id_b",
-        cosine_quantized(quantize("va"), quantize("vb")).alias("cosine_sim"),
-    ).filter(F.col("cosine_sim") >= F.lit(0.25))
-
-
 # --- ann_lsh_topk: multi-table LSH candidates + exact rescoring --------------
+# (The former ``ann_lsh_bucketed`` registry entry — bucket-then-verify with no
+# oracle — was retired in round 3: ``ann_lsh_topk`` proves the identical
+# RP-LSH bucketed path *with* an oracle, and ``tests/test_similarity_lsh.py``
+# keeps a direct candidate-recall gate on the bucketing operator itself.)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-accelerated top-k sharing brute-force's output contract.
 
@@ -120,6 +94,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-identical to brute force and is oracle-checked against the SAME
     brute-force SQL. That hash-match IS the recall proof: any missed
     candidate would flip the hash.
+
+    NOTE: planes=2 is the exactness-over-pruning regime (its unrelated
+    -pair candidate rate is ~0.9999 — near-all-pairs); the operator's
+    scale default is planes=8, where candidates ~= 0.12 of the cross
+    product (see ``operators/similarity.rp_lsh_candidates``). The
+    recall pytest gate covers the sparse regime.
     """
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
@@ -131,6 +111,5 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP),
-    "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_TOPK),
 }

@@ -29,9 +29,20 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tables[n] for n in names]
 
 
-# --- X8/X10 centroid_xy: WKT construct -> parse -> per-group centroid -------
+# --- X8/X10 centroid_xy: WKT construct -> parse -> centroids (both families) -
 def q_centroid_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (part,) = _t(spark, sf_dir, "part")
+    """Two WKT centroid families in one labeled frame (round-3 merge of
+    the former ``linestring_centroid`` entry — both stay independently
+    computed; the union is a zero-shuffle concat):
+
+    - ``kind='brand_points'``: POINT construct -> regex parse ->
+      per-brand mean centroid (grouped; X8/X10 round trip).
+    - ``kind='linestring'``: per-row vertex-mean centroid of synthesized
+      3-vertex LINESTRINGs (ST_Centroid analog; the reference computes
+      centroids of permit work-location linestrings,
+      ``stg_emergency_works_by_authority.sql:24-38``).
+    """
+    part, supplier = _t(spark, sf_dir, "part", "supplier")
     pts = part.select(
         "p_partkey",
         "p_brand",
@@ -45,15 +56,46 @@ def q_centroid_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
         wkt_point_y("geometry").alias("y"),
         F.element_at(wkt_coords("geometry"), 1).try_cast("double").alias("x_via_coords"),
     )
-    return parsed.groupBy("p_brand").agg(
+    brand = parsed.groupBy("p_brand").agg(
         (F.sum("x") / F.count(F.lit(1))).alias("centroid_x"),
         (F.sum("y") / F.count(F.lit(1))).alias("centroid_y"),
         F.sum((F.col("x") == F.col("x_via_coords")).cast("long")).alias("parse_agree"),
         F.count(F.lit(1)).alias("n_points"),
+    ).select(
+        F.lit("brand_points").alias("kind"),
+        F.col("p_brand").alias("gkey"),
+        F.lit(None).cast("string").alias("geometry"),
+        "centroid_x",
+        "centroid_y",
+        "parse_agree",
+        "n_points",
     )
 
+    k = F.col("s_suppkey")
+    geom = F.format_string(
+        "LINESTRING (%s %s, %s %s, %s %s)",
+        (k * 11 % 100).cast("string"),
+        (k * 13 % 100).cast("string"),
+        (k * 17 % 100).cast("string"),
+        (k * 19 % 100).cast("string"),
+        (k * 23 % 100).cast("string"),
+        (k * 29 % 100).cast("string"),
+    )
+    lines = supplier.select("s_suppkey", geom.alias("geometry")).select(
+        F.lit("linestring").alias("kind"),
+        F.col("s_suppkey").cast("string").alias("gkey"),
+        "geometry",
+        linestring_centroid_x("geometry").alias("centroid_x"),
+        linestring_centroid_y("geometry").alias("centroid_y"),
+        F.lit(None).cast("long").alias("parse_agree"),
+        (F.size(wkt_coords("geometry")) / F.lit(2)).cast("long").alias("n_points"),
+    )
+    return brand.unionByName(lines)
 
-ORACLE_CENTROID_XY = """
+
+_PAIR_X = r"([-+]?\d+(?:\.\d+)?) [-+]?\d+(?:\.\d+)?"
+_PAIR_Y = r"[-+]?\d+(?:\.\d+)? ([-+]?\d+(?:\.\d+)?)"
+ORACLE_CENTROID_XY = f"""
 WITH pts AS (
   SELECT p_brand,
          'POINT (' || CAST((p_partkey * 37) % 1000 AS VARCHAR) || ' '
@@ -65,13 +107,37 @@ WITH pts AS (
          TRY_CAST(regexp_extract(geometry, 'POINT \\([-+]?\\d+(?:\\.\\d+)? ([-+]?\\d+(?:\\.\\d+)?)\\)', 1) AS DOUBLE) AS y,
          TRY_CAST(regexp_extract_all(geometry, '([-+]?\\d+(?:\\.\\d+)?)', 1)[1] AS DOUBLE) AS x_via_coords
   FROM pts
+), lines AS (
+  SELECT s_suppkey,
+         'LINESTRING (' || CAST(s_suppkey * 11 % 100 AS VARCHAR) || ' '
+           || CAST(s_suppkey * 13 % 100 AS VARCHAR) || ', '
+           || CAST(s_suppkey * 17 % 100 AS VARCHAR) || ' '
+           || CAST(s_suppkey * 19 % 100 AS VARCHAR) || ', '
+           || CAST(s_suppkey * 23 % 100 AS VARCHAR) || ' '
+           || CAST(s_suppkey * 29 % 100 AS VARCHAR) || ')' AS geometry
+  FROM supplier
 )
-SELECT p_brand,
+SELECT 'brand_points' AS kind,
+       p_brand AS gkey,
+       CAST(NULL AS VARCHAR) AS geometry,
        SUM(x) / count(*) AS centroid_x,
        SUM(y) / count(*) AS centroid_y,
        CAST(SUM(CAST(x = x_via_coords AS BIGINT)) AS BIGINT) AS parse_agree,
        count(*) AS n_points
 FROM parsed GROUP BY p_brand
+UNION ALL
+SELECT 'linestring',
+       CAST(s_suppkey AS VARCHAR),
+       geometry,
+       list_reduce(list_transform(regexp_extract_all(geometry, '{_PAIR_X}', 1),
+                                  t -> CAST(t AS DOUBLE)), (a, x) -> a + x)
+         / len(regexp_extract_all(geometry, '{_PAIR_X}', 1)),
+       list_reduce(list_transform(regexp_extract_all(geometry, '{_PAIR_Y}', 1),
+                                  t -> CAST(t AS DOUBLE)), (a, x) -> a + x)
+         / len(regexp_extract_all(geometry, '{_PAIR_Y}', 1)),
+       CAST(NULL AS BIGINT),
+       CAST(len(regexp_extract_all(geometry, '([-+]?\\d+(?:\\.\\d+)?)', 1)) // 2 AS BIGINT)
+FROM lines
 """
 
 
@@ -113,57 +179,7 @@ FROM works w JOIN sites s
 """
 
 
-# --- X8 linestring_centroid: vertex-mean centroid of WKT linestrings --------
-def q_linestring_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST_Centroid analog on synthesized 3-vertex LINESTRINGs (the
-    reference computes centroids of permit work-location linestrings,
-    ``stg_emergency_works_by_authority.sql:24-38``)."""
-    (supplier,) = _t(spark, sf_dir, "supplier")
-    k = F.col("s_suppkey")
-    geom = F.format_string(
-        "LINESTRING (%s %s, %s %s, %s %s)",
-        (k * 11 % 100).cast("string"),
-        (k * 13 % 100).cast("string"),
-        (k * 17 % 100).cast("string"),
-        (k * 19 % 100).cast("string"),
-        (k * 23 % 100).cast("string"),
-        (k * 29 % 100).cast("string"),
-    )
-    df = supplier.select("s_suppkey", geom.alias("geometry"))
-    return df.select(
-        "s_suppkey",
-        "geometry",
-        linestring_centroid_x("geometry").alias("centroid_x"),
-        linestring_centroid_y("geometry").alias("centroid_y"),
-    )
-
-
-_PAIR_X = r"([-+]?\d+(?:\.\d+)?) [-+]?\d+(?:\.\d+)?"
-_PAIR_Y = r"[-+]?\d+(?:\.\d+)? ([-+]?\d+(?:\.\d+)?)"
-ORACLE_LINESTRING_CENTROID = f"""
-WITH g AS (
-  SELECT s_suppkey,
-         'LINESTRING (' || CAST(s_suppkey * 11 % 100 AS VARCHAR) || ' '
-           || CAST(s_suppkey * 13 % 100 AS VARCHAR) || ', '
-           || CAST(s_suppkey * 17 % 100 AS VARCHAR) || ' '
-           || CAST(s_suppkey * 19 % 100 AS VARCHAR) || ', '
-           || CAST(s_suppkey * 23 % 100 AS VARCHAR) || ' '
-           || CAST(s_suppkey * 29 % 100 AS VARCHAR) || ')' AS geometry
-  FROM supplier
-)
-SELECT s_suppkey, geometry,
-       list_reduce(list_transform(regexp_extract_all(geometry, '{_PAIR_X}', 1),
-                                  t -> CAST(t AS DOUBLE)), (a, x) -> a + x)
-         / len(regexp_extract_all(geometry, '{_PAIR_X}', 1)) AS centroid_x,
-       list_reduce(list_transform(regexp_extract_all(geometry, '{_PAIR_Y}', 1),
-                                  t -> CAST(t AS DOUBLE)), (a, x) -> a + x)
-         / len(regexp_extract_all(geometry, '{_PAIR_Y}', 1)) AS centroid_y
-FROM g
-"""
-
-
 QUERIES = {
     "centroid_xy": (q_centroid_xy, ORACLE_CENTROID_XY),
-    "linestring_centroid": (q_linestring_centroid, ORACLE_LINESTRING_CENTROID),
     "range_join_bbox": (q_range_join_bbox, ORACLE_RANGE_JOIN_BBOX),
 }

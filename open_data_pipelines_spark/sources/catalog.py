@@ -322,6 +322,9 @@ def resolve_url(
     Network-touching strategies take the fetched payload via ``fetch``
     / ``catalogue`` injectables (same pattern as
     :mod:`.discovery`'s tests) so resolution is unit-testable offline.
+    When ``catalogue`` is omitted but ``fetch`` is given, the JSON
+    catalogue strategies fetch+parse ``base_url`` themselves — so a
+    caller only ever needs to supply ``fetch``.
     """
     base = cfg.base_url.rstrip("/")
     if cfg.discovery == "static":
@@ -330,22 +333,30 @@ def resolve_url(
         if year is not None and month is not None:
             return discovery.monthly_links(base, (year, month), (year, month))[0]
         return discovery.latest_month_link(base)
-    if cfg.discovery == "ckan_latest":
-        assert catalogue is not None, "ckan_latest needs the package_show payload"
-        resources = discovery.filter_ckan_resources(
-            catalogue, fmt=cfg.discovery_args.get("format", "CSV")
-        )
-        if not resources:
-            raise LookupError(f"no matching CKAN resources at {cfg.base_url}")
-        return resources[0]["url"]  # newest first
-    if cfg.discovery == "os_product":
-        assert catalogue is not None, "os_product needs the products payload"
+    if cfg.discovery in ("ckan_latest", "os_product"):
+        if catalogue is None:
+            if fetch is None:
+                raise ValueError(
+                    f"{cfg.discovery} discovery for {cfg.name!r} needs either the "
+                    f"catalogue payload or a fetch callable"
+                )
+            import json
+
+            catalogue = json.loads(fetch(cfg.base_url))
+        if cfg.discovery == "ckan_latest":
+            resources = discovery.filter_ckan_resources(
+                catalogue, fmt=cfg.discovery_args.get("format", "CSV")
+            )
+            if not resources:
+                raise LookupError(f"no matching CKAN resources at {cfg.base_url}")
+            return resources[0]["url"]  # newest first
         product = discovery.select_product(
             catalogue, cfg.discovery_args["product_id"], cfg.discovery_args.get("fmt")
         )
         return product["url"]
     if cfg.discovery == "scrape":
-        assert fetch is not None, "scrape needs a fetch injectable"
+        if fetch is None:
+            raise ValueError(f"scrape discovery for {cfg.name!r} needs a fetch callable")
         links = discovery.scrape_links(
             fetch(cfg.base_url),
             href_pattern=cfg.discovery_args.get("href_pattern"),
@@ -355,7 +366,8 @@ def resolve_url(
             raise LookupError(f"no matching links at {cfg.base_url}")
         return links[0]
     if cfg.discovery == "redirect":
-        assert fetch is not None, "redirect needs a fetch injectable"
+        if fetch is None:
+            raise ValueError(f"redirect discovery for {cfg.name!r} needs a fetch callable")
         return discovery.resolve_redirect(cfg.base_url, fetch)
     raise KeyError(f"unknown discovery strategy {cfg.discovery!r}")
 
@@ -371,17 +383,32 @@ def run_source(
     month: int,
     url: str | None = None,
     opener: Callable = urllib.request.urlopen,
+    fetch: Callable[[str], str] | None = None,
+    catalogue: dict | list | None = None,
     json_schema=None,
 ) -> DataFrame | dict[str, DataFrame]:
     """Run a catalogued source end-to-end by name.
 
     ``url`` overrides discovery (fixtures / pinned drops); everything
-    else comes from the catalog row. Gated ingest kinds (ods /
-    encrypted_xls / geopackage) raise their module's engine-unavailable
-    error — same contract as calling the loader directly.
+    else comes from the catalog row. The scrape / redirect / ckan /
+    os_product strategies resolve through ``fetch`` (defaults to a
+    urllib GET via ``opener``, injectable for offline tests) and/or a
+    pre-fetched ``catalogue`` payload — so every catalogued source is
+    runnable by name alone. Gated ingest kinds (ods / encrypted_xls /
+    geopackage) raise their module's engine-unavailable error — same
+    contract as calling the loader directly.
     """
     cfg = CATALOG[name]
-    resolved = url if url is not None else resolve_url(cfg, year=year, month=month)
+    if fetch is None:
+        def fetch(u: str) -> str:  # pragma: no cover - network default
+            with opener(u) as resp:
+                return resp.read().decode("utf-8", "replace")
+
+    resolved = (
+        url
+        if url is not None
+        else resolve_url(cfg, year=year, month=month, fetch=fetch, catalogue=catalogue)
+    )
 
     if cfg.ingest in ("zip_csv", "csv"):
         mcfg = MonthlyIngestConfig(
@@ -394,17 +421,23 @@ def run_source(
             member_glob=cfg.member_glob,
             strict_schema=cfg.columns is not None,
         )
+        table_name = cfg.table_template.format(year=year, month=month)
         if cfg.ingest == "csv":
             # direct CSV: land the single file, then the same silver path
             local = download_to_landing(resolved, landing_dir, opener=opener)
-            return _ingest_csv_files(spark, mcfg, [local], warehouse_path, log_path)
+            return _ingest_csv_files(
+                spark, mcfg, [local], warehouse_path, log_path, table_name=table_name
+            )
         members = fetch_and_extract(resolved, landing_dir, cfg.member_glob, opener=opener)
-        return _ingest_csv_files(spark, mcfg, members, warehouse_path, log_path)
+        return _ingest_csv_files(
+            spark, mcfg, members, warehouse_path, log_path, table_name=table_name
+        )
 
     if cfg.ingest == "zip_json":
         from .json_source import read_json_events
 
-        assert json_schema is not None, "zip_json ingest needs a declared schema"
+        if json_schema is None:
+            raise ValueError("zip_json ingest needs a declared schema (json_schema=)")
         members = fetch_and_extract(resolved, landing_dir, cfg.member_glob, opener=opener)
         # read only the extracted members (the landing dir also holds the zip)
         return read_json_events(spark, members, json_schema)
@@ -435,9 +468,12 @@ def _ingest_csv_files(
     files: list[str],
     warehouse_path: str,
     log_path: str,
+    table_name: str | None = None,
 ) -> DataFrame:
     """Shared CSV silver path for already-landed files (the body of
-    ``run_monthly_ingest`` minus the zip download)."""
+    ``run_monthly_ingest`` minus the zip download). ``table_name``
+    carries the catalog row's ``table_template`` (e.g. a ``_latest``
+    style name) into the metadata log; monthly default otherwise."""
     from pyspark.sql import functions as F
 
     from ..functions.cleaning import (
@@ -452,7 +488,7 @@ def _ingest_csv_files(
         spark,
         log_path,
         data_source=mcfg.data_source,
-        table_name=f"{mcfg.month:02d}_{mcfg.year}",
+        table_name=table_name or f"{mcfg.month:02d}_{mcfg.year}",
         processor_type="catalog_ingest",
         url=mcfg.url,
     ) as meta:
@@ -463,7 +499,8 @@ def _ingest_csv_files(
             bronze = read_csv_bronze(spark, path, expected, strict=mcfg.strict_schema)
             part = normalize_column_names(bronze)
             silver = part if silver is None else silver.unionByName(part)
-        assert silver is not None, "no files to ingest"
+        if silver is None:
+            raise ValueError("no files to ingest")
         for col, typ in mcfg.numeric_columns.items():
             silver = silver.withColumn(col, safe_cast(normalize_null_tokens(col), typ))
         silver = (

@@ -140,10 +140,28 @@ def drain_to_parquet(
     checkpoint dir gives exactly-once across restarts (K7/I3 pairing:
     attach :class:`..streaming.listener.MetadataStreamListener` for
     the per-batch metadata rows).
+
+    Mode-aware writer: ``complete`` batches carry the full result, so
+    overwrite is correct; ``append`` batches carry only newly-finalized
+    windows, so they must be *appended* (overwriting would keep only
+    the last micro-batch when availableNow splits the backlog).
+    ``update`` batches carry only changed groups — neither overwrite
+    nor append yields a consistent file table, so it is rejected
+    (a transactional MERGE sink is required for update mode).
+    Append-mode delivery is AT-LEAST-ONCE across crash-restarts (same
+    caveat as :func:`stream_to_month_partitions`); complete-mode
+    overwrite stays idempotent.
     """
+    if output_mode not in ("complete", "append"):
+        raise ValueError(
+            f"drain_to_parquet supports output_mode 'complete' or 'append', "
+            f"got {output_mode!r} (update-mode batches only contain changed "
+            f"groups; a plain file sink cannot merge them)"
+        )
+    file_mode = "overwrite" if output_mode == "complete" else "append"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_path)
+        batch_df.write.mode(file_mode).parquet(out_path)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

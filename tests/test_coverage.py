@@ -29,11 +29,22 @@ def test_every_survey_query_implemented():
     assert not missing, f"SURVEY §2 declares driver queries not in registry: {sorted(missing)}"
 
 
-def test_every_query_runs_or_has_reason():
-    """Every registry entry either has an oracle or is one of the
-    documented rows-only ops (non-portable hash machinery)."""
+def test_every_query_has_oracle():
+    """Round 3 invariant: every registry entry is oracle-checkable —
+    no rows-only queries left (approx_distinct got its boolean-envelope
+    oracle; ann_lsh_bucketed was retired into ann_lsh_topk)."""
     from open_data_pipelines_spark.queries import registry
 
-    rows_only_allowed = {"ann_lsh_bucketed", "approx_distinct"}
     for name, (_fn, oracle) in registry().items():
-        assert oracle is not None or name in rows_only_allowed, name
+        assert oracle is not None, name
+
+
+def test_registry_fits_driver_window():
+    """The driver records CORRECTNESS rows for at most the first 50
+    registry entries (r01/r02 artifacts each have exactly 50 rows while
+    the registry had 52/54 — positions past 50 silently lose
+    verification). Keep the registry at <=50 so every query keeps its
+    driver coverage."""
+    from open_data_pipelines_spark.queries import registry
+
+    assert len(registry()) <= 50, len(registry())

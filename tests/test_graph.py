@@ -43,3 +43,31 @@ def test_convergence_guard(spark):
     e = _edges(spark, [(6, 5), (5, 4), (4, 3), (3, 2), (2, 1)])
     with pytest.raises(ConvergenceError):
         connected_components(e, max_rounds=1)
+
+
+def test_star_matches_propagation(spark):
+    # multi-component graph incl. out-of-order labels: both algorithms
+    # must produce identical (node, component) labelings
+    pairs = [(5, 2), (2, 9), (9, 1), (20, 30), (30, 25), (40, 41), (41, 40)]
+    e = _edges(spark, pairs)
+    prop = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(e, algorithm="star").collect()
+    }
+    assert star == prop
+
+
+def test_star_converges_on_deep_chain(spark):
+    # 100-node descending chain: diameter 99. Propagation at
+    # max_rounds=25 raises; star contraction converges well within 25
+    # rounds (O(log^2 n)) and labels the whole chain with its minimum.
+    chain = [(i + 1, i) for i in range(1, 100)]  # 100-99-...-2-1
+    e = _edges(spark, chain)
+    with pytest.raises(ConvergenceError):
+        connected_components(e, max_rounds=25)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, algorithm="star", max_rounds=25).collect()
+    }
+    assert got == {i: 1 for i in range(1, 101)}

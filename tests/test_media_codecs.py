@@ -50,6 +50,21 @@ def test_bmp_round_trip_with_row_padding():
     assert decode_bmp(encode_bmp(3, 2, d["payload"]))["payload"] == d["payload"]
 
 
+def test_bmp_rejects_nonpositive_dimensions():
+    bmp = bytearray(checkerboard_bmp(3, 2))
+    struct.pack_into("<i", bmp, 18, 0)  # width = 0
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(bmp))
+    bmp = bytearray(checkerboard_bmp(3, 2))
+    struct.pack_into("<i", bmp, 18, -3)  # negative width
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(bmp))
+    bmp = bytearray(checkerboard_bmp(3, 2))
+    struct.pack_into("<i", bmp, 22, 0)  # height = 0
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(bmp))
+
+
 def test_wav_parse_fields():
     wav = sine_wav(800, 8000)
     d = decode_wav(wav)
