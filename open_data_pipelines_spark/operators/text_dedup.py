@@ -144,6 +144,7 @@ def candidates_from_shingled(
     k: int = 8,
     bands: int = 4,
     fast: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing >= 1 band.
 
@@ -152,6 +153,18 @@ def candidates_from_shingled(
     every short doc with every other (quadratic blowup on corpora with
     many sub-n-token rows). The signature projection is persisted so
     the k minhash scans aren't re-evaluated per join side.
+
+    ``max_bucket_size`` is the heavy-hitter guard for skewed corpora:
+    a band bucket holding f*N docs (mass boilerplate / mass duplicates)
+    emits ~(f*N)^2/2 pairs — at f=0.3 that is quadratic in corpus size
+    and no join strategy fixes it, because the OUTPUT is quadratic.
+    Buckets above the cap are excluded via an anti-join on the
+    (band_id, band_hash) key the banding is already partitioned by.
+    The standard pipeline composition makes this lossless in practice:
+    run exact dedup (full-text hash, :func:`dedup_exact`) FIRST — it
+    collapses identical texts that mega-buckets are made of in one
+    linear pass — then LSH with a cap handles the near-dup tail.
+    Audit what a cap would drop with :func:`band_bucket_stats`.
     """
     rows = k // bands
     sig = (
@@ -167,10 +180,53 @@ def candidates_from_shingled(
             "band_id", "band_hash"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        # heavy hitters are few by definition (<= N/cap buckets, in
+        # practice a handful) -> broadcast anti-join, no extra shuffle
+        # of the banded rows
+        banded = banded.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
     return pairs.select("id_a", "id_b").distinct()
+
+
+def band_bucket_stats(
+    shingled: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    fast: bool = False,
+    min_size: int = 2,
+) -> DataFrame:
+    """(band_id, band_hash, bucket_size) for band buckets holding >=
+    ``min_size`` docs — the skew audit for :func:`candidates_from_shingled`:
+    the top rows are exactly the buckets a ``max_bucket_size`` cap
+    would drop, and sum(n*(n-1)/2) over them is the candidate-pair
+    mass they would have emitted."""
+    rows = k // bands
+    sig = (
+        shingled.filter(F.size("__sh") > 0)
+        .select(F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh"))
+        .select(F.col(id_col), minhash_signature_from_base(F.col("__bh"), k).alias("__sig"))
+    )
+    return (
+        sig.select(
+            id_col,
+            F.posexplode(F.array(*lsh_bands(F.col("__sig"), bands, rows))).alias(
+                "band_id", "band_hash"
+            ),
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") >= min_size)
+    )
 
 
 def jaccard_from_shingled(
@@ -221,9 +277,12 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     fast: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from raw text (shingles + banding)."""
-    return candidates_from_shingled(shingle_corpus(df, text_col, id_col, n), id_col, k, bands, fast)
+    return candidates_from_shingled(
+        shingle_corpus(df, text_col, id_col, n), id_col, k, bands, fast, max_bucket_size
+    )
 
 
 def jaccard_pairs(
@@ -246,12 +305,13 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.3,
     fast: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard ->
     threshold. The shingled corpus is computed ONCE (persisted) and
     shared by both stages."""
     shingled = shingle_corpus(df, text_col, id_col, n)
-    pairs = candidates_from_shingled(shingled, id_col, k, bands, fast)
+    pairs = candidates_from_shingled(shingled, id_col, k, bands, fast, max_bucket_size)
     verified = jaccard_from_shingled(shingled, pairs, id_col)
     return verified.filter(F.col("jaccard") >= F.lit(threshold))
 

@@ -434,13 +434,42 @@ def run_source(
         )
 
     if cfg.ingest == "zip_json":
+        from pyspark.sql import functions as F
+
+        from ..sinks.metadata import MetadataLogger
+        from ..sinks.writers import write_month_partition
         from .json_source import read_json_events
 
         if json_schema is None:
             raise ValueError("zip_json ingest needs a declared schema (json_schema=)")
-        members = fetch_and_extract(resolved, landing_dir, cfg.member_glob, opener=opener)
-        # read only the extracted members (the landing dir also holds the zip)
-        return read_json_events(spark, members, json_schema)
+        with MetadataLogger(
+            spark,
+            log_path,
+            data_source=cfg.name,
+            table_name=cfg.table_template.format(year=year, month=month),
+            processor_type="catalog_ingest",
+            url=resolved,
+        ) as meta:
+            members = fetch_and_extract(
+                resolved, landing_dir, cfg.member_glob, opener=opener
+            )
+            # read only the extracted members (the landing dir also holds the zip)
+            flat = read_json_events(spark, members, json_schema)
+            silver = (
+                flat.withColumn("year", F.lit(year))
+                .withColumn("month", F.lit(month))
+                .withColumn("date_time_processed", F.current_timestamp())
+            )
+            # dynamic month overwrite -> idempotent re-runs (reference:
+            # street_manager.py:202-265 rebuilds the month table,
+            # motherduck.py:69-71 CREATE OR REPLACE)
+            write_month_partition(silver, warehouse_path)
+            meta.rows_processed = (
+                spark.read.parquet(warehouse_path)
+                .filter((F.col("year") == year) & (F.col("month") == month))
+                .count()
+            )
+            return silver
 
     if cfg.ingest == "gtfs":
         local = download_to_landing(resolved, landing_dir, opener=opener)

@@ -218,3 +218,59 @@ def test_gated_kinds_raise_cleanly(spark, tmp_path):
             month=1,
             url=f"file://{ods}",
         )
+
+
+def test_zip_json_catalog_ingest_idempotent_at_scale(spark, tmp_path):
+    """Street Manager-shaped catalog run at non-toy size (100k events,
+    the sf0.1 `events` row count): config-lookup-only ingest must be
+    re-run-safe — the second run dynamic-overwrites the same month
+    instead of appending, and both runs log SUCCESS metadata with the
+    true warehouse row count (reference behavior:
+    ``src/data_processors/street_manager.py:202-265`` rebuild +
+    ``src/databases/motherduck.py:69-71`` CREATE OR REPLACE)."""
+    n = 100_000
+    z = tmp_path / "03.zip"
+    with zipfile.ZipFile(z, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        lines = "\n".join(
+            json.dumps(
+                {
+                    "event_reference": i,
+                    "event_type": ("PERMIT_GRANTED", "WORK_START", "WORK_STOP")[i % 3],
+                    "event_time": f"2024-03-{(i % 28) + 1:02d}T10:00:00",
+                    "object_data": {
+                        "permit_reference_number": f"PRN-{i % 5000}",
+                        "work_category": ("Major", "Minor", "Standard")[i % 3],
+                        "usrn": str(10_000 + (i % 700)),
+                    },
+                }
+            )
+            for i in range(n)
+        )
+        zf.writestr("permits.json", lines)
+
+    wh = str(tmp_path / "wh")
+    logs = str(tmp_path / "logs")
+    kwargs = dict(
+        landing_dir=str(tmp_path / "landing"),
+        warehouse_path=wh,
+        log_path=logs,
+        year=2024,
+        month=3,
+        url=f"file://{z}",
+        json_schema=SM_SCHEMA,
+    )
+    run_source(spark, "street_manager", **kwargs)
+    first = spark.read.parquet(wh).count()
+    assert first == n
+
+    run_source(spark, "street_manager", **kwargs)  # identical re-run
+    table = spark.read.parquet(wh)
+    assert table.count() == n  # month overwritten, not doubled
+    # flattened silver schema intact at scale
+    assert {"event_reference", "permit_reference_number", "year", "month"} <= set(
+        table.columns
+    )
+    log = spark.read.parquet(logs).collect()
+    assert [r["status"] for r in log] == ["SUCCESS", "SUCCESS"]
+    assert all(r["rows_processed"] == n for r in log)
+    assert all(r["table_name"] == "03_2024" for r in log)

@@ -69,3 +69,50 @@ def test_available_now_run_with_listener_equals_batch(spark, tmp_path):
         assert any(r["watermark"] for r in prog), "event-time watermark not recorded"
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """VERDICT r2 item 5: session-gap windows with watermark, drained
+    availableNow in APPEND mode (the one windowing family that had no
+    streaming-mode proof), asserted equal to the batch session
+    aggregation on the same data.
+
+    Append mode only emits a session once the watermark passes its
+    close, so a single far-future sentinel event (excluded from the
+    comparison) pushes the global watermark beyond every real
+    session's end before the stream terminates.
+    """
+    from open_data_pipelines_spark.streaming.windows import sessionized_counts
+
+    events = load_tables(spark, SF_SMOKE, register_views=False)["events"]
+    gap, delay = "30 minutes", "2 hours"
+
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = spark.createDataFrame(
+        [(int(-1), int(-1), "FLUSH", 0.0, max_ts)],
+        schema=events.select("event_id", "user_id", "event_type", "value", "ts").schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 27 HOURS"))
+
+    src = str(tmp_path / "landing")
+    events.select(sentinel.columns).write.parquet(src)
+    sentinel.write.mode("append").parquet(src)
+
+    stream = sessionized_counts(
+        read_event_stream(spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1),
+        gap=gap,
+        watermark=delay,
+    )
+    out = str(tmp_path / "sessions_table")
+    drain_to_parquet(stream, out, str(tmp_path / "ckpt_sessions"), output_mode="append")
+
+    got = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    }
+    batch = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expect = {(r["w"]["start"], r["user_id"]): r["n"] for r in batch}
+    assert got == expect

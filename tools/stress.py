@@ -7,6 +7,7 @@ Evidence for the 100 TB posture: the engine's plans are size-oblivious
 roughly linearly with rows on a fixed core count.
 
     python tools/stress.py [factor] [--keep]
+    python tools/stress.py --skew [n_docs]     # LSH heavy-hitter band scenario
 """
 
 from __future__ import annotations
@@ -55,7 +56,96 @@ def build(spark, factor: int, dest: str) -> None:
             df.write.mode("overwrite").parquet(out_path)
 
 
+def skew_scenario(n_docs: int = 20_000, hot_fraction: float = 0.3) -> None:
+    """Heavy-hitter band stress for the MinHash-LSH candidate join.
+
+    30% of the corpus shares one boilerplate body (unique short tails),
+    so their minhash signatures — and hence all their band buckets —
+    collide: one bucket holds f*N docs and the candidate join's output
+    is ~(f*N)^2/2 pairs. This measures (a) the uncapped join: runtime
+    bounded but output quadratic — the honest cost of mass-duplicates
+    reaching LSH; (b) max_bucket_size=64: the cap drops the degenerate
+    buckets (reported, not silent) and the pipeline stays linear. The
+    production composition is dedup_exact FIRST (collapses identical
+    texts), cap as the safety net. See candidates_from_shingled docs.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.text_dedup import (
+        band_bucket_stats,
+        minhash_lsh_candidates,
+        scale_out,
+        shingle_corpus,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    boiler = " ".join(f"boilerplate clause {i} applies to every standard permit" for i in range(12))
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % F.lit(int(1 / hot_fraction)) == 0,
+                F.concat(F.lit(boiler + " ref "), F.col("id").cast("string")),
+            )
+            .otherwise(
+                # unique tails: distinct shingle sets, no hot bucket
+                F.concat(
+                    F.lit("unique district works notice number "),
+                    F.col("id").cast("string"),
+                    F.lit(" issued by authority "),
+                    (F.col("id") * 7919 % 1000).cast("string"),
+                    F.lit(" for street segment "),
+                    (F.col("id") * 104729 % 10000).cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+        .transform(scale_out)
+        .persist()
+    )
+    docs.count()
+
+    report: dict = {"scenario": "lsh_skew", "n_docs": n_docs, "hot_fraction": hot_fraction}
+
+    stats = (
+        band_bucket_stats(shingle_corpus(docs, "text", "doc_id"), "doc_id", min_size=65)
+        .agg(
+            F.count(F.lit(1)).alias("hot_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum(
+                (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
+            ).alias("pair_mass_above_cap"),
+        )
+        .collect()[0]
+    )
+    report["audit"] = {
+        "hot_buckets": stats["hot_buckets"],
+        "max_bucket": stats["max_bucket"],
+        "pair_mass_above_cap": stats["pair_mass_above_cap"],
+    }
+
+    for label, cap in (("uncapped", None), ("capped_64", 64)):
+        t0 = time.perf_counter()
+        n_pairs = minhash_lsh_candidates(
+            docs, "text", "doc_id", max_bucket_size=cap
+        ).count()
+        report[label] = {"pairs": n_pairs, "sec": round(time.perf_counter() - t0, 2)}
+
+    print(json.dumps(report))
+    docs.unpersist()
+
+
 def main() -> None:
+    if "--skew" in sys.argv:
+        n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 20_000)
+        skew_scenario(n)
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     keep = "--keep" in sys.argv
     dest = f"/tmp/stress_x{factor}"
