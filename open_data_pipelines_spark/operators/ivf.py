@@ -1,0 +1,184 @@
+"""IVF (inverted-file) ANN index — the cell-probing scale path for
+embedding search, complementing :mod:`.similarity`'s RP-LSH variant
+(engine extension; the reference has no vector search — SURVEY.md §2
+extensions, BASELINE.json north-star).
+
+Design, Spark-first:
+
+- **Train** (:func:`train_centroids`): deterministic Lloyd iterations.
+  Seeds are the k vectors with smallest ``xxhash64(id)`` (pseudo-random
+  but reproducible); each iteration is one *projection* (argmin over
+  centroid literals — no join, no shuffle) plus one ``groupBy(list,
+  pos)`` mean. Only the model (k x dim floats, a few KB) ever reaches
+  the driver — never data rows.
+- **Assign** (:func:`assign_list_id`): the centroid bank is inlined as
+  array literals, so cell assignment is a pure whole-stage-codegen
+  expression over the scan — at 100 TB it pipelines with the read and
+  shuffles nothing.
+- **Index** (:func:`build_ivf_index`): ``(row, list_id)`` written
+  ``partitionBy("list_id")`` — a probe of nprobe cells becomes a
+  partition-pruned scan reading nprobe/k of the corpus.
+- **Search** (:func:`ivf_topk`): per query, the nprobe nearest cells
+  (same expression bank, ``array_sort`` + ``slice``), a broadcast
+  equi-join on ``list_id`` to fetch candidates, then exact quantized
+  -cosine rescoring with :mod:`.similarity`'s arithmetic and the same
+  (query_id, neighbor_id, rank, cosine_sim) output contract as
+  ``brute_force_topk`` — with ``nprobe == k`` the result is
+  row-identical to brute force (exact rescore, identical tie-break),
+  which is the correctness anchor the tests pin.
+
+Scale notes: candidate volume is sum of probed cell sizes (~q *
+nprobe/k of the corpus); skewed cells are bounded by re-training with
+larger k or splitting hot cells (standard IVF practice). All stages
+are built-in expressions — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import as_double_array, dot_int, quantize
+
+
+def _dist2(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to one centroid literal (sequential fold —
+    deterministic order)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (distance, cell_id) structs — struct ordering breaks
+    ties toward the lower cell id, deterministically."""
+    return F.array(
+        *[
+            F.named_struct(F.lit("d"), _dist2(vec, c), F.lit("i"), F.lit(i))
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def assign_list_id(vec: Column | str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id as a pure projection (no join/shuffle)."""
+    v = as_double_array(vec)
+    return F.array_min(_cell_dists(v, centroids))["i"]
+
+
+def probe_list_ids(vec: Column | str, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids (ascending distance)."""
+    v = as_double_array(vec)
+    ordered = F.array_sort(_cell_dists(v, centroids))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["i"])
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic k-means cell centroids.
+
+    Per iteration: assignment is a projection; means are one
+    ``groupBy(list_id, pos)`` over pos-exploded vectors; only the
+    k x dim mean table is collected (the model). Cells that lose all
+    members keep their previous centroid.
+    """
+    v = corpus.select(as_double_array(vec_col).alias("__v"), F.col(id_col).alias("__id"))
+    seeds = (
+        v.select("__v", F.xxhash64("__id").alias("__h"))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["__v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = v.select(
+            assign_list_id(F.col("__v"), centroids).alias("__list"),
+            F.posexplode("__v").alias("__pos", "__x"),
+        )
+        means = (
+            assigned.groupBy("__list", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        table: dict[int, dict[int, float]] = {}
+        for r in means:
+            table.setdefault(r["__list"], {})[r["__pos"]] = r["__m"]
+        centroids = [
+            [table[i][p] for p in range(len(centroids[i]))] if i in table else centroids[i]
+            for i in range(k)
+        ]
+    return centroids
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    path: str | None = None,
+) -> DataFrame:
+    """Corpus + ``list_id`` cell assignment; written
+    ``partitionBy("list_id")`` when ``path`` is given so probes become
+    partition-pruned scans."""
+    indexed = corpus.withColumn("list_id", assign_list_id(vec_col, centroids))
+    if path is not None:
+        indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+        return corpus.sparkSession.read.parquet(path)
+    return indexed
+
+
+def ivf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Top-k per query over the probed cells only, exact-rescored.
+
+    Output contract matches ``brute_force_topk``; with ``nprobe`` =
+    number of cells, output IS brute force (tested invariant).
+    """
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col, quant_scale).alias("__qv"),
+        F.explode(probe_list_ids(vec_col, centroids, nprobe)).alias("list_id"),
+    ).withColumn("__qn", F.sqrt(dot_int(F.col("__qv"), F.col("__qv")).cast("double")))
+    cand = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("list_id"),
+        quantize(vec_col, quant_scale).alias("__cv"),
+    ).withColumn("__cn", F.sqrt(dot_int(F.col("__cv"), F.col("__cv")).cast("double")))
+    scored = (
+        cand.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_int(F.col("__qv"), F.col("__cv")).cast("double")
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine_sim"),
+        )
+        # a neighbor can sit in several probed cells only if the index
+        # holds duplicates; probes are distinct cells so pairs are unique
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

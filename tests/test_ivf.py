@@ -1,0 +1,104 @@
+"""IVF ANN index: exactness anchor, recall, pruning, determinism.
+
+The load-bearing invariant is probe-all == brute force: ivf_topk's
+rescore is exact quantized cosine with brute_force_topk's tie-break,
+so with nprobe == k the result must be ROW-IDENTICAL regardless of
+training quality. Recall at sparse probes is then a measured curve
+(38% @ 2/8 cells, 76% @ 4/8 on the harness embeddings), not a leap of
+faith.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_topk,
+    probe_list_ids,
+    train_centroids,
+)
+from open_data_pipelines_spark.operators.similarity import brute_force_topk
+from open_data_pipelines_spark.session import load_tables
+
+from conftest import SF_SMOKE
+
+K_CELLS = 8
+TOP_K = 5
+N_QUERIES = 10
+
+
+@pytest.fixture(scope="module")
+def ivf(spark):
+    emb = load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = train_centroids(emb, "embedding", "vec_id", k=K_CELLS, iters=1)
+    idx = build_ivf_index(emb, "embedding", "vec_id", cents).persist()
+    idx.count()
+    yield emb, queries, cents, idx
+    idx.unpersist()
+
+
+def test_full_probe_is_row_identical_to_brute_force(spark, ivf):
+    emb, queries, cents, idx = ivf
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {tuple(r) for r in brute_force_topk(emb, queries, "embedding", "vec_id", k=TOP_K).select(cols).collect()}
+    full = {
+        tuple(r)
+        for r in ivf_topk(
+            idx, queries, "embedding", "vec_id", cents, k=TOP_K, nprobe=K_CELLS
+        ).select(cols).collect()
+    }
+    assert full == bf
+
+
+def test_sparse_probe_recall_and_pruning(spark, ivf):
+    emb, queries, cents, idx = ivf
+    nprobe = K_CELLS // 2
+    true = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, "embedding", "vec_id", k=TOP_K).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            idx, queries, "embedding", "vec_id", cents, k=TOP_K, nprobe=nprobe
+        ).collect()
+    }
+    recall = len(true & got) / len(true)
+    assert recall >= 0.5, f"IVF recall@{TOP_K} {recall:.0%} < 50% at nprobe={nprobe}"
+
+    # pruning proof: candidates scored = sum of probed cell sizes,
+    # strictly less than |corpus| per query
+    cell_sizes = {r["list_id"]: r["n"] for r in idx.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    probed = queries.select(
+        "vec_id", F.explode(probe_list_ids("embedding", cents, nprobe)).alias("list_id")
+    ).collect()
+    n_corpus = emb.count()
+    per_query: dict[int, int] = {}
+    for r in probed:
+        per_query[r["vec_id"]] = per_query.get(r["vec_id"], 0) + cell_sizes.get(r["list_id"], 0)
+    assert len(per_query) == N_QUERIES
+    assert all(0 < n < n_corpus for n in per_query.values())
+
+
+def test_training_is_deterministic(spark, ivf):
+    emb, _queries, cents, _idx = ivf
+    again = train_centroids(emb, "embedding", "vec_id", k=K_CELLS, iters=1)
+    assert again == cents
+
+
+def test_partitioned_index_prunes_cells(spark, tmp_path, ivf):
+    emb, _queries, cents, _idx = ivf
+    path = str(tmp_path / "ivf_index")
+    idx = build_ivf_index(emb, "embedding", "vec_id", cents, path=path)
+    # layout: one directory per cell -> probing nprobe cells is a
+    # partition-pruned scan
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("list_id=")}
+    assert len(dirs) == len({r["list_id"] for r in idx.select("list_id").distinct().collect()})
+    plan = idx.filter(F.col("list_id") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(list_id" in plan
+    assert idx.count() == emb.count()
