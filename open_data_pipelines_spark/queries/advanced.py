@@ -106,11 +106,15 @@ FROM events GROUP BY event_type
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketches differ per engine, so the raw approx count can't
     hash-match DuckDB. Instead emit (key, exact count, |approx-exact|/
-    exact < rsd) — the sketch still executes on the Spark side, and the
-    boolean is literally TRUE in the oracle (HLL++ at rsd=0.05 on these
-    cardinalities), making the whole frame hash-matchable."""
+    exact < 0.05) — the sketch still executes on the Spark side, and
+    the boolean is literally TRUE in the oracle, making the whole frame
+    hash-matchable. The sketch runs at rsd=0.02 against the 5%
+    envelope: HLL++ is deterministic for fixed data (hash-based, no
+    query-time randomness), and the measured max error across
+    sf0.001/0.01/0.1 is 0.67% — >7x headroom (rsd=0.05 measured 6.7%
+    at sf0.1, too close to the envelope)."""
     events = _events(spark, sf_dir)
-    both = approx_distinct(events, ["event_type"], "user_id", rsd=0.05)
+    both = approx_distinct(events, ["event_type"], "user_id", rsd=0.02)
     exact = F.col("exact_user_id").cast("double")
     approx = F.col("approx_user_id").cast("double")
     return both.select(
