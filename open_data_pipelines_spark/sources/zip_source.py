@@ -5,10 +5,22 @@ The reference streams remote ZIPs member-by-member in bounded memory
 ``src/data_processors/street_manager.py:202-265``,
 ``bduk_premises.py:95-224``, whole-zip download+extract variants
 ``os_usrn_uprn.py:68-219``). Spark reads ``.csv.gz`` natively but not
-``.zip``, so extraction is a driver-side prep step into a landing dir,
-after which the *parse* is distributed (``spark.read`` on the extracted
-members) — the cluster boundary moves from "Python row loop" to
-"driver unzips, executors parse" (SURVEY.md §3.1).
+``.zip``, so there are two engine paths:
+
+- **driver-side landing** (:func:`extract_zip` et al.): one remote zip
+  is streamed to a landing dir and extracted; executors then parse the
+  members with ``spark.read``. Right when there is ONE zip per run
+  (the reference's monthly-drop shape) of arbitrary size — extraction
+  is streamed, never buffered whole.
+- **executor-side decompression** (:func:`zip_lines_distributed`,
+  :func:`read_zip_csv_distributed`): a *fleet* of zips on (object)
+  storage is scanned with ``binaryFile`` and decompressed inside an
+  Arrow-batched ``mapInPandas`` — no driver involvement, parallelism =
+  number of zips. This is the 100 TB backfill shape (e.g. re-ingesting
+  60 monthly Street Manager drops at once). Each task holds one whole
+  zip in memory (``binaryFile`` semantics) — bound zip size by
+  ``spark.sql.files.maxPartitionBytes``-style policy at the source,
+  and fall back to the landing path for single multi-GB archives.
 
 Member extraction is streamed (``shutil.copyfileobj`` in 1 MiB chunks,
 mirroring the reference's chunk size) — no whole-member buffering.
@@ -95,3 +107,111 @@ def fetch_and_extract(
     """download + extract in one step (the common S1/S4/S10 shape)."""
     zpath = download_to_landing(url, landing_dir, opener=opener)
     return extract_zip(zpath, landing_dir, member_glob)
+
+
+# --- executor-side decompression (scale path) --------------------------------
+
+def zip_lines_distributed(
+    spark,
+    path_glob: str,
+    member_glob: str = "*",
+    encoding: str = "utf-8",
+):
+    """(zip_path, member, line) for every text line inside every
+    matching member of every zip under ``path_glob`` — decompressed on
+    EXECUTORS via ``binaryFile`` + Arrow ``mapInPandas``.
+
+    Python only splits bytes into lines; all parsing stays JVM-side:
+    feed ``line`` to ``F.from_json`` (declared schema) or ``F.from_csv``
+    downstream. BOM is stripped from each member's first line (P9).
+    """
+    import pandas as pd
+
+    out_schema = "zip_path string, member string, line string"
+
+    def explode_zip(batches):
+        import io
+
+        for pdf in batches:
+            rows: dict[str, list] = {"zip_path": [], "member": [], "line": []}
+            for zp, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir() or not fnmatch.fnmatch(
+                            info.filename, member_glob
+                        ):
+                            continue
+                        text = zf.read(info).decode(encoding, "replace")
+                        if text.startswith("\ufeff"):
+                            text = text[1:]
+                        for line in text.splitlines():
+                            if line:
+                                rows["zip_path"].append(zp)
+                                rows["member"].append(info.filename)
+                                rows["line"].append(line)
+            yield pd.DataFrame(rows)
+
+    binaries = spark.read.format("binaryFile").load(path_glob)
+    return binaries.select("path", "content").mapInPandas(explode_zip, out_schema)
+
+
+def read_zip_csv_distributed(
+    spark,
+    path_glob: str,
+    member_glob: str = "*.csv",
+    encoding: str = "utf-8",
+    columns: list[str] | None = None,
+):
+    """All-string bronze frame from CSV members across a fleet of zips,
+    decompressed + parsed executor-side (S3/S4 bronze contract: every
+    column string; members must share one header). One zip per task.
+
+    Declare ``columns`` in production (the bronze contract prefers
+    declared schemas — zero driver reads). When omitted, the header is
+    sniffed from the lexicographically-first zip: an executor reads
+    that one archive and the driver receives only its bytes (bounded
+    by one archive, never the fleet).
+    """
+    import io
+
+    import pandas as pd
+
+    if columns is None:
+        first = (
+            spark.read.format("binaryFile")
+            .load(path_glob)
+            .orderBy("path")
+            .select("content")
+            .head()
+        )
+        with zipfile.ZipFile(io.BytesIO(first["content"])) as zf:
+            member = next(
+                i.filename
+                for i in zf.infolist()
+                if not i.is_dir() and fnmatch.fnmatch(i.filename, member_glob)
+            )
+            with zf.open(member) as m:
+                header_line = (
+                    m.readline().decode(encoding, "replace").lstrip("\ufeff").rstrip("\r\n")
+                )
+        columns = [c.strip() for c in header_line.split(",")]
+    out_schema = ", ".join(f"`{c}` string" for c in columns)
+
+    def parse_members(batches):
+        for pdf in batches:
+            for _zp, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir() or not fnmatch.fnmatch(
+                            info.filename, member_glob
+                        ):
+                            continue
+                        with zf.open(info) as m:
+                            part = pd.read_csv(
+                                m, dtype=str, keep_default_na=False, encoding=encoding
+                            )
+                        part.columns = [c.strip().lstrip("\ufeff") for c in part.columns]
+                        yield part[columns]
+
+    binaries = spark.read.format("binaryFile").load(path_glob)
+    return binaries.select("path", "content").mapInPandas(parse_members, out_schema)
