@@ -491,6 +491,69 @@ def run_source(
     raise KeyError(f"unknown ingest kind {cfg.ingest!r}")
 
 
+def run_source_backfill(
+    spark: SparkSession,
+    name: str,
+    *,
+    zip_glob: str,
+    warehouse_path: str,
+    log_path: str,
+    json_schema,
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Multi-month backfill of a ``zip_json`` source from a FLEET of
+    archives (e.g. every monthly Street Manager drop re-ingested at
+    once).
+
+    Scale shape: archives decompress executor-side
+    (:func:`.zip_source.zip_lines_distributed` — parallelism = number
+    of zips, no driver landing), JSON parses JVM-side (``from_json``
+    with the declared schema), and (year, month) derive from each
+    event's own timestamp, so ONE dynamic-partition-overwrite write
+    replaces exactly the months present in the fleet — idempotent for
+    the whole backfill, untouched months preserved. One metadata row
+    logs the run (reference equivalent: looping
+    ``src/pipelines/street_manager.py`` month by month)."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.metadata import MetadataLogger
+    from ..sinks.writers import write_month_partition
+    from .json_source import flatten_struct_columns
+    from .zip_source import zip_lines_distributed
+
+    cfg = CATALOG[name]
+    if cfg.ingest != "zip_json":
+        raise ValueError(f"backfill supports zip_json sources, {name!r} is {cfg.ingest}")
+    with MetadataLogger(
+        spark,
+        log_path,
+        data_source=cfg.name,
+        table_name="backfill",
+        processor_type="catalog_backfill",
+        url=zip_glob,
+    ) as meta:
+        lines = zip_lines_distributed(spark, zip_glob, cfg.member_glob)
+        parsed = lines.select(F.from_json("line", json_schema).alias("__e")).select("__e.*")
+        flat = flatten_struct_columns(parsed, sep="_", strip_prefix="object_data_")
+        ts = F.to_timestamp(event_time_col)
+        silver = (
+            flat.withColumn("year", F.year(ts))
+            .withColumn("month", F.month(ts))
+            .withColumn("date_time_processed", F.current_timestamp())
+        )
+        write_month_partition(silver, warehouse_path)
+        meta.rows_processed = (
+            spark.read.parquet(warehouse_path)
+            .join(
+                silver.select("year", "month").distinct(),
+                ["year", "month"],
+                "left_semi",
+            )
+            .count()
+        )
+        return silver
+
+
 def _ingest_csv_files(
     spark: SparkSession,
     mcfg: MonthlyIngestConfig,

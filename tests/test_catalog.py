@@ -274,3 +274,68 @@ def test_zip_json_catalog_ingest_idempotent_at_scale(spark, tmp_path):
     assert [r["status"] for r in log] == ["SUCCESS", "SUCCESS"]
     assert all(r["rows_processed"] == n for r in log)
     assert all(r["table_name"] == "03_2024" for r in log)
+
+
+def test_zip_json_backfill_fleet(spark, tmp_path):
+    """Multi-month backfill: a fleet of monthly archives ingested in one
+    distributed pass, (year, month) derived from event time, dynamic
+    overwrite replacing exactly the months present — pre-existing
+    months outside the fleet survive, and the whole backfill is
+    idempotent."""
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.sources.catalog import run_source_backfill
+
+    fleet = tmp_path / "fleet"
+    fleet.mkdir()
+    per_month = 40
+    for month in (1, 2, 3):
+        with zipfile.ZipFile(fleet / f"2024_{month:02d}.zip", "w") as zf:
+            events = "\n".join(
+                json.dumps(
+                    {
+                        "event_reference": month * 1000 + i,
+                        "event_type": "PERMIT_GRANTED",
+                        "event_time": f"2024-{month:02d}-{(i % 28) + 1:02d}T09:00:00",
+                        "object_data": {
+                            "permit_reference_number": f"PRN-{i}",
+                            "work_category": "Minor",
+                            "usrn": "1",
+                        },
+                    }
+                )
+                for i in range(per_month)
+            )
+            zf.writestr(f"permits_{month}.json", events)
+
+    wh = str(tmp_path / "wh")
+    # pre-existing month OUTSIDE the fleet: must survive the backfill
+    spark.createDataFrame(
+        [(99999, "PERMIT_GRANTED", "2023-12-01T00:00:00", "PRN-x", "Minor", "1", 2023, 12)],
+        [
+            "event_reference", "event_type", "event_time",
+            "permit_reference_number", "work_category", "usrn", "year", "month",
+        ],
+    ).withColumn("date_time_processed", F.current_timestamp()).write.partitionBy(
+        "year", "month"
+    ).parquet(wh)
+
+    kwargs = dict(
+        zip_glob=f"file://{fleet}/*.zip",
+        warehouse_path=wh,
+        log_path=str(tmp_path / "logs"),
+        json_schema=SM_SCHEMA,
+    )
+    run_source_backfill(spark, "street_manager", **kwargs)
+    table = spark.read.parquet(wh)
+    by_month = {
+        (r["year"], r["month"]): r["n"]
+        for r in table.groupBy("year", "month").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_month == {(2024, 1): per_month, (2024, 2): per_month, (2024, 3): per_month, (2023, 12): 1}
+
+    run_source_backfill(spark, "street_manager", **kwargs)  # idempotent
+    assert spark.read.parquet(wh).count() == 3 * per_month + 1
+    log = spark.read.parquet(str(tmp_path / "logs")).collect()
+    assert [r["status"] for r in log] == ["SUCCESS", "SUCCESS"]
+    assert all(r["rows_processed"] == 3 * per_month for r in log)
