@@ -102,3 +102,63 @@ def doc_fingerprint_long(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return stable_long_hash(norm)
+
+
+# --- training-data text preparation (round-3 additions) ----------------------
+
+# deliberately conservative public patterns: recall over precision is
+# the training-data norm (a leaked address costs more than an
+# over-redacted token)
+_PII_PATTERNS = (
+    # specific before greedy: the phone pattern (any long digit run with
+    # separators) would otherwise consume IPs and card numbers
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b(?:\d[ -]?){13,19}\b", "<CARD>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Regex PII redaction (emails, IPv4, card-like digit runs,
+    phone-like digit runs) as chained ``regexp_replace`` — one
+    codegen'd projection, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in _PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Whitespace canonicalization for dedup robustness: collapse runs,
+    trim, lowercase — the cheap normalization applied before
+    fingerprinting so cosmetic variants collide."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def chunk_tokens(
+    col: Column | str,
+    chunk_size: int,
+    overlap: int = 0,
+) -> Column:
+    """Array of whitespace-token windows of ``chunk_size`` tokens with
+    ``overlap`` tokens of context between consecutive chunks — the
+    standard context-window split for training corpora. Pure
+    expressions (sequence + slice + concat_ws): ``posexplode`` the
+    result to get one row per chunk with its index.
+
+    Stride = chunk_size - overlap; the final partial window is kept
+    (training pipelines pad or drop downstream by policy).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    c = F.col(col) if isinstance(col, str) else col
+    toks = whitespace_tokens(c)
+    stride = chunk_size - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_size)))
+    )

@@ -1,0 +1,79 @@
+"""Training-data text preparation: PII redaction, normalization,
+token-window chunking (pure-expression ops, no Python in the hot
+path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.text_analysis import (
+    chunk_tokens,
+    normalize_text,
+    redact_pii,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], ["t"]).select(expr("t").alias("o")).collect()[0]["o"]
+
+
+def test_redact_pii_families(spark):
+    got = _one(
+        spark,
+        "mail bob.smith+x@example.co.uk or call +44 20 7946 0958, "
+        "host 192.168.0.1, card 4111 1111 1111 1111 end",
+        redact_pii,
+    )
+    assert "<EMAIL>" in got and "<PHONE>" in got and "<IP>" in got
+    assert "example.co.uk" not in got and "7946" not in got and "192.168" not in got
+    assert got.startswith("mail <EMAIL> or call <PHONE>")
+    assert got.endswith("end")
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    clean = "The permit for 12 Oak Street was granted in 2024."
+    assert _one(spark, clean, redact_pii) == clean
+
+
+def test_normalize_text(spark):
+    assert _one(spark, "  Hello\t\tWORLD \n twice  ", normalize_text) == "hello world twice"
+
+
+def test_chunk_tokens_stride_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    chunks = _one(spark, text, lambda c: chunk_tokens(c, 4, overlap=1))
+    # stride 3: starts at tokens 0,3,6 (1-based 1,4,7); tail kept
+    assert chunks == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+    ]
+    # overlap propagates context between consecutive chunks
+    assert chunks[0].split()[-1] == chunks[1].split()[0]
+
+    no_overlap = _one(spark, text, lambda c: chunk_tokens(c, 5))
+    assert no_overlap == ["w0 w1 w2 w3 w4", "w5 w6 w7 w8 w9"]
+
+    assert _one(spark, "", lambda c: chunk_tokens(c, 4)) == []
+    assert _one(spark, "a b", lambda c: chunk_tokens(c, 4)) == ["a b"]
+
+
+def test_chunk_tokens_validates_overlap():
+    with pytest.raises(ValueError):
+        chunk_tokens("t", 4, overlap=4)
+
+
+def test_chunks_explode_to_rows(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(7)))], ["doc_id", "text"]
+    )
+    rows = (
+        df.select("doc_id", F.posexplode(chunk_tokens("text", 3)).alias("chunk_idx", "chunk"))
+        .collect()
+    )
+    assert [(r["doc_id"], r["chunk_idx"], r["chunk"]) for r in rows] == [
+        (1, 0, "t0 t1 t2"),
+        (1, 1, "t3 t4 t5"),
+        (1, 2, "t6"),
+    ]
