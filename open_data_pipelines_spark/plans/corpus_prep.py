@@ -1,0 +1,118 @@
+"""End-to-end LLM training-corpus preparation pipeline (engine
+extension; the composition target of the text/dedup/graph operator
+packs over the ``documents`` table).
+
+Stages, in the order a production corpus pipeline runs them:
+
+1. **normalize + redact** — whitespace canonicalization and PII
+   redaction as one codegen'd projection (``text_analysis``).
+2. **annotate + quality-filter** — lang-id, quality score, token
+   count; drop below-threshold and undetermined-language docs.
+3. **exact dedup FIRST** — fingerprint ``top1_per_key``; collapses
+   mass duplicates in one linear pass so the near-dup stage's LSH
+   bucket cap is lossless in practice (see ``STRESS.md``).
+4. **near-dup clustering** — MinHash-LSH pairs (bucket-capped) →
+   connected components → keep each cluster's canonical minimum.
+5. **chunk** — overlapping token windows, one row per chunk.
+
+Every stage is DataFrame-native; the only actions are the optional
+stage-count audit. Stage order matters at 100 TB: cheap row-local
+filters run before any shuffle, exact dedup (one shuffle) runs before
+LSH (banding joins), and chunking (explode, no shuffle) runs last on
+the smallest surviving set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import cluster_members
+from ..operators.text_analysis import (
+    chunk_tokens,
+    lang_id,
+    normalize_text,
+    quality_score,
+    redact_pii,
+    token_count_ws,
+)
+from ..operators.text_dedup import dedup_exact_text, minhash_lsh_dedup
+from ..session import load_tables
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    quality_min: float = 0.5,
+    keep_langs: tuple[str, ...] = ("en", "fr", "de"),
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+    chunk_size: int = 64,
+    overlap: int = 8,
+    with_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, dict[str, int]]:
+    """documents -> deduplicated, filtered, chunked training rows.
+
+    Returns (doc_id, lang, quality, chunk_idx, chunk); with
+    ``with_stats=True`` also a per-stage row-count audit (each count is
+    one extra action — skip in production, wire to the metadata logger
+    instead).
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    stats: dict[str, int] = {}
+
+    def note(name: str, df: DataFrame) -> DataFrame:
+        if with_stats:
+            stats[name] = df.count()
+        return df
+
+    note("input", docs)
+
+    # redact BEFORE normalizing so the replacement tokens lowercase
+    # with the rest of the text (and whitespace variants of redacted
+    # spans collapse to identical strings for the dedup stages)
+    cleaned = docs.select(
+        "doc_id",
+        normalize_text(redact_pii("text")).alias("text"),
+    )
+
+    annotated = cleaned.select(
+        "doc_id",
+        "text",
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        token_count_ws("text").alias("n_tokens"),
+    )
+    kept = note(
+        "quality_kept",
+        annotated.filter(
+            (F.col("quality") >= quality_min) & F.col("lang").isin(*keep_langs)
+        ),
+    )
+
+    exact = note("exact_deduped", dedup_exact_text(kept, "text", "doc_id"))
+
+    pairs = minhash_lsh_dedup(
+        exact,
+        "text",
+        "doc_id",
+        threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    clusters = cluster_members(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    near_deduped = note(
+        "near_deduped", exact.join(drop, "doc_id", "left_anti")
+    )
+
+    chunked = near_deduped.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.posexplode(chunk_tokens("text", chunk_size, overlap)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    chunked = note("chunks", chunked)
+    return (chunked, stats) if with_stats else chunked

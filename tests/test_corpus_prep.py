@@ -1,0 +1,72 @@
+"""End-to-end corpus-prep pipeline over the harness documents table:
+stage ordering, monotone row accounting, dedup/PII/chunk invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+from open_data_pipelines_spark.session import load_tables
+
+from conftest import SF_SMOKE
+
+
+def test_prepare_corpus_end_to_end(spark):
+    chunked, stats = prepare_corpus(
+        spark, SF_SMOKE, chunk_size=16, overlap=4, with_stats=True
+    )
+    rows = chunked.collect()
+    assert rows, "pipeline produced no chunks"
+
+    # monotone funnel: every stage only drops documents
+    assert stats["input"] >= stats["quality_kept"] >= stats["exact_deduped"] >= stats["near_deduped"]
+    assert stats["near_deduped"] > 0
+
+    # schema contract
+    assert chunked.columns == ["doc_id", "lang", "quality", "chunk_idx", "chunk"]
+
+    # chunk windows respect the token bound; indices start at 0 per doc
+    assert all(len(r["chunk"].split()) <= 16 for r in rows)
+    first_idx = {}
+    for r in rows:
+        first_idx.setdefault(r["doc_id"], r["chunk_idx"])
+    assert set(chunked.groupBy("doc_id").agg(F.min("chunk_idx").alias("m")).select("m").toPandas()["m"]) == {0}
+
+    # quality/lang filters actually applied
+    assert all(r["quality"] >= 0.5 and r["lang"] in ("en", "fr", "de") for r in rows)
+
+    # normalization happened upstream of chunking (no uppercase, no runs)
+    assert all(r["chunk"] == r["chunk"].lower() for r in rows)
+
+
+def test_prepare_corpus_removes_planted_dups_and_pii(spark):
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    base = docs.limit(0)  # schema-compatible empty frame
+    filler = (
+        "the quick brown fox jumps over the lazy dog and the small dock "
+        "near the old town square was busy that morning with traders "
+    ) * 3
+    rows = [
+        (1, filler + "contact me at alice@example.com for details", "en", "s", 0),
+        (2, filler + "contact me at alice@example.com   for details", "en", "s", 0),  # ws variant
+        (3, filler + "an entirely different closing sentence for this text", "en", "s", 0),
+    ]
+    planted = spark.createDataFrame(rows, schema=base.schema)
+
+    import open_data_pipelines_spark.plans.corpus_prep as cp
+
+    orig = cp.load_tables
+    cp.load_tables = lambda spark, sf, register_views=False: {"documents": planted}
+    try:
+        chunked = cp.prepare_corpus(spark, SF_SMOKE, chunk_size=32, overlap=0)
+        out = chunked.collect()
+    finally:
+        cp.load_tables = orig
+
+    kept_ids = {r["doc_id"] for r in out}
+    # docs 1 and 2 are whitespace variants -> exact dedup keeps id 1;
+    # doc 3 shares the long filler -> near-dup cluster keeps the minimum
+    assert kept_ids == {1}
+    # PII never reaches a chunk
+    assert all("example.com" not in r["chunk"] for r in out)
+    assert any("<email>" in r["chunk"] for r in out)
