@@ -241,7 +241,14 @@ def jaccard_from_shingled(
     sh = shingled.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    # per-doc distinct-shingle count is a projection on the array —
+    # NOT a groupBy over the exploded rows (which would shuffle
+    # |docs| * |shingles| rows just to count them). Zero-shingle docs
+    # are excluded to keep the historical inner-join contract: pairs
+    # with an empty side drop out.
+    sizes = shingled.select(
+        F.col(id_col), F.size(F.array_distinct(F.col("__sh"))).alias("__n")
+    ).filter(F.col("__n") > 0)
 
     a = sh.select(F.col(id_col).alias("id_a"), "__s")
     b = sh.select(F.col(id_col).alias("id_b"), "__s")
