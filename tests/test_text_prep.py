@@ -77,3 +77,36 @@ def test_chunks_explode_to_rows(spark):
         (1, 1, "t3 t4 t5"),
         (1, 2, "t6"),
     ]
+
+
+def test_bulk_invariants_chunking_and_redaction(spark):
+    """Battery invariants in one pass: (a) overlap=0 chunks concatenate
+    back to the exact token stream; (b) overlapping chunks agree on
+    their shared context; (c) redaction is idempotent."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "x1", "mail", "a@b.io", "192.168.0.7", "call", "+44 20 7946 0958"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 40))) for _ in range(60)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+
+    out = df.select(
+        "i",
+        "t",
+        chunk_tokens("t", 7).alias("flat"),
+        chunk_tokens("t", 7, overlap=2).alias("lapped"),
+        redact_pii("t").alias("r1"),
+        redact_pii(redact_pii("t")).alias("r2"),
+    ).collect()
+
+    for r in out:
+        toks = r["t"].split()
+        # (a) exact reconstruction with no overlap
+        assert " ".join(r["flat"]).split() == toks
+        # (b) consecutive overlapped chunks share their 2-token seam
+        for left, right in zip(r["lapped"], r["lapped"][1:]):
+            assert left.split()[-2:] == right.split()[:2]
+        # (c) idempotence
+        assert r["r1"] == r["r2"]
