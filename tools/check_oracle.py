@@ -6,6 +6,7 @@ names, and an order-insensitive value hash (exact — bitwise on floats,
 which is what a hash comparison implies). Run before every commit:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py all [query ...]   # sf0.001 + sf0.01 + sf0.1
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    arg = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
@@ -61,6 +62,18 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
 
+    if arg == "all":
+        # one JVM, three SFs — r3 lesson: some failures (HLL envelopes,
+        # AQE plan flips) only show at particular scales
+        rc = 0
+        for sf in ("0.001", "0.01", "0.1"):
+            print(f"=== sf{sf}")
+            rc |= check_sf(spark, qs, oracles, f"/root/testdata/sf{sf}", only)
+        return rc
+    return check_sf(spark, qs, oracles, arg, only)
+
+
+def check_sf(spark, qs, oracles, sf_dir: str, only: set[str]) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

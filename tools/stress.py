@@ -8,6 +8,7 @@ roughly linearly with rows on a fixed core count.
 
     python tools/stress.py [factor] [--keep]
     python tools/stress.py --skew [n_docs]     # LSH heavy-hitter band scenario
+    python tools/stress.py --corpus            # corpus-prep funnel at $SPARK_GRAFT_SF_DIR
 """
 
 from __future__ import annotations
@@ -141,7 +142,27 @@ def skew_scenario(n_docs: int = 20_000, hot_fraction: float = 0.3) -> None:
     docs.unpersist()
 
 
+def corpus_scenario() -> None:
+    """End-to-end corpus-prep funnel + wall time at the bench SF."""
+    import time
+
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    t0 = time.perf_counter()
+    chunked, stats = prepare_corpus(spark, sf_dir, with_stats=True)
+    stats["total_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"scenario": "corpus_prep", "sf_dir": sf_dir, **stats}))
+
+
 def main() -> None:
+    if "--corpus" in sys.argv:
+        corpus_scenario()
+        return
     if "--skew" in sys.argv:
         n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 20_000)
         skew_scenario(n)
