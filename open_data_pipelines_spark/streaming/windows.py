@@ -125,6 +125,45 @@ def stream_to_month_partitions(
     )
 
 
+def stream_to_month_partitions_exactly_once(
+    stream: DataFrame,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+):
+    """Effectively-once variant of :func:`stream_to_month_partitions`
+    on plain parquet (no transactional format needed).
+
+    Mechanism: each micro-batch writes under an extra ``__batch_id``
+    partition column with DYNAMIC partition overwrite. foreachBatch
+    guarantees a replayed batch carries the same batch_id and the same
+    rows, so a crash between the data write and the checkpoint commit
+    re-runs the batch and *overwrites its own partitions* instead of
+    appending duplicates — idempotent replay == exactly-once effective
+    output. Readers prune or drop ``__batch_id``; compaction
+    (``sinks.writers.compact_partitions``) folds it away entirely.
+    """
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("year", F.year(ts_col))
+            .withColumn("month", F.month(ts_col))
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("year", "month", "__batch_id")
+            .parquet(warehouse_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def drain_to_parquet(
     stream_df: DataFrame,
     out_path: str,
