@@ -1,0 +1,123 @@
+"""Benchmark decontamination: word n-gram overlap between a training
+corpus and an eval/benchmark set (engine extension for training-data
+pipelines; BASELINE.json north-star).
+
+The standard pre-training hygiene check: a training document that
+shares enough contiguous n-grams with a benchmark item can leak the
+benchmark into the model. The industry-default detector is exact
+n-gram collision (GPT-3/PaLM-style 8-13-gram overlap), which is what
+this implements — NOT similarity search: a single shared long n-gram
+is already a hit.
+
+Scale design (the asymmetry is the whole trick): the corpus is the
+100 TB side, the benchmark is small (eval suites are 1e3-1e6 items →
+1e5-1e8 distinct n-grams). So:
+
+1. the corpus side is ONE projection pass — shingle each doc,
+   ``array_distinct``, explode; never shuffled on its own;
+2. the benchmark n-gram set is broadcast; the probe is a broadcast
+   hash semi-join against the exploded corpus shingles — matched rows
+   only (normally a vanishing fraction) flow into the per-doc
+   aggregate, so the groupBy shuffles matches, not the corpus;
+3. the doc-level verdict joins back as a broadcast left join onto the
+   (id, n_shingles) projection.
+
+Net shuffles on the big side: zero. For benchmark sets too big to
+broadcast, pass ``broadcast_bench=False`` to fall back to a shuffle
+hash join on the n-gram key (still |matches|-bounded aggregation).
+
+Shingles and hashes reuse the MinHash machinery
+(:mod:`.text_dedup`), defaulting to the cross-engine md5 path so the
+whole operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_dedup import word_shingles
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, n)).alias("__sh")
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-document contamination report against a benchmark set.
+
+    Returns one row per corpus doc:
+    ``(id, n_shingles, n_hit_shingles, n_bench_docs_hit,
+    contamination_rate)`` where ``contamination_rate`` =
+    hit/total distinct n-grams (0.0 when the doc has < n tokens).
+    Filter ``n_hit_shingles > 0`` (any shared n-gram) or threshold the
+    rate by policy; docs shorter than n tokens have no n-grams and
+    report clean — align ``n`` with the quality filter's minimum
+    length upstream.
+    """
+    bt = bench_text_col or text_col
+    doc_sh = _doc_shingles(docs, text_col, id_col, n)
+    bench_sh = (
+        _doc_shingles(bench, bt, bench_id_col, n)
+        .select(F.col(bench_id_col), F.explode("__sh").alias("__s"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+
+    hits = (
+        doc_sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+        .join(bench_sh, "__s")
+        .groupBy(id_col)
+        .agg(
+            # a doc shingle hitting k bench docs is one contaminated
+            # shingle, not k — count distinct shingles, not join rows
+            F.countDistinct("__s").alias("n_hit_shingles"),
+            F.countDistinct(bench_id_col).alias("n_bench_docs_hit"),
+        )
+    )
+    base = doc_sh.select(F.col(id_col), F.size("__sh").alias("n_shingles"))
+    return base.join(F.broadcast(hits), id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_hit_shingles", F.lit(0)).alias("n_hit_shingles"),
+        F.coalesce("n_bench_docs_hit", F.lit(0)).alias("n_bench_docs_hit"),
+        F.when(F.col("n_shingles") > 0, F.coalesce("n_hit_shingles", F.lit(0)) / F.col("n_shingles"))
+        .otherwise(F.lit(0.0))
+        .alias("contamination_rate"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+    max_rate: float = 0.0,
+) -> DataFrame:
+    """Drop contaminated docs (rate > ``max_rate``; the default 0.0
+    drops on ANY shared n-gram — the conservative pre-training
+    default). Anti-join form of :func:`ngram_contamination`: only the
+    contaminated id set (small) is computed and broadcast."""
+    bad = (
+        ngram_contamination(
+            docs, bench, text_col, id_col, bench_text_col, bench_id_col, n
+        )
+        .filter(F.col("contamination_rate") > F.lit(max_rate))
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

@@ -1,0 +1,164 @@
+"""Deterministic corpus sampling: train/val/test split assignment,
+hash-threshold sampling, stratified (per-source) sampling, and
+domain-mix rebalancing (engine extensions for training-data
+pipelines; BASELINE.json north-star).
+
+Why hash-threshold instead of ``df.sample`` / ``rand()``:
+
+- **Reproducible by construction** — membership is a pure function of
+  the row key and a seed string, identical across runs, partitionings,
+  engines, and cluster sizes. ``rand()`` sampling changes with task
+  scheduling; at 100 TB a re-run after a lost executor must not
+  reshuffle the eval set.
+- **Leak-proof splits** — a document's split follows its KEY, so
+  re-ingesting the corpus (or growing it) never migrates an existing
+  doc from train to test. This is the property eval hygiene actually
+  needs; ``randomSplit`` has none of it.
+- **Row-local** — every operator here is a projection/filter: no
+  shuffle, no action, fully codegen'd, trivially pushed past scans.
+
+The hash is the cross-engine-portable 60-bit md5 prefix
+(:func:`~..functions.hashing.stable_long_hash`), so every operator is
+DuckDB-oracle-checkable:
+``('0x' || substr(md5(seed || key), 1, 15))::BIGINT / 2^60``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_long_hash
+
+_TWO_60 = float(1 << 60)
+
+
+def unit_hash(col: Column | str, seed: str = "") -> Column:
+    """Deterministic uniform-ish value in [0, 1): the 60-bit stable
+    hash scaled by 2^60. Same value computable in DuckDB (module
+    docstring), so sampled sets are cross-engine comparable."""
+    return stable_long_hash(col, salt=seed) / F.lit(_TWO_60)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` label column by cumulative hash thresholds.
+
+    The reference has no eval-split notion (it is an ELT warehouse);
+    this is the training-data extension: stable partition of a corpus
+    into train/val/test where membership is a pure function of
+    (seed, key). Fractions must sum to 1 (the last split absorbs
+    float residue so every row gets a label).
+    """
+    fracs = [f for _, f in splits]
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >=0 and sum to 1, got {splits}")
+    u = unit_hash(key_col, seed)
+    expr: Column | None = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    last = F.lit(splits[-1][0])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep rows whose unit hash falls below ``fraction``.
+
+    Nested property (useful for curriculum / scaling-law runs): for
+    the same seed, the 1% sample is a subset of the 10% sample — a
+    smaller run's corpus is always contained in the larger run's.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(unit_hash(key_col, seed) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "stratified",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash-threshold sampling (deterministic ``sampleBy``).
+
+    Domain mixing for corpus construction: each source/domain keeps an
+    independent fraction of its rows; strata missing from ``fractions``
+    keep ``default`` (0 drops them — the allowlist usage). One chained
+    CASE on a broadcast-free literal map — still a pure filter.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    thresh: Column = F.lit(default)
+    col = F.col(stratum_col)
+    for s, f in sorted(fractions.items()):
+        thresh = F.when(col == F.lit(s), F.lit(f)).otherwise(thresh)
+    return df.filter(unit_hash(key_col, seed) < thresh)
+
+
+def mix_fractions(
+    counts: dict[str, int], target_weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep-fractions that downsample a corpus to a target
+    mix (driver-side arithmetic over per-stratum counts — #strata is
+    small; the counts come from one tiny groupBy).
+
+    Finds the largest corpus consistent with ``target_weights`` using
+    only downsampling (no fraction exceeds 1): total is limited by the
+    most over-demanded stratum, min over strata of count/weight.
+    Strata absent from ``target_weights`` get 0.
+    """
+    if any(w < 0 for w in target_weights.values()):
+        raise ValueError(f"weights must be >= 0, got {target_weights}")
+    wsum = sum(target_weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    norm = {s: w / wsum for s, w in target_weights.items()}
+    missing = [s for s, w in norm.items() if w > 0 and counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"strata with positive weight but no rows: {missing}")
+    total = min(counts[s] / w for s, w in norm.items() if w > 0)
+    return {s: (total * norm.get(s, 0.0)) / counts[s] for s in counts}
+
+
+def rebalance_to_mix(
+    df: DataFrame,
+    stratum_col: str,
+    target_weights: dict[str, float],
+    key_col: str,
+    seed: str = "mix",
+) -> DataFrame:
+    """Downsample a corpus so the stratum proportions match
+    ``target_weights`` (e.g. ``{"web": 0.6, "code": 0.3, "books":
+    0.1}``), keeping as many rows as downsampling-only allows.
+
+    Two passes: one map-side-combinable count per stratum (rows =
+    #strata, collected — bounded and tiny), then the row-local
+    stratified filter. Expected, not exact, per-stratum counts — at
+    corpus scale the binomial deviation is O(1/sqrt(n)) and exactness
+    would cost a global sort; pin with a tolerance when testing.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    fracs = mix_fractions(counts, target_weights)
+    return stratified_sample(df, stratum_col, fracs, key_col, seed=seed, default=0.0)

@@ -13,13 +13,24 @@ Stages, in the order a production corpus pipeline runs them:
    bucket cap is lossless in practice (see ``STRESS.md``).
 4. **near-dup clustering** — MinHash-LSH pairs (bucket-capped) →
    connected components → keep each cluster's canonical minimum.
-5. **chunk** — overlapping token windows, one row per chunk.
+5. **decontaminate** (opt-in) — drop docs sharing n-grams with a
+   benchmark set (``operators.contamination``; broadcast probe).
+6. **rebalance** (opt-in) — downsample to a target per-source mix
+   (``operators.sampling.rebalance_to_mix``).
+7. **split** (opt-in) — leak-proof train/val/test labels from the
+   doc key hash, assigned at DOC level so every chunk of a document
+   lands in the same split (``operators.sampling.assign_split``).
+8. **chunk** — overlapping token windows, one row per chunk.
+9. **pack** (opt-in) — greedy sequence packing of chunks into
+   fixed-token contexts, packing domains nested inside splits so a
+   pack never crosses an eval boundary (``operators.packing``).
 
 Every stage is DataFrame-native; the only actions are the optional
-stage-count audit. Stage order matters at 100 TB: cheap row-local
-filters run before any shuffle, exact dedup (one shuffle) runs before
-LSH (banding joins), and chunking (explode, no shuffle) runs last on
-the smallest surviving set.
+stage-count audit and the rebalance stage's per-stratum count. Stage
+order matters at 100 TB: cheap row-local filters run before any
+shuffle, exact dedup (one shuffle) runs before LSH (banding joins),
+decontamination probes the already-deduped survivors, and chunking
+(explode, no shuffle) runs last on the smallest surviving set.
 """
 
 from __future__ import annotations
@@ -51,13 +62,25 @@ def prepare_corpus(
     chunk_size: int = 64,
     overlap: int = 8,
     with_stats: bool = False,
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 8,
+    source_weights: dict[str, float] | None = None,
+    splits: tuple[tuple[str, float], ...] | None = None,
+    pack_budget: int | None = None,
+    seed: str = "corpus",
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """documents -> deduplicated, filtered, chunked training rows.
 
-    Returns (doc_id, lang, quality, chunk_idx, chunk); with
-    ``with_stats=True`` also a per-stage row-count audit (each count is
-    one extra action — skip in production, wire to the metadata logger
-    instead).
+    Returns (doc_id, lang, quality, chunk_idx, chunk); opt-in stages
+    append columns: ``splits`` adds ``split``, ``pack_budget`` adds
+    ``pack_id``/``pack_tokens``. With ``with_stats=True`` also a
+    per-stage row-count audit (each count is one extra action — skip
+    in production, wire to the metadata logger instead).
+
+    ``benchmark`` is a (bench_id, text) frame of eval items to
+    decontaminate against; ``source_weights`` a target domain mix over
+    the raw ``source`` column; ``splits`` e.g.
+    ``(("train", .98), ("val", .01), ("test", .01))``.
     """
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     stats: dict[str, int] = {}
@@ -72,9 +95,11 @@ def prepare_corpus(
     # redact BEFORE normalizing so the replacement tokens lowercase
     # with the rest of the text (and whitespace variants of redacted
     # spans collapse to identical strings for the dedup stages)
+    carry = ["source"] if source_weights else []
     cleaned = docs.select(
         "doc_id",
         normalize_text(redact_pii("text")).alias("text"),
+        *carry,
     )
 
     annotated = cleaned.select(
@@ -83,6 +108,7 @@ def prepare_corpus(
         lang_id("text").alias("lang"),
         quality_score("text").alias("quality"),
         token_count_ws("text").alias("n_tokens"),
+        *carry,
     )
     kept = note(
         "quality_kept",
@@ -106,13 +132,56 @@ def prepare_corpus(
         "near_deduped", exact.join(drop, "doc_id", "left_anti")
     )
 
-    chunked = near_deduped.select(
+    surviving = near_deduped
+    if benchmark is not None:
+        from ..operators.contamination import decontaminate
+
+        surviving = note(
+            "decontaminated",
+            decontaminate(surviving, benchmark, n=contamination_n),
+        )
+    if source_weights:
+        from ..operators.sampling import rebalance_to_mix
+
+        surviving = note(
+            "rebalanced",
+            rebalance_to_mix(
+                surviving, "source", source_weights, "doc_id", seed=seed
+            ),
+        )
+    split_cols: list[str] = []
+    if splits:
+        from ..operators.sampling import assign_split
+
+        surviving = assign_split(surviving, "doc_id", splits, seed=seed)
+        split_cols = ["split"]
+
+    chunked = surviving.select(
         "doc_id",
         "lang",
         "quality",
+        *split_cols,
         F.posexplode(chunk_tokens("text", chunk_size, overlap)).alias(
             "chunk_idx", "chunk"
         ),
     )
     chunked = note("chunks", chunked)
+
+    if pack_budget is not None:
+        from ..functions.hashing import stable_long_hash
+        from ..operators.packing import pack_chunks
+
+        # packing domains: a hash shard of the doc id, nested inside
+        # the split when one exists — a pack never crosses splits and
+        # a doc's chunks stay adjacent (same domain, contiguous keys)
+        shard = F.pmod(stable_long_hash("doc_id", salt="pack"), F.lit(64))
+        dom = F.concat_ws("/", *split_cols, shard.cast("string"))
+        keyed = chunked.withColumn("__dom", dom).withColumn(
+            "__ck", F.col("doc_id") * 100000 + F.col("chunk_idx")
+        ).withColumn("__ct", token_count_ws("chunk"))
+        chunked = (
+            pack_chunks(keyed, "__ck", "__ct", pack_budget, group_col="__dom")
+            .drop("__dom", "__ck", "__ct")
+        )
+        chunked = note("packed", chunked)
     return (chunked, stats) if with_stats else chunked

@@ -70,3 +70,58 @@ def test_prepare_corpus_removes_planted_dups_and_pii(spark):
     # PII never reaches a chunk
     assert all("example.com" not in r["chunk"] for r in out)
     assert any("<email>" in r["chunk"] for r in out)
+
+
+def test_prepare_corpus_full_optin_path(spark):
+    """decontaminate -> rebalance -> split -> chunk -> pack, end to end."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out, stats = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        chunk_size=16,
+        overlap=0,
+        with_stats=True,
+        benchmark=bench,
+        contamination_n=3,
+        source_weights={"src0": 0.3, "src1": 0.3, "src2": 0.4},
+        splits=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        pack_budget=64,
+    )
+    rows = out.collect()
+    assert rows, "opt-in pipeline produced no chunks"
+    assert out.columns == [
+        "doc_id", "lang", "quality", "split", "chunk_idx", "chunk",
+        "pack_id", "pack_tokens",
+    ]
+
+    # funnel stays monotone through the new doc-level stages
+    assert stats["near_deduped"] >= stats["decontaminated"] >= stats["rebalanced"]
+    assert stats["chunks"] == stats["packed"] == len(rows)
+
+    # split is a doc-level property: one label per doc across chunks
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_doc.values())
+    assert set().union(*per_doc.values()) <= {"train", "val", "test"}
+
+    # packs never cross splits (domain nests inside split)
+    pack_splits = {}
+    for r in rows:
+        pack_splits.setdefault(r["pack_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in pack_splits.values())
+
+    # pack budget respected (chunks are <=16 tokens, far under 64:
+    # no oversize singletons possible)
+    pack_tot = {}
+    for r in rows:
+        pack_tot[r["pack_id"]] = pack_tot.get(r["pack_id"], 0) + len(r["chunk"].split())
+    assert all(t <= 64 for t in pack_tot.values())
+
+    # benchmark docs (the planted contamination) are gone
+    assert all(d % 37 != 0 for d in per_doc)

@@ -1,0 +1,126 @@
+"""Deterministic sampling/split operators: DuckDB parity (the hash is
+cross-engine by construction), determinism under repartitioning, the
+nested-sample property, and mix rebalancing arithmetic."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+    mix_fractions,
+    rebalance_to_mix,
+    stratified_sample,
+)
+from open_data_pipelines_spark.session import load_tables
+from tests.conftest import SF_SMOKE
+
+_U = "(('0x' || substr(md5('{seed}' || doc_id::VARCHAR), 1, 15))::BIGINT / 1152921504606846976.0)"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'")
+    return c
+
+
+def test_assign_split_matches_duckdb(docs, con):
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, "doc_id", seed="s1").select("doc_id", "split").collect()
+    }
+    u = _U.format(seed="s1")
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, CASE WHEN {u} < 0.98 THEN 'train' "
+            f"WHEN {u} < 0.99 THEN 'val' ELSE 'test' END FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+    # every row labeled, all three labels present at 500 rows is not
+    # guaranteed for 1% buckets — but train must dominate
+    counts = {s: list(got.values()).count(s) for s in set(got.values())}
+    assert counts.get("train", 0) > 0.9 * len(got)
+
+
+def test_assign_split_stable_under_repartition(docs):
+    a = assign_split(docs, "doc_id").select("doc_id", "split").collect()
+    b = assign_split(docs.repartition(7), "doc_id").select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_assign_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", splits=(("a", 0.5), ("b", 0.4)))
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", splits=(("a", -0.1), ("b", 1.1)))
+
+
+def test_deterministic_sample_nested(docs):
+    small = {r[0] for r in deterministic_sample(docs, "doc_id", 0.05, "s").select("doc_id").collect()}
+    big = {r[0] for r in deterministic_sample(docs, "doc_id", 0.30, "s").select("doc_id").collect()}
+    assert small <= big
+    assert len(big) < 500  # actually sampled
+    # expected 150 ± binomial noise (sd ~10); generous 5-sigma bound
+    assert 100 <= len(big) <= 200
+
+
+def test_stratified_sample_matches_duckdb(docs, con):
+    fr = {"src0": 0.5, "src1": 1.0}
+    got = {
+        r[0]
+        for r in stratified_sample(docs, "source", fr, "doc_id", seed="z")
+        .select("doc_id")
+        .collect()
+    }
+    u = _U.format(seed="z")
+    want = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM documents WHERE {u} < "
+            "CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 1.0 ELSE 0.0 END"
+        ).fetchall()
+    }
+    assert got == want
+    assert want, "strata must select something for the parity to be meaningful"
+    assert len(want) < 500
+
+
+def test_stratified_default_keeps_unlisted(docs):
+    kept = stratified_sample(docs, "source", {}, "doc_id", default=1.0)
+    assert kept.count() == docs.count()
+    dropped = stratified_sample(docs, "source", {}, "doc_id", default=0.0)
+    assert dropped.count() == 0
+
+
+def test_mix_fractions_math():
+    fr = mix_fractions({"web": 1000, "code": 100}, {"web": 0.5, "code": 0.5})
+    # code is the binding stratum: total = min(1000/.5, 100/.5) = 200
+    assert fr == {"web": 100 / 1000, "code": 100 / 100}
+    with pytest.raises(ValueError):
+        mix_fractions({"web": 10}, {"web": 0.0})
+    with pytest.raises(ValueError):
+        mix_fractions({"web": 10}, {"web": 0.5, "code": 0.5})
+
+
+def test_rebalance_to_mix_hits_target(docs):
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    target = {sources[0]: 0.5, sources[1]: 0.5}
+    out = rebalance_to_mix(docs, "source", target, "doc_id")
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(counts) <= set(target)
+    tot = sum(counts.values())
+    assert tot > 0
+    for s in counts:
+        # expected-proportion sampling: allow binomial noise on small n
+        assert abs(counts[s] / tot - 0.5) < 0.2
