@@ -158,6 +158,37 @@ def corpus_scenario() -> None:
     stats["total_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps({"scenario": "corpus_prep", "sf_dir": sf_dir, **stats}))
 
+    # full opt-in path: + decontaminate vs a synthetic benchmark,
+    # train/val/test split, sequence packing into 512-token contexts
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.packing import packing_stats
+    from open_data_pipelines_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    t0 = time.perf_counter()
+    packed, stats2 = prepare_corpus(
+        spark,
+        sf_dir,
+        with_stats=True,
+        benchmark=bench,
+        splits=(("train", 0.98), ("val", 0.01), ("test", 0.01)),
+        pack_budget=512,
+    )
+    util = {
+        k: (float(v) if v is not None else None)
+        for k, v in packing_stats(packed, 512).collect()[0].asDict().items()
+    }
+    stats2["total_sec"] = round(time.perf_counter() - t0, 2)
+    print(
+        json.dumps(
+            {"scenario": "corpus_prep_optin", "sf_dir": sf_dir, **stats2, **util}
+        )
+    )
+
 
 def main() -> None:
     if "--corpus" in sys.argv:
