@@ -1,0 +1,188 @@
+"""Product quantization (PQ) for embedding search — the memory-side
+scale path, completing the ANN family (:mod:`.similarity` RP-LSH,
+:mod:`.ivf` cell probing; engine extension, the reference has no
+vector search — SURVEY.md §2 extensions, BASELINE.json north-star).
+
+At 100 TB the dominant ANN cost is *moving vectors*: a 1024-dim float
+embedding is 4 KB/row, so candidate scoring drags TBs through the
+shuffle. PQ stores an m-byte code per vector instead (here m
+subspace codes of ``2^nbits`` centroids each): dim/ m-fold
+compression, and approximate scoring that touches only codes.
+
+Spark-first shape (no UDFs anywhere, mirrors :mod:`.ivf`):
+
+- **Train** (:func:`train_pq`): per subspace, the same deterministic
+  Lloyd loop as IVF training over the sliced vectors — m small models
+  (m x 2^nbits x dim/m floats) on the driver, never data rows.
+  Standard practice trains on a sample: pass ``train_fraction``.
+- **Encode** (:func:`pq_encode`): nearest-centroid argmin per
+  subspace with codebooks inlined as literals — a pure
+  whole-stage-codegen projection, pipelined with the scan.
+- **Score** (:func:`adc_scores`): asymmetric distance computation.
+  Each QUERY precomputes a lookup table (LUT): the dot of its j-th
+  subvector with every centroid of codebook j — m x 2^nbits doubles,
+  computed once per query as an array expression. Scoring a candidate
+  is then m array lookups + adds (vs dim multiplies for a true dot):
+  the classic ADC trade, expressed entirely in Spark SQL functions.
+- **Search** (:func:`pq_topk`): ADC-rank all (query, candidate)
+  pairs, keep a ``rescore_factor * k`` shortlist per query, then
+  exact-rescore the shortlist with :mod:`.similarity`'s quantized
+  cosine and emit the ``brute_force_topk`` output contract. With
+  approximation error bounded by the shortlist, recall@k is tunable
+  by ``rescore_factor`` alone (pinned by test ≥ 0.9 at 4x).
+
+Compose with IVF for the full 100 TB posture: probe cells first
+(partition-pruned scan), ADC within cells, exact-rescore the
+shortlist — candidates never ship raw vectors, only codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ivf import _cell_dists, train_centroids
+from .similarity import as_double_array, dot_int, quantize
+
+Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
+
+
+def _subvec(vec: Column, j: int, dsub: int) -> Column:
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def train_pq(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    nbits: int = 4,
+    iters: int = 3,
+    train_fraction: float | None = None,
+) -> Codebooks:
+    """m codebooks of ``2^nbits`` centroids over dim/m-sized
+    subspaces. Vector dim must divide evenly by m (standard PQ
+    constraint). ``train_fraction`` subsamples the training set by a
+    deterministic hash of the id (the model stays reproducible)."""
+    dim = len(corpus.select(as_double_array(vec_col).alias("v")).first()["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    v = corpus.select(
+        F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
+    )
+    if train_fraction is not None:
+        bound = int(train_fraction * (1 << 32))
+        v = v.filter(F.pmod(F.xxhash64("__id"), F.lit(1 << 32)) < F.lit(bound))
+    v = v.persist()
+    try:
+        books: Codebooks = []
+        for j in range(m):
+            sub = v.select("__id", _subvec(F.col("__v"), j, dsub).alias("__s"))
+            books.append(
+                train_centroids(sub, "__s", "__id", k=1 << nbits, iters=iters)
+            )
+    finally:
+        v.unpersist()
+    return books
+
+
+def pq_encode(vec_col: Column | str, codebooks: Codebooks) -> Column:
+    """array<int> of per-subspace nearest-centroid codes — a pure
+    projection (codebooks are literals), no join or shuffle."""
+    v = as_double_array(vec_col)
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array_min(_cell_dists(_subvec(v, j, dsub), book))["i"]
+            for j, book in enumerate(codebooks)
+        ]
+    )
+
+
+def _lut(qvec: Column, codebooks: Codebooks) -> Column:
+    """Per-query ADC lookup table: LUT[j][c] = <q_sub_j, centroid_c>
+    as array<array<double>> — m x 2^nbits dots, once per query."""
+    dsub = len(codebooks[0][0])
+
+    def dot_lit(sub: Column, cent: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in cent])
+        return F.aggregate(
+            F.zip_with(sub, lit, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
+        )
+
+    return F.array(
+        *[
+            F.array(*[dot_lit(_subvec(qvec, j, dsub), c) for c in book])
+            for j, book in enumerate(codebooks)
+        ]
+    )
+
+
+def adc_scores(lut: Column, codes: Column, m: int) -> Column:
+    """Approximate dot product: sum over subspaces of the LUT entry
+    the candidate's code selects — m lookups + adds per pair."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at(lut, j + 1), F.element_at(codes, j + 1) + 1),
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: Codebooks,
+    k: int = 5,
+    rescore_factor: int = 4,
+    code_col: str = "pq_code",
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Top-k per query: ADC shortlist, exact rescore, brute-force
+    output contract (query_id, neighbor_id, rank, cosine_sim).
+
+    ``encoded`` must carry ``code_col`` (:func:`pq_encode`) alongside
+    the original vectors (the shortlist rescore reads them; at scale
+    the codes column rides the same files, and only shortlist rows
+    ever evaluate the full-width dot).
+    """
+    m = len(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _lut(as_double_array(vec_col), codebooks).alias("__lut"),
+        quantize(vec_col, quant_scale).alias("__qv"),
+    ).withColumn("__qn", F.sqrt(dot_int(F.col("__qv"), F.col("__qv")).cast("double")))
+    c = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(code_col).alias("__code"),
+        quantize(vec_col, quant_scale).alias("__cv"),
+    ).withColumn("__cn", F.sqrt(dot_int(F.col("__cv"), F.col("__cv")).cast("double")))
+
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlisted = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc_scores(F.col("__lut"), F.col("__code"), m))
+        .withColumn("__srank", F.row_number().over(shortlist_w))
+        .filter(F.col("__srank") <= rescore_factor * k)
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlisted.select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_int(F.col("__qv"), F.col("__cv")).cast("double")
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
