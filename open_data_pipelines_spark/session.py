@@ -64,6 +64,11 @@ def get_spark(
         # nanos timestamp — read as long and truncate to micros in
         # load_tables (same truncation DuckDB applies on read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark's default parquet timestamp encoding (INT96) writes NO
+        # row-group min/max stats, so readers can never skip on time —
+        # at warehouse scale that silently forfeits the cheapest prune
+        # there is. INT64 micros restores stats (tests/test_zorder.py)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )

@@ -1,0 +1,111 @@
+"""Z-order (Morton) clustering for multi-column data skipping.
+
+At 100 TB the fastest scan is the one that never reads the file:
+parquet readers prune row groups whose min/max statistics exclude the
+predicate. A linear sort gives perfect pruning on ONE column and none
+on the others; interleaving the bits of several columns' bucket ids
+(the Z-order curve) gives good-not-perfect locality on ALL of them —
+the layout move behind Delta/Iceberg ``OPTIMIZE ZORDER BY``,
+implemented here on plain parquet with pure Spark expressions
+(shift/mask/or — whole-stage codegen, no UDFs).
+
+Mechanics: each clustering column is bucketed to ``2^bits`` buckets
+(``width_bucket`` over the observed min/max — one tiny agg; equi-width
+is skew-sensitive, so heavily-skewed keys should pre-transform, e.g.
+log), buckets' bits are interleaved into one long, and the write
+``repartitionByRange + sortWithinPartitions`` on that key so row-group
+boundaries follow the curve. Readers need no cooperation: pruning
+comes from ordinary parquet stats on the ORIGINAL columns.
+
+Verified in tests by reading back row-group min/max with pyarrow and
+counting which groups a point predicate would touch: z-order prunes
+on both columns where a linear layout prunes on one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton-interleave ``bits`` bits of each bucket id into one
+    long: column j contributes its bit i at position i*n + j."""
+    n = len(buckets)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> tuple[DataFrame, Column]:
+    """(df, z) where z is the Morton key over ``cols`` (numeric or
+    timestamp — timestamps cluster by epoch seconds). ``bits`` per
+    column; len(cols) * bits must fit a long (<= 63)."""
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long")
+    nb = 1 << bits
+    numeric = {
+        c: F.col(c).cast("double")
+        if t not in ("timestamp", "timestamp_ntz")
+        else F.unix_timestamp(c).cast("double")
+        for c, t in df.dtypes
+        if c in cols
+    }
+    stats = df.agg(
+        *[F.min(numeric[c]).alias(f"lo_{c}") for c in cols],
+        *[F.max(numeric[c]).alias(f"hi_{c}") for c in cols],
+    ).first()
+    buckets = []
+    for c in cols:
+        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        # width_bucket: 1..nb inside [lo, hi]; clamp to 0..nb-1
+        buckets.append(
+            F.least(
+                F.lit(nb - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.width_bucket(numeric[c], F.lit(lo), F.lit(hi), F.lit(nb)) - 1,
+                ),
+            ).cast("long")
+        )
+    return df, _interleave(buckets, bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    n_files: int = 8,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve of ``cols``.
+
+    ``repartitionByRange`` on the key makes files curve-contiguous
+    (one range shuffle — the price of the layout, paid once at write,
+    amortized over every pruned read); ``sortWithinPartitions`` makes
+    row groups inside each file curve-contiguous too. Pruning
+    granularity IS the row group: ``row_group_bytes``
+    (``parquet.block.size``, default 128 MB) trades stats granularity
+    against metadata volume — at 100 TB the default is right; tests
+    shrink it to get many groups from small data.
+    """
+    src, z = zorder_key(df, cols, bits)
+    w = (
+        src.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+    )
+    if row_group_bytes is not None:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
