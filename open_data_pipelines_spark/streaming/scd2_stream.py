@@ -1,0 +1,117 @@
+"""Streaming SCD Type 2: the reference's incremental dimension merge
+(I1, ``src/data_sources/section_58.py:304-357``) driven by a stream.
+
+Each micro-batch applies the batch merge (:mod:`..operators.scd2` —
+identical semantics, asserted by parity test) against the current
+dimension snapshot and publishes a NEW versioned snapshot directory:
+
+    <root>/v00000007/part-*.parquet  + _SUCCESS
+
+Readers take the highest version with a ``_SUCCESS`` marker
+(:func:`latest_snapshot`) — commit is the atomic appearance of that
+marker, so a crash mid-write leaves a dangling uncommitted directory,
+never a torn table. Replaying a batch after restart rewrites ITS
+version directory idempotently (mode=overwrite keyed by batch_id), so
+delivery is effectively-once end-to-end — the same batch-id-keyed
+idempotence as ``stream_to_month_partitions_exactly_once``, applied
+to whole-snapshot publication. This is a minimal snapshot log — the
+plain-parquet analog of what Delta/Iceberg provide transactionally
+(the Delta MERGE variant lives in ``operators/scd2_delta.py``); old
+versions double as time travel and are pruned with
+:func:`prune_snapshots`.
+
+Scale: the merge is the batch operator's single wide shuffle on the
+entity key per micro-batch; snapshot size is the dimension (small
+relative to facts, by definition), so full-snapshot rewrite per batch
+is the standard SCD2 trade until a transactional format takes over.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.scd2 import scd2_initial_load, scd2_merge
+
+_VDIR = re.compile(r"^v(\d{8})$")
+
+
+def _versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _VDIR.match(name)
+        path = os.path.join(root, name)
+        if m and os.path.exists(os.path.join(path, "_SUCCESS")):
+            out.append((int(m.group(1)), path))
+    return sorted(out)
+
+
+def latest_snapshot(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame | None, int]:
+    """(dimension DataFrame, version) of the newest committed
+    snapshot; (None, -1) before the first commit."""
+    vs = _versions(spark, root)
+    if not vs:
+        return None, -1
+    v, path = vs[-1]
+    return spark.read.parquet(path), v
+
+
+def prune_snapshots(spark: SparkSession, root: str, keep: int = 3) -> int:
+    """Drop all but the newest ``keep`` committed versions (time-travel
+    retention); returns how many were removed."""
+    import shutil
+
+    vs = _versions(spark, root)
+    drop = vs[:-keep] if keep > 0 else vs
+    for _, path in drop:
+        shutil.rmtree(path)
+    return len(drop)
+
+
+def stream_scd2(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    entity_key: str,
+    event_time: str,
+    attr_cols: list[str],
+    hash_cols: list[str],
+    tiebreakers: tuple[str, ...] = (),
+):
+    """availableNow drain of ``stream`` into the versioned SCD2
+    snapshot log at ``root``. Returns the finished query handle.
+
+    First-ever batch runs the initial load; every later batch the
+    incremental merge — exactly the reference's backfill-then-monthly
+    lifecycle, with the stream deciding batch boundaries.
+    """
+    spark = stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dim, _ = latest_snapshot(spark, root)
+        if dim is None:
+            new_dim = scd2_initial_load(
+                batch_df, entity_key, event_time, attr_cols, hash_cols, tiebreakers
+            )
+        else:
+            new_dim = scd2_merge(
+                dim, batch_df, entity_key, event_time, attr_cols, hash_cols, tiebreakers
+            )
+        new_dim.write.mode("overwrite").parquet(f"{root}/v{batch_id:08d}")
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,107 @@
+"""Streaming SCD2: a two-micro-batch drain lands the exact dimension
+the batch operators produce from the same data, snapshot commits are
+_SUCCESS-gated and versioned, replay is idempotent, retention prunes."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.scd2 import scd2_initial_load, scd2_merge
+from open_data_pipelines_spark.streaming.scd2_stream import (
+    latest_snapshot,
+    prune_snapshots,
+    stream_scd2,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+T1 = dt.datetime(2024, 1, 10)
+T2 = dt.datetime(2024, 2, 1)
+
+COLS = ["entity", "status", "ts", "event_ref"]
+BATCH1 = [
+    ("a", "open", T0, 1),
+    ("a", "active", T1, 2),
+    ("b", "open", T0, 3),
+    ("c", "open", T1, 4),
+]
+BATCH2 = [
+    ("a", "closed", T2, 5),  # changed, newer -> new version
+    ("b", "open", T2, 6),  # same hash -> untouched
+    ("c", "stale", T0, 7),  # late event -> must not fire
+    ("d", "open", T2, 8),  # brand-new entity
+]
+
+ARGS = dict(
+    entity_key="entity",
+    event_time="ts",
+    attr_cols=["status"],
+    hash_cols=["status"],
+    tiebreakers=("event_ref",),
+)
+
+
+def _canon(df):
+    return sorted(
+        (r["entity"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    )
+
+
+def test_streamed_dim_equals_batch_dim(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    b1 = spark.createDataFrame(BATCH1, COLS)
+    b2 = spark.createDataFrame(BATCH2, COLS)
+    b1.coalesce(1).write.parquet(landing)
+    time.sleep(1.1)  # file mtime orders the micro-batches
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    root = str(tmp_path / "dim")
+    stream_scd2(stream, root, str(tmp_path / "ckpt"), **ARGS)
+
+    got, version = latest_snapshot(spark, root)
+    assert version >= 1, "expected two micro-batches"
+    want = scd2_merge(scd2_initial_load(b1, *ARGS.values()), b2, *ARGS.values())
+    assert _canon(got) == _canon(want)
+
+    # every committed version is _SUCCESS-gated and readable
+    for name in sorted(os.listdir(root)):
+        assert os.path.exists(os.path.join(root, name, "_SUCCESS"))
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-running the last batch (crash-recovery replay) must leave
+    the published dimension unchanged — the I4 guard makes merging a
+    batch into a snapshot that already absorbed it a no-op."""
+    b1 = spark.createDataFrame(BATCH1, COLS)
+    b2 = spark.createDataFrame(BATCH2, COLS)
+    root = str(tmp_path / "dim")
+    dim0 = scd2_initial_load(b1, *ARGS.values())
+    dim0.write.parquet(f"{root}/v00000000")
+    dim1 = scd2_merge(dim0, b2, *ARGS.values())
+    dim1.write.parquet(f"{root}/v00000001")
+
+    latest, v = latest_snapshot(spark, root)
+    assert v == 1
+    replayed = scd2_merge(latest, b2, *ARGS.values())
+    assert _canon(replayed) == _canon(latest)
+
+
+def test_prune_keeps_newest(spark, tmp_path):
+    b1 = spark.createDataFrame(BATCH1, COLS)
+    root = str(tmp_path / "dim")
+    for v in range(5):
+        scd2_initial_load(b1, *ARGS.values()).write.parquet(f"{root}/v{v:08d}")
+    removed = prune_snapshots(spark, root, keep=2)
+    assert removed == 3
+    _, v = latest_snapshot(spark, root)
+    assert v == 4
+    assert sorted(os.listdir(root)) == ["v00000003", "v00000004"]
