@@ -102,3 +102,19 @@ def test_decontaminate_drops_exactly_flagged(docs, bench):
     kept = {r[0] for r in decontaminate(docs, bench, n=3).select("doc_id").collect()}
     everyone = {r[0] for r in docs.select("doc_id").collect()}
     assert kept == everyone - flagged
+
+
+def test_plan_corpus_side_never_shuffles(docs, bench):
+    """Mechanical form of the scale claim: the corpus probe is
+    broadcast joins only — every shuffle Exchange in the plan belongs
+    to the (small) benchmark-distinct / hits-aggregate side."""
+    plan = (
+        ngram_contamination(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert plan.count("BroadcastHashJoin") == 2  # probe + verdict join-back
+    assert "SortMergeJoin" not in plan
+    assert shuffles <= 3  # bench distinct + hits partial/final agg
