@@ -137,15 +137,27 @@ def compact_partitions(
     dest_path: str,
     part_cols: tuple[str, ...] = ("year", "month"),
     target_files_per_partition: int = 1,
+    zorder_cols: tuple[str, ...] = (),
 ) -> None:
     """Maintenance: rewrite a partitioned dataset with fewer files
     (small-file pressure from frequent appends at scale). Writes to a
-    fresh path — Spark cannot overwrite a dataset it is reading."""
+    fresh path — Spark cannot overwrite a dataset it is reading.
+
+    ``zorder_cols`` additionally sorts rows within each rewritten
+    partition along the Morton curve (``sinks/layout.py``) — the
+    compaction pass is the natural moment to buy multi-column row-
+    group pruning, since the data is being rewritten anyway (the
+    OPTIMIZE ... ZORDER BY pairing)."""
     df = spark.read.parquet(src_path)
     cols = [c for c in part_cols if c in df.columns]
+    out = df.repartition(target_files_per_partition, *[F.col(c) for c in cols])
+    if zorder_cols:
+        from .layout import zorder_key
+
+        _, z = zorder_key(out, list(zorder_cols))
+        out = out.withColumn("__z", z).sortWithinPartitions("__z").drop("__z")
     (
-        df.repartition(target_files_per_partition, *[F.col(c) for c in cols])
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy(*cols)
         .parquet(dest_path)
     )

@@ -100,3 +100,29 @@ def test_key_bounds_and_validation(spark, layouts):
     assert 0 <= lo <= hi < 1 << 16
     with pytest.raises(ValueError):
         zorder_key(ev, ["user_id", "value"], bits=40)
+
+
+def test_compaction_with_zorder(spark, tmp_path):
+    """OPTIMIZE-style pairing: the compaction rewrite can Z-order rows
+    within each retained partition; rows conserved, clustering real."""
+    from open_data_pipelines_spark.sinks.writers import compact_partitions
+
+    ev = (
+        load_tables(spark, SF_T2, register_views=False)["events"]
+        .select("event_id", "ts", "user_id", "value")
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+    )
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    ev.write.partitionBy("year", "month").parquet(src)
+    compact_partitions(
+        spark, src, dest, target_files_per_partition=1, zorder_cols=("user_id", "ts")
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == ev.count()
+    assert back.select(F.sum("event_id")).first()[0] == ev.select(F.sum("event_id")).first()[0]
+    # one file per retained partition
+    import glob as g
+
+    for part in g.glob(f"{dest}/year=*/month=*"):
+        assert len(g.glob(f"{part}/*.parquet")) == 1
