@@ -139,6 +139,89 @@ def mix_fractions(
     return {s: (total * norm.get(s, 0.0)) / counts[s] for s in counts}
 
 
+def repeat_factors(
+    counts: dict[str, int], target_weights: dict[str, float], epochs_cap: float = 10.0
+) -> dict[str, float]:
+    """Per-stratum repetition factors that UPsample a corpus to a
+    target mix (the complement of :func:`mix_fractions`): the largest
+    stratum-to-weight ratio anchors at factor 1.0 (never discard), and
+    under-represented strata repeat up to ``epochs_cap`` times (the
+    data-repetition budget — repeating a small domain 100x degrades
+    training, so the cap binds and the achieved mix is reported by the
+    caller, not silently forced)."""
+    if any(w < 0 for w in target_weights.values()):
+        raise ValueError(f"weights must be >= 0, got {target_weights}")
+    wsum = sum(target_weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    norm = {s: w / wsum for s, w in target_weights.items()}
+    missing = [s for s, w in norm.items() if w > 0 and counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"strata with positive weight but no rows: {missing}")
+    # anchor: the stratum with the most data per unit of weight stays at 1x
+    total = max(counts[s] / w for s, w in norm.items() if w > 0)
+    return {
+        s: min(epochs_cap, (total * norm.get(s, 0.0)) / counts[s]) for s in counts
+    }
+
+
+def upsample_to_mix(
+    df: DataFrame,
+    stratum_col: str,
+    target_weights: dict[str, float],
+    key_col: str,
+    seed: str = "epochs",
+    epochs_cap: float = 10.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Repeat under-represented strata toward ``target_weights``
+    without downsampling any positively-weighted stratum (domain
+    upweighting by repetition — the standard alternative to
+    downsampling when the small domain is the valuable one; strata
+    with zero/absent weight are excluded, as in every mix op here).
+
+    A factor f repeats every row floor(f) times and one extra time for
+    a deterministic hash-selected f-frac fraction — expected mix hits
+    the target (up to the epochs cap), rows gain ``copy_col`` (0-based
+    repetition index) so downstream shuffling can separate copies.
+    One tiny count agg + an explode; no other shuffle.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    factors = repeat_factors(counts, target_weights, epochs_cap)
+    whole: Column = F.lit(0)
+    frac: Column = F.lit(0.0)
+    col = F.col(stratum_col)
+    for s, f in sorted(factors.items()):
+        whole = F.when(col == F.lit(s), F.lit(int(f))).otherwise(whole)
+        frac = F.when(col == F.lit(s), F.lit(f - int(f))).otherwise(frac)
+    n_copies = whole + (unit_hash(key_col, seed) < frac).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
+def shuffle_deterministic(
+    df: DataFrame, key_col: str, seed: str = "shuffle", partitions: int | None = None
+) -> DataFrame:
+    """Global deterministic corpus shuffle: order rows by the keyed
+    hash. Range-partition on the hash (near-uniform by construction)
+    then sort within partitions — a total order across output files
+    without a single-partition sort, reproducible across runs and
+    cluster sizes. The serving-side 'shuffle the corpus once per seed'
+    primitive; vary ``seed`` per epoch."""
+    keyed = df.withColumn("__h", unit_hash(key_col, seed))
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartitionByRange(parts, "__h").sortWithinPartitions("__h").drop("__h")
+    )
+
+
 def rebalance_to_mix(
     df: DataFrame,
     stratum_col: str,

@@ -124,3 +124,51 @@ def test_rebalance_to_mix_hits_target(docs):
     for s in counts:
         # expected-proportion sampling: allow binomial noise on small n
         assert abs(counts[s] / tot - 0.5) < 0.2
+
+
+def test_repeat_factors_math():
+    from open_data_pipelines_spark.operators.sampling import repeat_factors
+
+    # web is data-rich (anchor, 1x); code must repeat 5x to reach parity
+    fr = repeat_factors({"web": 1000, "code": 200}, {"web": 0.5, "code": 0.5})
+    assert fr == {"web": 1.0, "code": 5.0}
+    # the epochs cap binds instead of exploding tiny strata
+    fr = repeat_factors({"web": 10000, "tiny": 10}, {"web": 0.5, "tiny": 0.5}, epochs_cap=10)
+    assert fr["web"] == 1.0 and fr["tiny"] == 10.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        repeat_factors({"web": 10}, {"web": 0.5, "code": 0.5})
+
+
+def test_upsample_to_mix_achieves_target(docs):
+    from open_data_pipelines_spark.operators.sampling import upsample_to_mix
+
+    # src0..src19 have 25 docs each; ask for src0 at 4x the share of src1
+    out = upsample_to_mix(
+        docs, "source", {"src0": 0.8, "src1": 0.2}, "doc_id", epochs_cap=10
+    )
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(counts) == {"src0", "src1"}
+    assert counts["src1"] == 25  # anchor stratum: kept whole, 1x
+    assert counts["src0"] == 100  # exactly 4x (integral factor, no hash part)
+    # copies are distinguishable and contiguous per key
+    per_key = (
+        out.filter(F.col("source") == "src0")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("copy_idx").alias("d"))
+        .collect()
+    )
+    assert all(r["n"] == 4 and r["d"] == 4 for r in per_key)
+
+
+def test_shuffle_deterministic_is_stable(docs):
+    from open_data_pipelines_spark.operators.sampling import shuffle_deterministic
+
+    a = [r["doc_id"] for r in shuffle_deterministic(docs, "doc_id", "s1", partitions=4).select("doc_id").toLocalIterator()]
+    b = [r["doc_id"] for r in shuffle_deterministic(docs.repartition(9), "doc_id", "s1", partitions=4).select("doc_id").toLocalIterator()]
+    c = [r["doc_id"] for r in shuffle_deterministic(docs, "doc_id", "s2", partitions=4).select("doc_id").toLocalIterator()]
+    assert a == b  # same seed -> same global order, any input partitioning
+    assert a != c  # different seed -> different order
+    assert sorted(a) == sorted(c)  # ... of the same rows
+    assert a != sorted(a)  # actually shuffled
