@@ -15,8 +15,10 @@ Stages, in the order a production corpus pipeline runs them:
    connected components → keep each cluster's canonical minimum.
 5. **decontaminate** (opt-in) — drop docs sharing n-grams with a
    benchmark set (``operators.contamination``; broadcast probe).
-6. **rebalance** (opt-in) — downsample to a target per-source mix
-   (``operators.sampling.rebalance_to_mix``).
+6. **rebalance / upsample** (opt-in) — downsample to a target
+   per-source mix (``operators.sampling.rebalance_to_mix``) or repeat
+   under-represented sources toward it (``upsample_to_mix``, each copy
+   re-keyed as its own doc).
 7. **split** (opt-in) — leak-proof train/val/test labels from the
    doc key hash, assigned at DOC level so every chunk of a document
    lands in the same split (``operators.sampling.assign_split``).
@@ -65,6 +67,7 @@ def prepare_corpus(
     benchmark: DataFrame | None = None,
     contamination_n: int = 8,
     source_weights: dict[str, float] | None = None,
+    upsample_weights: dict[str, float] | None = None,
     splits: tuple[tuple[str, float], ...] | None = None,
     pack_budget: int | None = None,
     seed: str = "corpus",
@@ -79,7 +82,8 @@ def prepare_corpus(
 
     ``benchmark`` is a (bench_id, text) frame of eval items to
     decontaminate against; ``source_weights`` a target domain mix over
-    the raw ``source`` column; ``splits`` e.g.
+    the raw ``source`` column (downsampling), ``upsample_weights`` the
+    repetition-based alternative; ``splits`` e.g.
     ``(("train", .98), ("val", .01), ("test", .01))``.
     """
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
@@ -95,7 +99,7 @@ def prepare_corpus(
     # redact BEFORE normalizing so the replacement tokens lowercase
     # with the rest of the text (and whitespace variants of redacted
     # spans collapse to identical strings for the dedup stages)
-    carry = ["source"] if source_weights else []
+    carry = ["source"] if (source_weights or upsample_weights) else []
     cleaned = docs.select(
         "doc_id",
         normalize_text(redact_pii("text")).alias("text"),
@@ -148,6 +152,21 @@ def prepare_corpus(
             rebalance_to_mix(
                 surviving, "source", source_weights, "doc_id", seed=seed
             ),
+        )
+    if upsample_weights:
+        from ..operators.sampling import upsample_to_mix
+
+        # repetition instead of discard; copy_idx folds into the doc
+        # key so every copy chunks/splits/packs as its own document
+        surviving = note(
+            "upsampled",
+            upsample_to_mix(
+                surviving, "source", upsample_weights, "doc_id", seed=seed
+            )
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("copy_idx") * F.lit(100_000_000)
+            )
+            .drop("copy_idx"),
         )
     split_cols: list[str] = []
     if splits:

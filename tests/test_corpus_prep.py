@@ -125,3 +125,28 @@ def test_prepare_corpus_full_optin_path(spark):
 
     # benchmark docs (the planted contamination) are gone
     assert all(d % 37 != 0 for d in per_doc)
+
+
+def test_prepare_corpus_upsample_variant(spark):
+    """Repetition-based mixing: copies become their own documents and
+    flow through split/chunk with independent doc keys."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+
+    out, stats = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        chunk_size=16,
+        overlap=0,
+        with_stats=True,
+        upsample_weights={"src0": 0.8, "src1": 0.2},
+        splits=(("train", 0.9), ("val", 0.1)),
+    )
+    rows = out.collect()
+    assert rows
+    # upsampling grows the doc count past the near-deduped survivors
+    assert stats["upsampled"] > 0
+    doc_ids = {r["doc_id"] for r in rows}
+    copies = {d for d in doc_ids if d >= 100_000_000}
+    assert copies, "expected re-keyed repetition copies"
+    # a copy and its original get independent split labels (hash of key)
+    assert {r["split"] for r in rows} <= {"train", "val"}
