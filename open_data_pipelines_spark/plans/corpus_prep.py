@@ -15,15 +15,22 @@ Stages, in the order a production corpus pipeline runs them:
    connected components → keep each cluster's canonical minimum.
 5. **decontaminate** (opt-in) — drop docs sharing n-grams with a
    benchmark set (``operators.contamination``; broadcast probe).
-6. **rebalance / upsample** (opt-in) — downsample to a target
-   per-source mix (``operators.sampling.rebalance_to_mix``) or repeat
-   under-represented sources toward it (``upsample_to_mix``, each copy
-   re-keyed as its own doc).
+6. **rebalance** (opt-in) — downsample to a target per-source mix
+   (``operators.sampling.rebalance_to_mix``).
 7. **split** (opt-in) — leak-proof train/val/test labels from the
    doc key hash, assigned at DOC level so every chunk of a document
    lands in the same split (``operators.sampling.assign_split``).
-8. **chunk** — overlapping token windows, one row per chunk.
-9. **pack** (opt-in) — greedy sequence packing of chunks into
+   Assigned on the ORIGINAL doc key, BEFORE any repetition re-keying,
+   so duplicated text can never straddle an eval boundary.
+8. **upsample** (opt-in) — repeat under-represented sources toward a
+   target mix (``upsample_to_mix``). When splits are requested only
+   the first (training) split is upsampled — repeating eval items is
+   never useful — and every copy inherits its original's split, then
+   is re-keyed with a string composite ``"<doc_id>#<copy_idx>"`` so
+   it chunks/packs as its own document without numeric-overflow
+   collisions.
+9. **chunk** — overlapping token windows, one row per chunk.
+10. **pack** (opt-in) — greedy sequence packing of chunks into
    fixed-token contexts, packing domains nested inside splits so a
    pack never crosses an eval boundary (``operators.packing``).
 
@@ -153,27 +160,46 @@ def prepare_corpus(
                 surviving, "source", source_weights, "doc_id", seed=seed
             ),
         )
-    if upsample_weights:
-        from ..operators.sampling import upsample_to_mix
-
-        # repetition instead of discard; copy_idx folds into the doc
-        # key so every copy chunks/splits/packs as its own document
-        surviving = note(
-            "upsampled",
-            upsample_to_mix(
-                surviving, "source", upsample_weights, "doc_id", seed=seed
-            )
-            .withColumn(
-                "doc_id", F.col("doc_id") + F.col("copy_idx") * F.lit(100_000_000)
-            )
-            .drop("copy_idx"),
-        )
     split_cols: list[str] = []
     if splits:
         from ..operators.sampling import assign_split
 
+        # split BEFORE any repetition re-keying: every copy of a doc
+        # inherits the ORIGINAL key's label, so duplicated text can
+        # never land on both sides of an eval boundary
         surviving = assign_split(surviving, "doc_id", splits, seed=seed)
         split_cols = ["split"]
+    if upsample_weights:
+        from ..operators.sampling import upsample_to_mix
+
+        # repetition instead of discard. Only the training split is
+        # upsampled (repeating eval items is never useful); copies
+        # inherit the split and fold copy_idx into a string composite
+        # key — no numeric-overflow collision for any doc_id.
+        if splits:
+            train_name = splits[0][0]
+            train = surviving.filter(F.col("split") == F.lit(train_name))
+            rest = surviving.filter(
+                F.col("split") != F.lit(train_name)
+            ).withColumn("copy_idx", F.lit(0))
+            upsampled = upsample_to_mix(
+                train, "source", upsample_weights, "doc_id", seed=seed
+            ).unionByName(rest)
+        else:
+            upsampled = upsample_to_mix(
+                surviving, "source", upsample_weights, "doc_id", seed=seed
+            )
+        surviving = note(
+            "upsampled",
+            upsampled.withColumn(
+                "doc_id",
+                F.concat_ws(
+                    "#",
+                    F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string"),
+                ),
+            ).drop("copy_idx"),
+        )
 
     chunked = surviving.select(
         "doc_id",
@@ -195,8 +221,14 @@ def prepare_corpus(
         # a doc's chunks stay adjacent (same domain, contiguous keys)
         shard = F.pmod(stable_long_hash("doc_id", salt="pack"), F.lit(64))
         dom = F.concat_ws("/", *split_cols, shard.cast("string"))
+        # string composite chunk key: unique for ANY doc_id (numeric
+        # or re-keyed composite), zero-padded so within-doc chunk
+        # order survives the packer's lexicographic sort
         keyed = chunked.withColumn("__dom", dom).withColumn(
-            "__ck", F.col("doc_id") * 100000 + F.col("chunk_idx")
+            "__ck",
+            F.format_string(
+                "%s#%010d", F.col("doc_id").cast("string"), F.col("chunk_idx")
+            ),
         ).withColumn("__ct", token_count_ws("chunk"))
         chunked = (
             pack_chunks(keyed, "__ck", "__ct", pack_budget, group_col="__dom")

@@ -49,12 +49,32 @@ def zorder_key(
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long")
     nb = 1 << bits
+    # validate up front: a missing column would KeyError deep in the
+    # agg, and a string/binary column would cast to all-null doubles —
+    # contributing a constant bucket 0 to the curve with no signal
+    # and no error. Fail loudly instead.
+    _NUMERIC = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "date", "timestamp", "timestamp_ntz",
+    }
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(
+                f"zorder column {c!r} not in DataFrame (have {sorted(dtypes)})"
+            )
+        t = dtypes[c]
+        if t not in _NUMERIC and not t.startswith("decimal"):
+            raise ValueError(
+                f"zorder column {c!r} has non-clusterable type {t!r}: "
+                "Z-order needs numeric/date/timestamp columns — hash or "
+                "dictionary-encode strings first"
+            )
     numeric = {
-        c: F.col(c).cast("double")
-        if t not in ("timestamp", "timestamp_ntz")
-        else F.unix_timestamp(c).cast("double")
-        for c, t in df.dtypes
-        if c in cols
+        c: F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+        if dtypes[c] in ("date", "timestamp", "timestamp_ntz")
+        else F.col(c).cast("double")
+        for c in cols
     }
     stats = df.agg(
         *[F.min(numeric[c]).alias(f"lo_{c}") for c in cols],

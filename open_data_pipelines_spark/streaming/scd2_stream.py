@@ -10,9 +10,14 @@ dimension snapshot and publishes a NEW versioned snapshot directory:
 Readers take the highest version with a ``_SUCCESS`` marker
 (:func:`latest_snapshot`) — commit is the atomic appearance of that
 marker, so a crash mid-write leaves a dangling uncommitted directory,
-never a torn table. Replaying a batch after restart rewrites ITS
-version directory idempotently (mode=overwrite keyed by batch_id), so
-delivery is effectively-once end-to-end — the same batch-id-keyed
+never a torn table. Replay safety: a batch always merges against the
+newest committed version STRICTLY BELOW its own batch_id, and if its
+own version is already committed the replay is a no-op. (Merging
+against ``latest_snapshot()`` unconditionally would, after a crash
+between snapshot publish and checkpoint commit, read v{batch_id}
+while overwriting that same path — Spark's "cannot overwrite a path
+that is also being read from" — wedging the stream.) Delivery is
+therefore effectively-once end-to-end — the same batch-id-keyed
 idempotence as ``stream_to_month_partitions_exactly_once``, applied
 to whole-snapshot publication. This is a minimal snapshot log — the
 plain-parquet analog of what Delta/Iceberg provide transactionally
@@ -34,7 +39,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.scd2 import scd2_initial_load, scd2_merge
 
-_VDIR = re.compile(r"^v(\d{8})$")
+# Writers format ``v{batch_id:08d}`` — zero-padded but GROWABLE past
+# 1e8 batches, so the match must be 8-or-more digits, not exactly 8.
+_VDIR = re.compile(r"^v(\d{8,})$")
 
 
 def _versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
@@ -95,7 +102,14 @@ def stream_scd2(
     spark = stream.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        dim, _ = latest_snapshot(spark, root)
+        vs = _versions(spark, root)
+        if any(v == batch_id for v, _ in vs):
+            # Crash landed between snapshot publish and checkpoint
+            # commit: this batch's snapshot is already committed.
+            # Re-merging would read v{batch_id} while overwriting it.
+            return
+        prior = [(v, p) for v, p in vs if v < batch_id]
+        dim = spark.read.parquet(prior[-1][1]) if prior else None
         if dim is None:
             new_dim = scd2_initial_load(
                 batch_df, entity_key, event_time, attr_cols, hash_cols, tiebreakers

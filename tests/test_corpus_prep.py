@@ -128,8 +128,9 @@ def test_prepare_corpus_full_optin_path(spark):
 
 
 def test_prepare_corpus_upsample_variant(spark):
-    """Repetition-based mixing: copies become their own documents and
-    flow through split/chunk with independent doc keys."""
+    """Repetition-based mixing: copies become their own documents but
+    INHERIT the original doc's split (leak-proof), and only the
+    training split is upsampled."""
     from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
 
     out, stats = prepare_corpus(
@@ -143,10 +144,38 @@ def test_prepare_corpus_upsample_variant(spark):
     )
     rows = out.collect()
     assert rows
-    # upsampling grows the doc count past the near-deduped survivors
     assert stats["upsampled"] > 0
     doc_ids = {r["doc_id"] for r in rows}
-    copies = {d for d in doc_ids if d >= 100_000_000}
+    # string composite re-key: "<orig>#<copy_idx>"
+    assert all("#" in d for d in doc_ids)
+    copies = {d for d in doc_ids if int(d.split("#")[1]) >= 1}
     assert copies, "expected re-keyed repetition copies"
-    # a copy and its original get independent split labels (hash of key)
     assert {r["split"] for r in rows} <= {"train", "val"}
+
+    # leak-proofness: every copy of an original shares ONE split —
+    # duplicated text never straddles the eval boundary
+    by_orig: dict[str, set] = {}
+    for r in rows:
+        by_orig.setdefault(r["doc_id"].split("#")[0], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_orig.values())
+
+    # only the training split is repeated; eval docs stay single-copy
+    for r in rows:
+        if int(r["doc_id"].split("#")[1]) >= 1:
+            assert r["split"] == "train"
+
+
+def test_prepare_corpus_upsample_no_splits_keeps_all_copies(spark):
+    """Without splits the whole corpus upsamples; composite keys make
+    copies distinct documents with no numeric-overflow collisions."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+
+    out = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        chunk_size=16,
+        overlap=0,
+        upsample_weights={"src0": 0.8, "src1": 0.2},
+    )
+    doc_ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert any(int(d.split("#")[1]) >= 1 for d in doc_ids)

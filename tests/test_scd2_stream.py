@@ -95,6 +95,53 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert _canon(replayed) == _canon(latest)
 
 
+def test_replay_after_lost_checkpoint_is_noop(spark, tmp_path):
+    """Crash between snapshot publish and checkpoint commit: on
+    restart the batch replays while ITS OWN version is already the
+    newest committed snapshot. The merge must skip (already-committed
+    guard) — merging against latest_snapshot() unconditionally would
+    overwrite v{batch_id} while reading from it and wedge the stream."""
+    import shutil
+
+    landing = str(tmp_path / "landing")
+    b1 = spark.createDataFrame(BATCH1, COLS)
+    b2 = spark.createDataFrame(BATCH2, COLS)
+    b1.coalesce(1).write.parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    def mkstream():
+        return (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+
+    root = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    stream_scd2(mkstream(), root, ckpt, **ARGS)
+    before = _canon(latest_snapshot(spark, root)[0])
+
+    # losing the checkpoint replays EVERY batch against already-
+    # committed snapshots — the worst-case replay storm
+    shutil.rmtree(ckpt)
+    stream_scd2(mkstream(), root, str(tmp_path / "ckpt2"), **ARGS)
+    after, v = latest_snapshot(spark, root)
+    assert v >= 1
+    assert _canon(after) == before
+
+
+def test_version_dirs_grow_past_eight_digits(spark, tmp_path):
+    """The writer's v{batch_id:08d} format grows to 9+ digits past
+    1e8 batches — latest_snapshot must not silently ignore them."""
+    b1 = spark.createDataFrame(BATCH1, COLS)
+    root = str(tmp_path / "dim")
+    scd2_initial_load(b1, *ARGS.values()).write.parquet(f"{root}/v00000007")
+    scd2_initial_load(b1, *ARGS.values()).write.parquet(f"{root}/v100000000")
+    _, v = latest_snapshot(spark, root)
+    assert v == 100_000_000
+
+
 def test_prune_keeps_newest(spark, tmp_path):
     b1 = spark.createDataFrame(BATCH1, COLS)
     root = str(tmp_path / "dim")

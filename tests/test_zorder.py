@@ -100,6 +100,13 @@ def test_key_bounds_and_validation(spark, layouts):
     assert 0 <= lo <= hi < 1 << 16
     with pytest.raises(ValueError):
         zorder_key(ev, ["user_id", "value"], bits=40)
+    # missing column: descriptive error, not a KeyError mid-agg
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        zorder_key(ev, ["user_id", "no_such_col"], bits=8)
+    # non-numeric column: would cast to all-null doubles and silently
+    # contribute a constant bucket 0 — must fail loudly instead
+    with pytest.raises(ValueError, match="non-clusterable"):
+        zorder_key(ev.withColumn("name", F.lit("x")), ["user_id", "name"], bits=8)
 
 
 def test_compaction_with_zorder(spark, tmp_path):
