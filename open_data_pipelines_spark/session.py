@@ -64,6 +64,12 @@ def get_spark(
         # nanos timestamp — read as long and truncate to micros in
         # load_tables (same truncation DuckDB applies on read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive (isAdjustedToUTC=false) parquet timestamps: read as
+        # session-TZ TimestampType, not TIMESTAMP_NTZ — the session TZ
+        # is pinned UTC so epochs match the DuckDB oracle, and every
+        # downstream consumer (watermarks, unix_micros, TIMESTAMP
+        # literals) requires TimestampType.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Spark's default parquet timestamp encoding (INT96) writes NO
         # row-group min/max stats, so readers can never skip on time —
         # at warehouse scale that silently forfeits the cheapest prune
@@ -119,6 +125,7 @@ def load_tables(
         raise FileNotFoundError(f"testdata dir not found: {sf_dir}")
     if configure_session:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         if spark.conf.get("spark.sql.session.timeZone") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
@@ -127,21 +134,32 @@ def load_tables(
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        for col in _NANOS_TS_COLUMNS.get(name, ()):
-            # only when the file actually stores NANOS (read as long —
-            # re-written copies of the table have real timestamps):
-            # integer div (not float: ns epoch exceeds double's 53-bit
-            # mantissa) -> micros, the same truncation DuckDB applies.
+        for col in _EVENT_TIME_COLUMNS.get(name, ()):
+            # Normalize whatever the harness encoded the event-time
+            # column as to a proper TimestampType:
+            #  - TIMESTAMP(NANOS) parquet -> read as long (nanosAsLong),
+            #    integer-div (not float: ns epoch exceeds double's
+            #    53-bit mantissa) to micros — the same truncation
+            #    DuckDB applies on read.
+            #  - naive timestamp[us] parquet -> Spark 4 infers
+            #    TIMESTAMP_NTZ; with the session TZ pinned UTC,
+            #    cast("timestamp") is epoch-identical to the DuckDB
+            #    oracle's reading of the same file.
+            #  - already TimestampType -> leave untouched.
             from pyspark.sql import types as T
 
-            if isinstance(df.schema[col].dataType, T.LongType):
+            dt = df.schema[col].dataType
+            if isinstance(dt, T.LongType):
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            elif isinstance(dt, T.TimestampNTZType):
+                df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
 
 
-# tables whose parquet files store TIMESTAMP(NANOS) (read as long via
-# spark.sql.legacy.parquet.nanosAsLong, converted in load_tables)
-_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# tables whose event-time column must land as TimestampType regardless
+# of how the harness encoded the parquet (TIMESTAMP(NANOS)-as-long,
+# naive micros/NTZ, or UTC-adjusted micros — all normalized above)
+_EVENT_TIME_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
