@@ -52,9 +52,20 @@ def connected_components(
     ``algorithm="star"``: large-star/small-star contraction
     (Kiveris et al., SoCC'14), O(log^2 n) rounds — right for deep
     chains where propagation would need diameter rounds.
+    ``algorithm="auto"``: propagation first (the cheap, shallow-graph
+    path), escalating to star contraction if no fixpoint lands within
+    ``max_rounds`` — a pathological chain costs the bounded
+    propagation budget plus O(log^2 n) star rounds instead of raising.
     """
     if algorithm == "star":
         return _connected_components_star(edges, src, dst, max_rounds)
+    if algorithm == "auto":
+        try:
+            return connected_components(edges, src, dst, max_rounds, "propagation")
+        except ConvergenceError:
+            # star needs O(log^2 n) rounds, not O(diameter) — its own
+            # max_rounds budget is fresh and ample at any real scale
+            return _connected_components_star(edges, src, dst, max(max_rounds, 64))
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     adj = (
@@ -184,6 +195,7 @@ def cluster_members(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(doc_id, cluster_rep, cluster_size) for every clustered node.
 
@@ -192,7 +204,7 @@ def cluster_members(
     aggregation on the component labels (broadcast back — component
     count is tiny relative to nodes).
     """
-    comp = connected_components(edges, src, dst)
+    comp = connected_components(edges, src, dst, algorithm=algorithm)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(F.broadcast(sizes), "component").select(
         F.col("node").alias("doc_id"),

@@ -135,6 +135,56 @@ def build_ivf_index(
     return indexed
 
 
+def cell_stats(
+    index: DataFrame,
+    list_col: str = "list_id",
+    min_size: int = 1,
+) -> DataFrame:
+    """(list_id, cell_size) for cells holding >= ``min_size`` rows —
+    the skew audit for IVF, mirroring :func:`.text_dedup
+    .band_bucket_stats`: the top rows are the hot cells a
+    ``max_cell_size`` cap trims, and sum of their sizes over the
+    probed set is the per-query candidate mass they would contribute.
+    One groupBy over the index (k rows out), never collected here.
+    """
+    return (
+        index.groupBy(list_col)
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+        .filter(F.col("cell_size") >= min_size)
+    )
+
+
+def cap_hot_cells(
+    index: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    max_cell_size: int,
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Bound every cell to its ``max_cell_size`` members nearest the
+    cell centroid (ties broken by id — deterministic).
+
+    The LSH analogue (:func:`.text_dedup.candidates_from_shingled`
+    ``max_bucket_size``) drops oversized buckets outright because a
+    hot LSH bucket is near-useless (everything collides); a hot IVF
+    cell is real data in a dense region, so dropping it whole would
+    crater recall there. Keeping the centroid-nearest members instead
+    caps per-query candidate volume at ``nprobe * max_cell_size``
+    while retaining the cell's core. The within-cell ranking is one
+    window keyed on ``list_col`` — the same shuffle key as the
+    ``partitionBy(list_id)`` index write, so at build time it rides
+    the shuffle the index already pays.
+    """
+    d2 = F.array_min(_cell_dists(as_double_array(vec_col), centroids))["d"]
+    w = Window.partitionBy(list_col).orderBy(d2.asc(), F.col(id_col).asc())
+    return (
+        index.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= max_cell_size)
+        .drop("__crank")
+    )
+
+
 def ivf_topk(
     index: DataFrame,
     queries: DataFrame,
@@ -144,12 +194,19 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 4,
     quant_scale: int = 1000,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Top-k per query over the probed cells only, exact-rescored.
 
     Output contract matches ``brute_force_topk``; with ``nprobe`` =
-    number of cells, output IS brute force (tested invariant).
+    number of cells (and no cap), output IS brute force (tested
+    invariant). ``max_cell_size`` applies :func:`cap_hot_cells` to the
+    index first — bounded candidate volume on skewed corpora.
     """
+    if max_cell_size is not None:
+        index = cap_hot_cells(
+            index, vec_col, id_col, centroids, max_cell_size, "list_id"
+        )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         quantize(vec_col, quant_scale).alias("__qv"),

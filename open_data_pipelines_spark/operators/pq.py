@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ivf import _cell_dists, train_centroids
+from .ivf import _cell_dists, probe_list_ids, train_centroids
 from .similarity import as_double_array, dot_int, quantize
 
 Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
@@ -166,6 +166,80 @@ def pq_topk(
     )
     shortlisted = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc_scores(F.col("__lut"), F.col("__code"), m))
+        .withColumn("__srank", F.row_number().over(shortlist_w))
+        .filter(F.col("__srank") <= rescore_factor * k)
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlisted.select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_int(F.col("__qv"), F.col("__cv")).cast("double")
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def ivf_pq_topk(
+    encoded_index: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    k: int = 5,
+    nprobe: int = 4,
+    rescore_factor: int = 4,
+    code_col: str = "pq_code",
+    list_col: str = "list_id",
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """The composed 100 TB search path: IVF probe -> PQ ADC -> exact
+    rescore (the composition :mod:`.ivf` and this module's docstrings
+    promise).
+
+    ``encoded_index`` carries BOTH ``list_col`` (:func:`.ivf
+    .build_ivf_index` cell assignment — ``partitionBy(list_id)`` files
+    make the probe a partition-pruned scan) and ``code_col``
+    (:func:`pq_encode`). Per query: the nprobe nearest cells select
+    candidates via an equi-join on ``list_col`` (queries broadcast —
+    the big side never shuffles); ADC ranks candidates touching only
+    m-byte codes; the ``rescore_factor * k`` shortlist alone evaluates
+    the full-width exact quantized cosine. Output contract and
+    tie-break match ``brute_force_topk`` — with ``nprobe`` = all cells
+    and a corpus-sized shortlist the result is row-identical to brute
+    force (the tests' exactness anchor).
+    """
+    m = len(codebooks)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        _lut(as_double_array(vec_col), codebooks).alias("__lut"),
+        quantize(vec_col, quant_scale).alias("__qv"),
+        F.explode(probe_list_ids(vec_col, centroids, nprobe)).alias(list_col),
+    ).withColumn("__qn", F.sqrt(dot_int(F.col("__qv"), F.col("__qv")).cast("double")))
+    cand = encoded_index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(list_col),
+        F.col(code_col).alias("__code"),
+        quantize(vec_col, quant_scale).alias("__cv"),
+    ).withColumn("__cn", F.sqrt(dot_int(F.col("__cv"), F.col("__cv")).cast("double")))
+
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlisted = (
+        # probes hold distinct cells per query, so (query, neighbor)
+        # pairs are unique — no post-join dedup needed
+        cand.join(F.broadcast(probes), list_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("__adc", adc_scores(F.col("__lut"), F.col("__code"), m))
         .withColumn("__srank", F.row_number().over(shortlist_w))
         .filter(F.col("__srank") <= rescore_factor * k)

@@ -40,11 +40,22 @@ order matters at 100 TB: cheap row-local filters run before any
 shuffle, exact dedup (one shuffle) runs before LSH (banding joins),
 decontamination probes the already-deduped survivors, and chunking
 (explode, no shuffle) runs last on the smallest surviving set.
+
+The audit itself has two modes (``stats_via``): ``"count"`` runs one
+``count()`` action per stage — each re-executes the pipeline prefix,
+O(stages^2) work, fine for debugging — and ``"observe"`` attaches a
+``CollectMetrics`` node per stage and harvests every stage count from
+ONE action at the end: the full funnel for one pipeline execution
+(Spark deduplicates the metrics even where a stage output feeds two
+branches, e.g. the exact-dedup anti-join or the split/upsample
+union — verified by ``tests/test_corpus_prep.py``). At 100 TB the
+observe audit is the only affordable one; its dict plugs straight
+into ``MetadataLogger(**extras)``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import cluster_members
@@ -78,14 +89,19 @@ def prepare_corpus(
     splits: tuple[tuple[str, float], ...] | None = None,
     pack_budget: int | None = None,
     seed: str = "corpus",
+    stats_via: str = "count",
+    docs: DataFrame | None = None,
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """documents -> deduplicated, filtered, chunked training rows.
 
     Returns (doc_id, lang, quality, chunk_idx, chunk); opt-in stages
     append columns: ``splits`` adds ``split``, ``pack_budget`` adds
     ``pack_id``/``pack_tokens``. With ``with_stats=True`` also a
-    per-stage row-count audit (each count is one extra action — skip
-    in production, wire to the metadata logger instead).
+    per-stage row-count audit: ``stats_via="count"`` is one action
+    per stage (debug mode); ``stats_via="observe"`` harvests the
+    whole funnel from a single action on the final frame (production
+    mode — the returned stats are complete and the pipeline ran
+    exactly once).
 
     ``benchmark`` is a (bench_id, text) frame of eval items to
     decontaminate against; ``source_weights`` a target domain mix over
@@ -93,15 +109,26 @@ def prepare_corpus(
     repetition-based alternative; ``splits`` e.g.
     ``(("train", .98), ("val", .01), ("test", .01))``.
     """
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    if stats_via not in ("count", "observe"):
+        raise ValueError(f"unknown stats_via {stats_via!r}")
+    if docs is None:
+        docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     stats: dict[str, int] = {}
+    observations: dict[str, Observation] = {}
 
     def note(name: str, df: DataFrame) -> DataFrame:
-        if with_stats:
-            stats[name] = df.count()
+        if not with_stats:
+            return df
+        if stats_via == "observe":
+            obs = Observation(f"corpus_{name}")
+            observations[name] = obs
+            return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        stats[name] = df.count()
         return df
 
-    note("input", docs)
+    # the observed frame MUST flow into the plan (a dangling observe
+    # node never executes, and its Observation.get would block forever)
+    docs = note("input", docs)
 
     # redact BEFORE normalizing so the replacement tokens lowercase
     # with the rest of the text (and whitespace variants of redacted
@@ -137,7 +164,11 @@ def prepare_corpus(
         threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
     )
-    clusters = cluster_members(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    # auto: cheap propagation for the shallow graphs near-dup pairs
+    # form, star-contraction escalation if a pathological chain appears
+    clusters = cluster_members(
+        pairs.select("id_a", "id_b"), "id_a", "id_b", algorithm="auto"
+    )
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     near_deduped = note(
         "near_deduped", exact.join(drop, "doc_id", "left_anti")
@@ -235,4 +266,13 @@ def prepare_corpus(
             .drop("__dom", "__ck", "__ct")
         )
         chunked = note("packed", chunked)
+    if with_stats and stats_via == "observe":
+        # ONE action materializes every stage metric (the funnel for a
+        # single pipeline execution); Observation.get then returns
+        # without blocking. The final count doubles as the last stage's
+        # number, so nothing is recomputed.
+        chunked.count()
+        stats.update(
+            {name: int(obs.get["rows"]) for name, obs in observations.items()}
+        )
     return (chunked, stats) if with_stats else chunked

@@ -246,9 +246,9 @@ _BAND_UNION = "\nUNION ALL\n".join(
 )
 # shared CTE chain: corpus -> shingles -> minhash sigs -> banded
 # candidates -> exact-Jaccard pairs; ORACLE_MINHASH selects the pairs,
-# ORACLE_DEDUP_CLUSTERS closes them transitively (recursive CTE)
-_MINHASH_CTES = f"""corpus AS ({_NEAR_DUPS_SQL}),
-shingled AS (
+# ORACLE_DEDUP_CLUSTERS closes them transitively (recursive CTE),
+# ORACLE_CORPUS_FUNNEL feeds its own cleaned/filtered corpus in
+_MINHASH_CHAIN = f"""shingled AS (
   SELECT doc_id, {_SHINGLES.format(t='text')} AS shingles FROM corpus
 ),
 based AS (
@@ -295,6 +295,15 @@ jac AS (
   JOIN sizes na ON na.doc_id = c.id_a
   JOIN sizes nb ON nb.doc_id = c.id_b
 )"""
+
+
+def _minhash_ctes(corpus_sql: str) -> str:
+    """The shared shingle→minhash→band→Jaccard CTE chain over a given
+    corpus definition (must yield (doc_id, text))."""
+    return f"corpus AS ({corpus_sql}),\n{_MINHASH_CHAIN}"
+
+
+_MINHASH_CTES = _minhash_ctes(_NEAR_DUPS_SQL)
 
 ORACLE_MINHASH = f"""
 WITH {_MINHASH_CTES}
@@ -449,6 +458,132 @@ LIMIT 20
 """
 
 
+# --- corpus_funnel ------------------------------------------------------------
+# The flagship LLM-extension driver row: the SQL-expressible sub-funnel
+# of plans/corpus_prep.prepare_corpus — clean (redact+normalize) ->
+# annotate (lang, quality) -> filter -> exact dedup -> MinHash-LSH
+# near-dup clustering -> chunk — executed by the REAL pipeline code on
+# the Spark side and mirrored stage-for-stage in DuckDB SQL.
+_FUNNEL_CHUNK, _FUNNEL_OVERLAP = 64, 8
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.corpus_prep import prepare_corpus
+
+    docs = _docs(spark, sf_dir)
+    exact_copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    near_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz mutated suffix")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    planted = docs.unionByName(exact_copies).unionByName(near_copies)
+    return prepare_corpus(
+        spark,
+        sf_dir,
+        docs=planted,
+        chunk_size=_FUNNEL_CHUNK,
+        overlap=_FUNNEL_OVERLAP,
+    )
+
+
+_FUNNEL_PLANTED_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zz mutated suffix' AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+# redact+normalize mirrored from operators/text_analysis.redact_pii /
+# normalize_text — the PATTERNS are imported, not retyped, so the two
+# engines can't drift (cross-dialect parity verified on the harness
+# corpus: 0 mismatches at sf0.01)
+from ..operators.text_analysis import _PII_PATTERNS as _PII  # noqa: E402
+
+_REDACT_SQL = "text"
+for _pat, _tok in _PII:
+    _REDACT_SQL = (
+        "regexp_replace(" + _REDACT_SQL + ", '" + _pat + "', '" + _tok + "', 'g')"
+    )
+_CLEAN_SQL = "lower(trim(regexp_replace(" + _REDACT_SQL + ", '\\s+', ' ', 'g')))"
+
+_FUNNEL_STRIDE = _FUNNEL_CHUNK - _FUNNEL_OVERLAP
+ORACLE_CORPUS_FUNNEL = f"""
+WITH RECURSIVE
+planted AS ({_FUNNEL_PLANTED_SQL}),
+cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS text FROM planted),
+lang_scored AS (
+  SELECT doc_id, text,
+         greatest({', '.join(_hits_sql(lang) for lang in STOPWORDS)}) AS best
+  FROM cleaned
+),
+annotated AS (
+  SELECT doc_id, text,
+         CASE WHEN best < 1 THEN 'und' {_LANG_CASES} ELSE 'und' END AS lang,
+         CAST(length(text) >= 100 AND length(text) <= 20000 AS DOUBLE) * 0.25
+         + CAST({_Q_MEAN} >= 3.0 AND {_Q_MEAN} <= 12.0 AS DOUBLE) * 0.25
+         + CAST({_Q_PUNCT} <= 0.2 AS DOUBLE) * 0.25
+         + CAST({_hits_sql('en')} >= 1 AS DOUBLE) * 0.25 AS quality
+  FROM lang_scored
+),
+kept AS (
+  SELECT * FROM annotated
+  WHERE quality >= 0.5 AND lang IN ('en', 'fr', 'de')
+),
+exact AS (
+  SELECT doc_id, text, lang, quality FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5({_NORM.format(t='text')}) ORDER BY doc_id ASC
+    ) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+{_minhash_ctes("SELECT doc_id, text FROM exact")},
+near_pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM near_pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM near_pairs
+),
+reach(node, lab) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node),
+drops AS (SELECT node AS doc_id FROM comp WHERE node != rep),
+survivors AS (
+  SELECT e.* FROM exact e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+tokd AS (
+  SELECT doc_id, lang, quality,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE {_TOKENS.format(t='text')} END AS toks,
+         text
+  FROM survivors
+),
+windowed AS (
+  SELECT doc_id, lang, quality,
+         CASE WHEN trim(text) = '' THEN CAST([] AS STRUCT(chunk_idx INTEGER, chunk VARCHAR)[])
+              ELSE list_transform(
+                range(1, greatest(len(toks) - {_FUNNEL_OVERLAP}, 1) + 1, {_FUNNEL_STRIDE}),
+                s -> {{'chunk_idx': CAST((s - 1) / {_FUNNEL_STRIDE} AS INTEGER),
+                       'chunk': array_to_string(toks[s:s + {_FUNNEL_CHUNK - 1}], ' ')}})
+         END AS chunks
+  FROM tokd
+)
+SELECT doc_id, lang, quality, unnest(chunks, recursive := true)
+FROM windowed
+"""
+
+
 QUERIES = {
     "top_terms": (q_top_terms, ORACLE_TOP_TERMS),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
@@ -460,4 +595,5 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "simhash_dedup": (q_simhash_dedup, ORACLE_SIMHASH),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "corpus_funnel": (q_corpus_funnel, ORACLE_CORPUS_FUNNEL),
 }

@@ -179,3 +179,44 @@ def test_prepare_corpus_upsample_no_splits_keeps_all_copies(spark):
     )
     doc_ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
     assert any(int(d.split("#")[1]) >= 1 for d in doc_ids)
+
+
+def test_observe_audit_matches_eager_counts(spark):
+    """The single-pass observe() funnel must equal the per-stage
+    count() funnel exactly — base path (VERDICT r4 task #6)."""
+    _, eager = prepare_corpus(spark, SF_SMOKE, chunk_size=16, overlap=4, with_stats=True)
+    _, observed = prepare_corpus(
+        spark, SF_SMOKE, chunk_size=16, overlap=4,
+        with_stats=True, stats_via="observe",
+    )
+    assert observed == eager
+
+
+def test_observe_audit_matches_eager_counts_optin(spark):
+    """Same equality through the branchy opt-in path (anti-join reuse,
+    split/upsample filter-union) — the shapes where a naive metrics
+    collection would double-count."""
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    kwargs = dict(
+        chunk_size=16,
+        overlap=0,
+        with_stats=True,
+        benchmark=bench,
+        contamination_n=3,
+        splits=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        upsample_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        pack_budget=64,
+    )
+    _, eager = prepare_corpus(spark, SF_SMOKE, **kwargs)
+    _, observed = prepare_corpus(spark, SF_SMOKE, stats_via="observe", **kwargs)
+    assert observed == eager
+
+
+def test_stats_via_validated(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        prepare_corpus(spark, SF_SMOKE, with_stats=True, stats_via="bogus")

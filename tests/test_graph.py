@@ -58,6 +58,38 @@ def test_star_matches_propagation(spark):
     assert star == prop
 
 
+def test_auto_escalates_to_star_on_deep_chain(spark):
+    # the same 100-node chain that makes propagation raise at
+    # max_rounds=25: auto must escalate to star and return the labels
+    # star alone produces (VERDICT r4 task #5)
+    chain = [(i + 1, i) for i in range(1, 100)]
+    e = _edges(spark, chain)
+    auto = {
+        r["node"]: r["component"]
+        for r in connected_components(e, algorithm="auto", max_rounds=25).collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(e, algorithm="star", max_rounds=25).collect()
+    }
+    assert auto == star == {i: 1 for i in range(1, 101)}
+
+
+def test_auto_uses_propagation_when_shallow(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    auto = {
+        r["node"]: r["component"]
+        for r in connected_components(e, algorithm="auto").collect()
+    }
+    assert auto == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_unknown_algorithm_raises(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        connected_components(e, algorithm="bogus")
+
+
 def test_star_converges_on_deep_chain(spark):
     # 100-node descending chain: diameter 99. Propagation at
     # max_rounds=25 raises; star contraction converges well within 25

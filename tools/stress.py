@@ -143,20 +143,60 @@ def skew_scenario(n_docs: int = 20_000, hot_fraction: float = 0.3) -> None:
 
 
 def corpus_scenario() -> None:
-    """End-to-end corpus-prep funnel + wall time at the bench SF."""
+    """End-to-end corpus-prep funnel + wall time at the bench SF.
+
+    Runs the base funnel three ways — no stats, observe-audited
+    (single-pass), count-audited (one action per stage) — so the
+    printed line shows what the production observe audit costs over a
+    bare run (target: ~free) and what the debug count audit costs.
+    The observe funnel is also appended to the run-metadata log via
+    ``MetadataLogger`` extras, the production wiring.
+    """
+    import tempfile
     import time
 
     from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
     from open_data_pipelines_spark.session import get_spark
+    from open_data_pipelines_spark.sinks.metadata import MetadataLogger
 
     spark = get_spark("stress-corpus")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     t0 = time.perf_counter()
-    chunked, stats = prepare_corpus(spark, sf_dir, with_stats=True)
-    stats["total_sec"] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"scenario": "corpus_prep", "sf_dir": sf_dir, **stats}))
+    prepare_corpus(spark, sf_dir).count()
+    bare_sec = round(time.perf_counter() - t0, 2)
+
+    log_dir = tempfile.mkdtemp(prefix="corpus_meta_")
+    t0 = time.perf_counter()
+    with MetadataLogger(
+        spark, log_dir, data_source="stress-corpus", processor_type="corpus_prep"
+    ) as m:
+        chunked, stats = prepare_corpus(
+            spark, sf_dir, with_stats=True, stats_via="observe"
+        )
+        m.rows_processed = stats["chunks"]
+        m.extras.update({f"funnel_{k}": v for k, v in stats.items()})
+    observe_sec = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    _, stats_eager = prepare_corpus(spark, sf_dir, with_stats=True)
+    count_sec = round(time.perf_counter() - t0, 2)
+    assert stats == stats_eager, f"observe/count funnel mismatch: {stats} {stats_eager}"
+
+    print(
+        json.dumps(
+            {
+                "scenario": "corpus_prep",
+                "sf_dir": sf_dir,
+                "bare_sec": bare_sec,
+                "observe_sec": observe_sec,
+                "count_sec": count_sec,
+                "metadata_log": log_dir,
+                **stats,
+            }
+        )
+    )
 
     # full opt-in path: + decontaminate vs a synthetic benchmark,
     # train/val/test split, sequence packing into 512-token contexts
@@ -174,6 +214,7 @@ def corpus_scenario() -> None:
         spark,
         sf_dir,
         with_stats=True,
+        stats_via="observe",
         benchmark=bench,
         splits=(("train", 0.98), ("val", 0.01), ("test", 0.01)),
         pack_budget=512,
