@@ -9,6 +9,7 @@ roughly linearly with rows on a fixed core count.
     python tools/stress.py [factor] [--keep]
     python tools/stress.py --skew [n_docs]     # LSH heavy-hitter band scenario
     python tools/stress.py --corpus            # corpus-prep funnel at $SPARK_GRAFT_SF_DIR
+    python tools/stress.py --ivf-skew [n]      # IVF hot-cell cap scenario
 """
 
 from __future__ import annotations
@@ -142,6 +143,111 @@ def skew_scenario(n_docs: int = 20_000, hot_fraction: float = 0.3) -> None:
     docs.unpersist()
 
 
+def ivf_skew_scenario(n_vecs: int = 20_000, hot_fraction: float = 0.3) -> None:
+    """Hot-cell stress for the IVF ANN index (the LSH skew scenario's
+    embedding-side twin).
+
+    30% of the corpus is near-identical vectors (one base + tiny
+    deterministic jitter) so a single IVF cell holds ~f*N rows: an
+    uncapped probe that hits it scores ~f*N candidates per query. The
+    scenario reports (a) `cell_stats` — the audit a capacity planner
+    reads; (b) candidate volume per query uncapped vs
+    `max_cell_size=256` — the cap bounds it at nprobe * cap while cold
+    cells are untouched; (c) wall time both ways. Production posture:
+    embedding_near_dup/exact dedup collapse true duplicates first, the
+    cap bounds whatever dense region remains.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.ivf import (
+        build_ivf_index,
+        cell_stats,
+        ivf_topk,
+        probe_list_ids,
+        train_centroids,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-ivf-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim, k_cells, nprobe, top_k, cap = 16, 16, 4, 5, 256
+    hot_mod = int(1 / hot_fraction)
+    # deterministic synthetic embeddings: hot rows cluster tightly
+    # around one point, cold rows spread via integer hash arithmetic
+    comps = [
+        F.when(
+            F.col("id") % hot_mod == 0,
+            1.0 + (F.xxhash64(F.col("id"), F.lit(j)) % 100).cast("double") / 100000.0,
+        )
+        .otherwise(((F.xxhash64(F.col("id"), F.lit(j)) % 2000).cast("double")) / 100.0)
+        .alias(f"c{j}")
+        for j in range(dim)
+    ]
+    vecs = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"), F.array(*[c for c in comps]).alias("embedding"))
+        .persist()
+    )
+    vecs.count()
+
+    report: dict = {
+        "scenario": "ivf_skew",
+        "n_vecs": n_vecs,
+        "hot_fraction": hot_fraction,
+        "k_cells": k_cells,
+        "nprobe": nprobe,
+    }
+
+    cents = train_centroids(vecs, "embedding", "vec_id", k=k_cells, iters=2)
+    idx = build_ivf_index(vecs, "embedding", "vec_id", cents).persist()
+    idx.count()
+
+    stats = (
+        cell_stats(idx)
+        .agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.max("cell_size").alias("max_cell"),
+            F.sum(F.when(F.col("cell_size") > cap, F.col("cell_size") - cap).otherwise(0)).alias(
+                "rows_above_cap"
+            ),
+        )
+        .collect()[0]
+    )
+    report["audit"] = {
+        "cells": stats["cells"],
+        "max_cell": stats["max_cell"],
+        "rows_above_cap": int(stats["rows_above_cap"]),
+    }
+
+    queries = vecs.filter(F.col("vec_id") < 50)
+    cell_sizes = {r["list_id"]: r["cell_size"] for r in cell_stats(idx).collect()}
+    probed = queries.select(
+        F.explode(probe_list_ids("embedding", cents, nprobe)).alias("list_id")
+    ).collect()
+    uncapped_cands = sum(cell_sizes.get(r["list_id"], 0) for r in probed)
+    capped_cands = sum(min(cell_sizes.get(r["list_id"], 0), cap) for r in probed)
+
+    for label, mcs in (("uncapped", None), (f"cap{cap}", cap)):
+        t0 = time.perf_counter()
+        n = ivf_topk(
+            idx, queries, "embedding", "vec_id", cents,
+            k=top_k, nprobe=nprobe, max_cell_size=mcs,
+        ).count()
+        report[label] = {"rows": n, "sec": round(time.perf_counter() - t0, 2)}
+    report["candidates"] = {
+        "uncapped": uncapped_cands,
+        "capped": capped_cands,
+        "bound_nprobe_x_cap": len(probed) // max(1, queries.count()) * cap * queries.count(),
+    }
+    assert capped_cands <= uncapped_cands
+    print(json.dumps(report))
+    idx.unpersist()
+    vecs.unpersist()
+
+
 def corpus_scenario() -> None:
     """End-to-end corpus-prep funnel + wall time at the bench SF.
 
@@ -162,6 +268,10 @@ def corpus_scenario() -> None:
     spark = get_spark("stress-corpus")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # untimed warmup (codegen compile, shuffle service spin-up) so the
+    # bare-vs-observe-vs-count comparison isn't skewed by first-run cost
+    prepare_corpus(spark, sf_dir).count()
 
     t0 = time.perf_counter()
     prepare_corpus(spark, sf_dir).count()
@@ -238,6 +348,10 @@ def main() -> None:
     if "--skew" in sys.argv:
         n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 20_000)
         skew_scenario(n)
+        return
+    if "--ivf-skew" in sys.argv:
+        n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 20_000)
+        ivf_skew_scenario(n)
         return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     keep = "--keep" in sys.argv
