@@ -137,6 +137,27 @@ def test_hot_cell_cap_bounds_candidates(spark, ivfpq):
     assert worst <= nprobe * cap
 
 
+def test_path_built_index_probe_gets_dynamic_partition_pruning(spark, ivfpq, tmp_path):
+    """The scale claim behind ``build_ivf_index(path=...)``: probing a
+    ``partitionBy(list_id)`` index must compile to a scan with a
+    dynamic-pruning subquery on list_id (only probed cells are read —
+    nprobe/k of the corpus at 100 TB), not a full-index scan."""
+    emb, queries, cents, books, _ = ivfpq
+    from open_data_pipelines_spark.operators.ivf import build_ivf_index
+
+    idx = build_ivf_index(emb, "embedding", "vec_id", cents, path=str(tmp_path / "ivf"))
+    res = ivf_topk(idx, queries, "embedding", "vec_id", cents, k=TOP_K, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "index scan is not partition-pruned by the probe"
+
+    enc = idx.withColumn("pq_code", pq_encode("embedding", books))
+    res2 = ivf_pq_topk(
+        enc, queries, "embedding", "vec_id", cents, books, k=TOP_K, nprobe=2
+    )
+    plan2 = res2._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan2
+
+
 def test_cap_keeps_centroid_nearest_deterministically(spark, ivfpq):
     emb, _, cents, _, idx = ivfpq
     a = cap_hot_cells(idx, "embedding", "vec_id", cents, 10).select("vec_id").collect()

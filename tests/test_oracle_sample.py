@@ -19,6 +19,7 @@ SAMPLE = [
     "session_agg",
     "record_hash",
     "column_profile",
+    "corpus_funnel",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
