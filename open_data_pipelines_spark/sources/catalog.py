@@ -27,8 +27,9 @@ Discovery strategies (all in :mod:`.discovery`, network injectable):
 
 Ingest kinds: ``zip_json`` (Street Manager / Section 58 permit
 events), ``zip_csv`` (ZIP-of-CSV drops), ``csv`` (direct CSV),
-``gtfs`` (multi-table GTFS bundle), ``ods`` / ``encrypted_xls``
-(spreadsheet engines, import-gated), ``geopackage`` (fiona-gated).
+``gtfs`` (multi-table GTFS bundle), ``ods`` (native stdlib parser),
+``encrypted_xls`` (msoffcrypto-gated), ``geopackage`` (native WKB
+path + fiona-gated variant).
 """
 
 from __future__ import annotations
@@ -394,9 +395,10 @@ def run_source(
     os_product strategies resolve through ``fetch`` (defaults to a
     urllib GET via ``opener``, injectable for offline tests) and/or a
     pre-fetched ``catalogue`` payload — so every catalogued source is
-    runnable by name alone. Gated ingest kinds (ods / encrypted_xls /
-    geopackage) raise their module's engine-unavailable error — same
-    contract as calling the loader directly.
+    runnable by name alone. ods and geopackage ingest run natively
+    (stdlib parsers); the remaining gated kind (encrypted_xls) raises
+    its module's engine-unavailable error — same contract as calling
+    the loader directly.
     """
     cfg = CATALOG[name]
     if fetch is None:

@@ -191,23 +191,15 @@ def test_nhs_by_name(spark, tmp_path):
     assert log[0]["rows_processed"] == 2
 
 
-def test_gated_kinds_raise_cleanly(spark, tmp_path):
-    """ODS/geopackage ingests must fail with their module gate error,
-    not an obscure stack, when the engines are absent."""
-    from open_data_pipelines_spark.sources.spreadsheet import (
-        SpreadsheetEngineUnavailable,
-    )
-
-    try:
-        import odf  # noqa: F401
-
-        pytest.skip("odfpy present")
-    except ImportError:
-        pass
+def test_corrupt_ods_raises_cleanly(spark, tmp_path):
+    """A corrupt ODS through the catalog path must fail with the
+    parser's typed format error, not an obscure stack (the engine
+    gate only remains on S9 encrypted XLS — S7/S8 run natively)."""
+    from open_data_pipelines_spark.sources.spreadsheet import SpreadsheetFormatError
 
     ods = tmp_path / "x.ods"
     ods.write_bytes(b"not really an ods")
-    with pytest.raises(SpreadsheetEngineUnavailable):
+    with pytest.raises(SpreadsheetFormatError):
         run_source(
             spark,
             "dft_road_stats",
