@@ -488,6 +488,10 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs=planted,
         chunk_size=_FUNNEL_CHUNK,
         overlap=_FUNNEL_OVERLAP,
+        # cap-free so the Spark algebra is EXACTLY the oracle SQL at
+        # every SF (the production default cap=1000 is a lossy guard
+        # the DuckDB mirror deliberately does not carry)
+        max_bucket_size=None,
     )
 
 
