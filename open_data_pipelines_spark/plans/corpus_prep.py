@@ -8,6 +8,9 @@ Stages, in the order a production corpus pipeline runs them:
    redaction as one codegen'd projection (``text_analysis``).
 2. **annotate + quality-filter** — lang-id, quality score, token
    count; drop below-threshold and undetermined-language docs.
+2b. **repetition filter** (opt-in) — Gopher duplicate-line /
+   top-n-gram cutoffs (``operators.repetition``); boilerplate-heavy
+   docs drop before the dedup stages they would otherwise flood.
 3. **exact dedup FIRST** — fingerprint ``top1_per_key``; collapses
    mass duplicates in one linear pass so the near-dup stage's LSH
    bucket cap is lossless in practice (see ``STRESS.md``).
@@ -77,6 +80,7 @@ def prepare_corpus(
     *,
     quality_min: float = 0.5,
     keep_langs: tuple[str, ...] = ("en", "fr", "de"),
+    repetition_thresholds: dict[str, float] | None = None,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     chunk_size: int = 64,
@@ -154,6 +158,18 @@ def prepare_corpus(
             (F.col("quality") >= quality_min) & F.col("lang").isin(*keep_langs)
         ),
     )
+
+    if repetition_thresholds is not None:
+        from ..operators.repetition import repetition_filter
+
+        # repetition (Gopher A1.1) runs AFTER the cheap row-local
+        # quality filter (it shuffles on doc_id) and BEFORE dedup:
+        # boilerplate-heavy docs are exactly the mass-duplicate
+        # factories the dedup stages would otherwise slog through
+        kept = note(
+            "repetition_kept",
+            repetition_filter(kept, "text", "doc_id", repetition_thresholds),
+        )
 
     exact = note("exact_deduped", dedup_exact_text(kept, "text", "doc_id"))
 

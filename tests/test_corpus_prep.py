@@ -220,3 +220,32 @@ def test_stats_via_validated(spark):
 
     with pytest.raises(ValueError):
         prepare_corpus(spark, SF_SMOKE, with_stats=True, stats_via="bogus")
+
+
+def test_repetition_stage_drops_boilerplate(spark):
+    """Opt-in Gopher repetition stage: a planted duplicate-line spam
+    doc drops while normal harness docs survive; the observe funnel
+    carries the stage count."""
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    spam_body = "click here to win a prize now\n" * 40
+    spam = spark.createDataFrame(
+        [(99991, spam_body, "en", "s", len(spam_body))], schema=docs.schema
+    )
+    import open_data_pipelines_spark.plans.corpus_prep as cp
+
+    planted = docs.unionByName(spam)
+    out, stats = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        docs=planted,
+        chunk_size=16,
+        overlap=0,
+        with_stats=True,
+        stats_via="observe",
+        repetition_thresholds={},  # Gopher defaults
+    )
+    assert stats["quality_kept"] >= stats["repetition_kept"]
+    assert stats["repetition_kept"] > 0
+    assert out.filter(F.col("doc_id") == 99991).count() == 0
+    # the stage costs docs, never invents them
+    assert stats["repetition_kept"] >= stats["exact_deduped"]
