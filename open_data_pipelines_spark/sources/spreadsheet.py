@@ -172,6 +172,27 @@ def from_pandas_bronze(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     return spark.createDataFrame(str_pdf)
 
 
+def load_ods_bundle(
+    spark: SparkSession,
+    zip_path: str,
+    landing_dir: str,
+    sheet_name: str | int = 0,
+    header_row: int = 0,
+) -> dict[str, DataFrame]:
+    """ZIP-of-ODS -> one all-string bronze frame per member, keyed by
+    member basename (S8; the reference loads each extracted ODS into
+    its own ``{prefix}_{basename}`` table, ``dft_road_stats.py:
+    257-383``). Runs natively via :func:`read_ods_native` when odfpy
+    is absent."""
+    from .zip_source import extract_zip
+
+    members = extract_zip(zip_path, landing_dir, "*.ods")
+    return {
+        Path(m).stem: load_spreadsheet_bronze(spark, m, sheet_name, header_row)
+        for m in sorted(members)
+    }
+
+
 def load_spreadsheet_bronze(
     spark: SparkSession,
     path: str,
