@@ -130,6 +130,62 @@ def near_dup_pairs(
     ).filter(F.col("cosine_sim") >= F.lit(threshold))
 
 
+def self_near_dup_pairs_bucketed(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    planes: int = 8,
+    tables: int = 16,
+    seed: int = 42,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) near-dup pairs over ONE corpus — the
+    bucketed scale path :func:`near_dup_pairs`'s all-pairs baseline
+    verifies against.
+
+    Candidates come from a SELF equi-join on (table_idx, bucket)
+    RP-LSH keys (id_a < id_b), so the join is hash-partitioned on the
+    bucket key — no broadcast, no product; only ids ride the banding
+    shuffle and vectors re-join by id for the exact quantized-cosine
+    verify. Near-dup pairs have tiny angles (p -> 1), so per-table
+    hit probability p^planes is high and ``tables`` drives recall
+    exponentially; unrelated pairs collide at ~0.5^planes per table.
+    """
+    banded = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(rp_lsh_buckets(F.col(vec_col), planes, tables, seed)).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    a = banded.select(F.col("__id").alias("id_a"), "table_idx", "bucket")
+    b = banded.select(F.col("__id").alias("id_b"), "table_idx", "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = corpus.select(
+        F.col(id_col).alias("__vid"), quantize(vec_col, quant_scale).alias("__v")
+    ).withColumn("__n", F.sqrt(dot_int(F.col("__v"), F.col("__v")).cast("double")))
+    va = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    vb = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot_int(F.col("__va"), F.col("__vb")).cast("double")
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+    )
+
+
 def cosine_pandas_udf():
     """Arrow-batched vectorized cosine (the pandas-UDF alternative to
     the expression-layer :func:`cosine`).

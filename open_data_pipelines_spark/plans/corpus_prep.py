@@ -81,6 +81,10 @@ def prepare_corpus(
     quality_min: float = 0.5,
     keep_langs: tuple[str, ...] = ("en", "fr", "de"),
     repetition_thresholds: dict[str, float] | None = None,
+    near_dup: str = "minhash",
+    simhash_max_hamming: int = 3,
+    embedding_threshold: float = 0.95,
+    embeddings: DataFrame | None = None,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     chunk_size: int = 64,
@@ -173,22 +177,58 @@ def prepare_corpus(
 
     exact = note("exact_deduped", dedup_exact_text(kept, "text", "doc_id"))
 
-    pairs = minhash_lsh_dedup(
-        exact,
-        "text",
-        "doc_id",
-        threshold=jaccard_threshold,
-        max_bucket_size=max_bucket_size,
-    )
-    # auto: cheap propagation for the shallow graphs near-dup pairs
-    # form, star-contraction escalation if a pathological chain appears
-    clusters = cluster_members(
-        pairs.select("id_a", "id_b"), "id_a", "id_b", algorithm="auto"
-    )
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
-    near_deduped = note(
-        "near_deduped", exact.join(drop, "doc_id", "left_anti")
-    )
+    # near-dup pair generation is pluggable; every backend is banded
+    # (equi-joins on hash keys, never a product) and feeds the same
+    # connected-components -> keep-cluster-minimum endgame:
+    #   minhash   — shingle Jaccard (the content-overlap default)
+    #   simhash   — Hamming-banded signatures (cheapest: one signature
+    #               per doc, no shingle explode; token-profile dups)
+    #   embedding — semantic near-dups token-level methods cannot see
+    #               (paraphrases); joins an embeddings frame by doc id
+    #   none      — skip the stage (exact dedup only)
+    if near_dup == "minhash":
+        pairs = minhash_lsh_dedup(
+            exact,
+            "text",
+            "doc_id",
+            threshold=jaccard_threshold,
+            max_bucket_size=max_bucket_size,
+        ).select("id_a", "id_b")
+    elif near_dup == "simhash":
+        from ..operators.text_dedup import simhash_band_candidates
+
+        pairs = simhash_band_candidates(
+            exact, "text", "doc_id", max_hamming=simhash_max_hamming
+        ).select("id_a", "id_b")
+    elif near_dup == "embedding":
+        from ..operators.similarity import self_near_dup_pairs_bucketed
+
+        if embeddings is None:
+            embeddings = load_tables(spark, sf_dir, register_views=False)[
+                "embeddings"
+            ].select(F.col("vec_id").alias("doc_id"), "embedding")
+        vecs = embeddings.join(exact.select("doc_id"), "doc_id", "left_semi")
+        pairs = self_near_dup_pairs_bucketed(
+            vecs, "embedding", "doc_id", threshold=embedding_threshold
+        ).select("id_a", "id_b")
+    elif near_dup == "none":
+        pairs = None
+    else:
+        raise ValueError(f"unknown near_dup backend {near_dup!r}")
+
+    if pairs is None:
+        near_deduped = note("near_deduped", exact)
+    else:
+        # auto: cheap propagation for the shallow graphs near-dup
+        # pairs form, star-contraction escalation on pathological
+        # chains
+        clusters = cluster_members(pairs, "id_a", "id_b", algorithm="auto")
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+            "doc_id"
+        )
+        near_deduped = note(
+            "near_deduped", exact.join(drop, "doc_id", "left_anti")
+        )
 
     surviving = near_deduped
     if benchmark is not None:

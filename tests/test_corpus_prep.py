@@ -249,3 +249,67 @@ def test_repetition_stage_drops_boilerplate(spark):
     assert out.filter(F.col("doc_id") == 99991).count() == 0
     # the stage costs docs, never invents them
     assert stats["repetition_kept"] >= stats["exact_deduped"]
+
+
+def _planted_near_dups(spark):
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz mutated suffix")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs, docs.unionByName(mutated)
+
+
+def test_near_dup_backend_simhash(spark):
+    """SimHash backend drops the planted mutated copies (tiny token
+    -profile delta -> small Hamming distance) through the same
+    clustering endgame."""
+    docs, planted = _planted_near_dups(spark)
+    out, stats = prepare_corpus(
+        spark, SF_SMOKE, docs=planted, chunk_size=16, overlap=0,
+        with_stats=True, stats_via="observe", near_dup="simhash",
+    )
+    surviving = {int(r["doc_id"]) for r in out.select("doc_id").distinct().collect()}
+    planted_ids = {r["doc_id"] + 20000 for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    dropped = planted_ids - surviving
+    # the mutated copies overwhelmingly cluster with their originals
+    assert len(dropped) >= 0.8 * len(planted_ids), (len(dropped), len(planted_ids))
+    assert stats["exact_deduped"] >= stats["near_deduped"]
+
+
+def test_near_dup_backend_embedding(spark):
+    """Embedding backend: planted docs carry near-identical vectors to
+    their originals; semantic pairs drop them even though the text
+    differs."""
+    docs, planted = _planted_near_dups(spark)
+    emb = load_tables(spark, SF_SMOKE, register_views=False)["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    near_vecs = emb.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.0001)).alias("embedding"),
+    )
+    out = prepare_corpus(
+        spark, SF_SMOKE, docs=planted, chunk_size=16, overlap=0,
+        near_dup="embedding", embeddings=emb.unionByName(near_vecs),
+        embedding_threshold=0.999,
+    )
+    surviving = {int(r["doc_id"]) for r in out.select("doc_id").distinct().collect()}
+    planted_ids = {r["doc_id"] + 20000 for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    # quality/lang filters may drop some planted docs upstream; of the
+    # planted ids that reached dedup, none survive their original
+    assert not (surviving & planted_ids)
+
+
+def test_near_dup_backend_none_and_unknown(spark):
+    _, planted = _planted_near_dups(spark)
+    _, stats = prepare_corpus(
+        spark, SF_SMOKE, docs=planted, chunk_size=16, overlap=0,
+        with_stats=True, stats_via="observe", near_dup="none",
+    )
+    assert stats["near_deduped"] == stats["exact_deduped"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        prepare_corpus(spark, SF_SMOKE, near_dup="bogus")
