@@ -1,0 +1,132 @@
+"""Streaming corpus ingest — the LLM training-data funnel's front end
+as a Structured Streaming pipeline (engine extension; streaming
+counterpart of :mod:`..plans.corpus_prep`).
+
+A corpus at 100 TB is not re-read per crawl drop: new document files
+land continuously and the cheap, row-local funnel stages should run
+ON ARRIVAL, with only the stages that need global state deferred.
+The streaming/batch split falls out of Spark's own execution model:
+
+- **streaming-safe** (pure projections + bounded-state dedup):
+  PII redaction, normalization, lang-id, quality scoring, token
+  counting, quality/lang filtering, and EXACT dedup via fingerprint
+  ``dropDuplicatesWithinWatermark`` (state bounded by the watermark
+  horizon — duplicates across crawl drops inside the horizon drop,
+  re-ingested ancient dups are caught by the batch compaction).
+- **batch compaction** (self-joins Structured Streaming cannot run):
+  MinHash/SimHash/embedding near-dup clustering and anything
+  all-pairs-shaped runs periodically over the bronze output via
+  :func:`..plans.corpus_prep.prepare_corpus` — the standard
+  stream-ingest + batch-compact layout, same as the reference's
+  monthly re-build converging with its streaming-ish ingest
+  (I2/I4 idempotency, ``section_58.py:233-246``).
+
+Deduplication keeps the FIRST-SEEN copy of a fingerprint (arrival
+order), where the batch stage keeps the min doc id — both are valid
+canonical choices; the parity test compares surviving fingerprint
+SETS, which agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.text_analysis import (
+    doc_fingerprint,
+    lang_id,
+    normalize_text,
+    quality_score,
+    redact_pii,
+    token_count_ws,
+)
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival document stream over a landing directory (each
+    crawl drop = one or more files = micro-batches)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)
+
+
+def streaming_corpus_bronze(
+    stream: DataFrame,
+    quality_min: float = 0.5,
+    keep_langs: tuple[str, ...] = ("en", "fr", "de"),
+    dedup_watermark: str = "24 hours",
+) -> DataFrame:
+    """The streaming-safe funnel prefix: clean -> annotate -> filter ->
+    exact dedup, mirroring ``prepare_corpus`` stages 1-3 exactly
+    (same expressions, same thresholds).
+
+    Exact dedup state is keyed on the content fingerprint and bounded
+    by ``dedup_watermark`` over INGEST time (documents carry no event
+    time; arrival time is the natural horizon for "recent drops
+    repeat themselves" dedup). Output columns match the batch
+    pipeline's pre-near-dup frame: (doc_id, text, lang, quality,
+    n_tokens) + ingest_ts.
+    """
+    cleaned = stream.select(
+        "doc_id", normalize_text(redact_pii("text")).alias("text")
+    )
+    annotated = cleaned.select(
+        "doc_id",
+        "text",
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        token_count_ws("text").alias("n_tokens"),
+    )
+    kept = annotated.filter(
+        (F.col("quality") >= quality_min) & F.col("lang").isin(*keep_langs)
+    )
+    keyed = kept.withColumn("__fp", doc_fingerprint("text")).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    return (
+        keyed.withWatermark("ingest_ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
+def stream_corpus_to_bronze(
+    stream: DataFrame,
+    bronze_path: str,
+    checkpoint_dir: str,
+    **funnel_kwargs,
+):
+    """availableNow drain of the streaming funnel into the bronze
+    corpus directory the batch compaction (near-dup clustering,
+    chunking, packing) later reads. At-least-once parquet append —
+    the fingerprint dedup upstream makes re-appends of a replayed
+    micro-batch collapse at compaction."""
+    bronze = streaming_corpus_bronze(stream, **funnel_kwargs)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(bronze_path)
+
+    return (
+        bronze.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
