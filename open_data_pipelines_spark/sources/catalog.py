@@ -475,7 +475,7 @@ def run_source(
 
     if cfg.ingest == "gtfs":
         local = download_to_landing(resolved, landing_dir, opener=opener)
-        return load_gtfs_bundle(spark, local)
+        return load_gtfs_bundle(spark, local, landing_dir)
 
     if cfg.ingest in ("ods", "encrypted_xls"):
         from .spreadsheet import load_spreadsheet_bronze

@@ -331,3 +331,78 @@ def test_zip_json_backfill_fleet(spark, tmp_path):
     log = spark.read.parquet(str(tmp_path / "logs")).collect()
     assert [r["status"] for r in log] == ["SUCCESS", "SUCCESS"]
     assert all(r["rows_processed"] == 3 * per_month for r in log)
+
+
+def _kwargs(tmp_path, **extra):
+    return dict(
+        landing_dir=str(tmp_path / "landing"),
+        warehouse_path=str(tmp_path / "wh"),
+        log_path=str(tmp_path / "logs"),
+        year=2025,
+        month=7,
+        **extra,
+    )
+
+
+def test_gtfs_by_name(spark, tmp_path):
+    """bods_timetables end to end through run_source — the ingest kind
+    previously only exercised at the loader level (which hid a
+    missing-landing_dir bug in the catalog branch)."""
+    import zipfile as zf
+
+    bundle = tmp_path / "gtfs.zip"
+    with zf.ZipFile(bundle, "w") as z:
+        z.writestr(
+            "agency.txt",
+            "agency_id,agency_name,agency_url,agency_timezone,agency_lang,agency_phone,agency_noc\n"
+            "1,Bus Co,http://x,Europe/London,en,0,BC\n",
+        )
+        z.writestr(
+            "routes.txt",
+            "route_id,agency_id,route_short_name,route_long_name,route_type\nr1,1,1A,One A,3\n",
+        )
+    out = run_source(spark, "bods_timetables", url=f"file://{bundle}", **_kwargs(tmp_path))
+    assert set(out) == {"agency", "routes"}
+    assert out["routes"].collect()[0]["route_short_name"] == "1A"
+
+
+def test_geopackage_by_name(spark, tmp_path):
+    """code_point end to end through run_source via the native WKB
+    reader (no fiona in this container)."""
+    from pathlib import Path
+
+    gpkg = Path(__file__).parent / "fixtures" / "mini.gpkg"
+    df = run_source(spark, "code_point", url=f"file://{gpkg}", **_kwargs(tmp_path))
+    rows = {r["usrn"]: r["geometry"] for r in df.collect()}
+    assert rows[8400001] == "POINT (530100 180200)"
+
+
+def test_ods_by_name(spark, tmp_path):
+    """dft_road_stats end to end through run_source via the native
+    ODS parser."""
+    from pathlib import Path
+
+    ods = Path(__file__).parent / "fixtures" / "mini.ods"
+    df = run_source(spark, "dft_road_stats", url=f"file://{ods}", **_kwargs(tmp_path))
+    got = {r["local_authority"]: r["road_length_km"] for r in df.collect()}
+    assert got["Camden"] == "312.5" and len(got) == 3
+
+
+def test_zip_csv_by_name(spark, tmp_path):
+    """national_statistic_postcode_lookup (zip_csv kind) end to end:
+    ZIP-of-CSV extract, lenient header bronze, month-partition write,
+    metadata log row."""
+    import zipfile as zf
+
+    bundle = tmp_path / "nspl.zip"
+    with zf.ZipFile(bundle, "w") as z:
+        z.writestr("NSPL_2025.csv", "pcd,lat,long\nAB1 0AA,57.1,-2.1\nAB1 0AB,57.2,-2.2\n")
+    df = run_source(
+        spark, "national_statistic_postcode_lookup",
+        url=f"file://{bundle}", **_kwargs(tmp_path),
+    )
+    assert df.count() == 2
+    wh = spark.read.parquet(str(tmp_path / "wh"))
+    assert {r["pcd"] for r in wh.collect()} == {"AB1 0AA", "AB1 0AB"}
+    log = spark.read.parquet(str(tmp_path / "logs")).collect()
+    assert len(log) == 1 and log[0]["status"] == "SUCCESS"
