@@ -76,6 +76,29 @@ def assert_relationship(child: DataFrame, child_col: str, parent: DataFrame, par
         )
 
 
+def _clear_orphan_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a leftover warehouse directory for a table the catalog
+    does not know about (e.g. an interrupted previous run orphaned
+    ``spark-warehouse/<name>/``). Without this, ``saveAsTable`` on a
+    fresh catalog dies with LOCATION_ALREADY_EXISTS — the reference's
+    ``CREATE OR REPLACE TABLE`` (``src/databases/motherduck.py:69-71``)
+    is immune by construction, so the engine must be too.
+
+    Uses the Hadoop FileSystem API so it works on any warehouse
+    (local disk, HDFS, S3A), not just local mode.
+    """
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            log.warning("clearing orphaned table location %s", path.toString())
+            fs.delete(path, True)
+    except Exception:  # pragma: no cover - best effort; write surfaces real errors
+        log.exception("failed to clear orphan location for %s", table_name)
+
+
 @dataclass
 class Model:
     name: str
@@ -121,6 +144,8 @@ class Dag:
             log.info("model %s (deps=%s)", name, list(m.deps))
             df = m.fn(spark)
             if m.materialize == "table":
+                if not spark.catalog.tableExists(f"default.{name}"):
+                    _clear_orphan_location(spark, name)
                 df.write.mode("overwrite").saveAsTable(name)
                 df = spark.table(name)
             elif m.materialize == "incremental":
@@ -152,6 +177,9 @@ class Dag:
                         "overwriteSchema", "true"
                     ).saveAsTable(qualified)
                 else:
+                    # fresh catalog: survive an orphaned location left
+                    # by an interrupted previous run
+                    _clear_orphan_location(spark, name)
                     df.write.mode("overwrite").saveAsTable(qualified)
                 df = spark.table(qualified)
             elif m.materialize == "view":

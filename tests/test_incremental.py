@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 from open_data_pipelines_spark.plans.dag import Dag
 
 
@@ -29,3 +31,48 @@ def test_incremental_model_merges_on_unique_key(spark):
         assert out3 == out2
     finally:
         spark.sql("DROP TABLE IF EXISTS inc_model")
+
+
+def test_incremental_model_survives_orphaned_location(spark):
+    """An interrupted run can orphan ``spark-warehouse/<name>/`` with no
+    catalog entry; the materializer must clear it rather than die with
+    LOCATION_ALREADY_EXISTS (the round-5 red-test scenario)."""
+    name = "inc_orphan_model"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(warehouse, name)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-orphan.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    try:
+        dag = Dag()
+
+        @dag.model(name, materialize="incremental", unique_key="k")
+        def inc_orphan_model(s):
+            return s.createDataFrame([(1, "a")], ["k", "v"])
+
+        out = {r["k"]: r["v"] for r in dag.run(spark)[name].collect()}
+        assert out == {1: "a"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_table_model_survives_orphaned_location(spark):
+    name = "tbl_orphan_model"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(warehouse, name)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "wb") as f:
+        f.write(b"junk")
+    try:
+        dag = Dag()
+
+        @dag.model(name, materialize="table")
+        def tbl_orphan_model(s):
+            return s.createDataFrame([(1, "a")], ["k", "v"])
+
+        out = {r["k"]: r["v"] for r in dag.run(spark)[name].collect()}
+        assert out == {1: "a"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
