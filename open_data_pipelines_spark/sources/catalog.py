@@ -28,8 +28,9 @@ Discovery strategies (all in :mod:`.discovery`, network injectable):
 Ingest kinds: ``zip_json`` (Street Manager / Section 58 permit
 events), ``zip_csv`` (ZIP-of-CSV drops), ``csv`` (direct CSV),
 ``gtfs`` (multi-table GTFS bundle), ``ods`` (native stdlib parser),
-``encrypted_xls`` (msoffcrypto-gated), ``geopackage`` (native WKB
-path + fiona-gated variant).
+``encrypted_xls`` (native stdlib CFB+RC4+BIFF8 decrypt, msoffcrypto
+preferred when installed), ``geopackage`` (native WKB path +
+fiona-gated variant).
 """
 
 from __future__ import annotations
@@ -63,6 +64,7 @@ class SourceConfig:
     columns: tuple[str, ...] | None = None  # None -> lenient header check
     numeric_columns: dict[str, str] = field(default_factory=dict)
     discovery_args: dict[str, Any] = field(default_factory=dict)
+    ingest_args: dict[str, Any] = field(default_factory=dict)  # loader kwargs (sheet/header)
     ref: str = ""  # reference pipeline module, for parity audit
 
 
@@ -117,6 +119,9 @@ CATALOG: dict[str, SourceConfig] = {
             schema_name="geoplace_swa",
             table_template="swa_codes",
             discovery_args={"href_pattern": r"\.xls$"},
+            # the SWA sheet has a title row; headers live at row 1
+            # (reference: geoplace_swa.py header=1)
+            ingest_args={"header_row": 1},
             ref="src/pipelines/geoplace_swa.py",
         ),
         SourceConfig(
@@ -395,10 +400,9 @@ def run_source(
     os_product strategies resolve through ``fetch`` (defaults to a
     urllib GET via ``opener``, injectable for offline tests) and/or a
     pre-fetched ``catalogue`` payload — so every catalogued source is
-    runnable by name alone. ods and geopackage ingest run natively
-    (stdlib parsers); the remaining gated kind (encrypted_xls) raises
-    its module's engine-unavailable error — same contract as calling
-    the loader directly.
+    runnable by name alone. All ingest kinds run natively in-container
+    (stdlib parsers — ods, geopackage, AND encrypted_xls via the
+    CFB+RC4+BIFF8 reader in :mod:`.xls_native`).
     """
     cfg = CATALOG[name]
     if fetch is None:
@@ -481,7 +485,7 @@ def run_source(
         from .spreadsheet import load_spreadsheet_bronze
 
         local = download_to_landing(resolved, landing_dir, opener=opener)
-        return load_spreadsheet_bronze(spark, local)
+        return load_spreadsheet_bronze(spark, local, **cfg.ingest_args)
 
     if cfg.ingest == "geopackage":
         from .geopackage import gpkg_to_parquet, load_geoparquet

@@ -12,10 +12,11 @@ ODS (S7/S8) has a NATIVE parser — an ODS file is a ZIP whose
 readable with stdlib ``zipfile`` + ``ElementTree`` (same move as the
 GeoPackage native path, :mod:`.geopackage`) — so the real ingest path
 runs without odfpy; when odfpy IS installed pandas' engine is
-preferred for its fuller format coverage. Encrypted XLS (S9) stays
-import-gated (OLE CFB decryption needs msoffcrypto): missing engine
-raises a clear SpreadsheetEngineUnavailable, and a pre-parsed pandas
-frame can always be injected for tests.
+preferred for its fuller format coverage. Encrypted XLS (S9) likewise
+has a NATIVE path (:mod:`.xls_native`): stdlib CFB container +
+MS-OFFCRYPTO RC4 decrypt + BIFF8 cell parser — msoffcrypto/xlrd are
+preferred when installed, the native reader otherwise, so the real
+decrypt path always executes in-container.
 """
 
 from __future__ import annotations
@@ -153,9 +154,16 @@ def read_ods(path: str, sheet_name: str | int = 0, header_row: int = 0) -> pd.Da
 def read_encrypted_xls(
     path: str, password: str = ENCRYPTED_XLS_DEFAULT_KEY, header_row: int = 1
 ) -> pd.DataFrame:
-    """Decrypt legacy XLS then parse (S9). Requires msoffcrypto + xlrd."""
-    msoffcrypto = _require("msoffcrypto")
-    _require("xlrd")
+    """Decrypt legacy XLS then parse (S9; ``geoplace_swa.py:39-105``).
+    Uses msoffcrypto + xlrd when installed (fuller BIFF coverage);
+    otherwise the native stdlib CFB + RC4 + BIFF8 reader."""
+    try:
+        msoffcrypto = _require("msoffcrypto")
+        _require("xlrd")
+    except SpreadsheetEngineUnavailable:
+        from .xls_native import read_encrypted_xls_native
+
+        return read_encrypted_xls_native(path, password, header_row=header_row)
     decrypted = io.BytesIO()
     with open(path, "rb") as fh:
         f = msoffcrypto.OfficeFile(fh)

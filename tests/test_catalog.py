@@ -191,6 +191,28 @@ def test_nhs_by_name(spark, tmp_path):
     assert log[0]["rows_processed"] == 2
 
 
+def test_geoplace_swa_catalog_ingest_end_to_end(spark, tmp_path):
+    """S9 through the catalog path: the encrypted VelvetSweatshop
+    fixture decrypts natively (no msoffcrypto in-container) and lands
+    as all-string bronze with the catalog row's header_row=1."""
+    import pathlib
+
+    fixture = pathlib.Path(__file__).resolve().parent / "fixtures" / "encrypted_velvet.xls"
+    df = run_source(
+        spark,
+        "geoplace_swa",
+        landing_dir=str(tmp_path / "landing"),
+        warehouse_path=str(tmp_path / "wh"),
+        log_path=str(tmp_path / "logs"),
+        year=2024,
+        month=1,
+        url=f"file://{fixture}",
+    )
+    assert set(df.columns) == {"swa_code", "account_name", "prefix", "account_type"}
+    rows = {r["prefix"]: r["account_name"] for r in df.collect()}
+    assert rows["YG"] == "Transport for London"
+
+
 def test_corrupt_ods_raises_cleanly(spark, tmp_path):
     """A corrupt ODS through the catalog path must fail with the
     parser's typed format error, not an obscure stack (the engine

@@ -166,18 +166,14 @@ def test_discovery_scrape_and_redirect():
 def test_spreadsheet_gating_and_pandas_bridge(spark):
     import pandas as pd
 
-    # ODS is no longer gated (native stdlib parser); a missing file is
-    # a plain filesystem error, and the S9 encrypted-XLS path keeps
-    # the engine gate
+    # neither path is gated anymore (native stdlib parsers); a missing
+    # file is a plain filesystem error on both
     from open_data_pipelines_spark.sources.spreadsheet import read_encrypted_xls
 
     with pytest.raises(FileNotFoundError):
         read_ods("/nonexistent.ods")
-    try:
-        import msoffcrypto  # noqa: F401
-    except ImportError:
-        with pytest.raises(SpreadsheetEngineUnavailable):
-            read_encrypted_xls("/nonexistent.xls")
+    with pytest.raises(FileNotFoundError):
+        read_encrypted_xls("/nonexistent.xls")
 
     pdf = pd.DataFrame({"a": [1, None], "b": ["x", "y"]})
     df = from_pandas_bronze(spark, pdf)
