@@ -21,8 +21,10 @@ Re-expresses the reference's Section 58 SCD2 machinery
   keys serialize in a distributed engine; parity mode assigns
   ``row_number() OVER (ORDER BY entity, valid_from)`` over the final
   snapshot (deterministic, but a global sort — documented as
-  parity-only; at scale use ``monotonically_increasing_id`` or
-  hash-based keys).
+  parity-only). Scale mode (``with_surrogate_keys_scaled``) produces
+  the SAME deterministic 1..N numbering via range partitioning +
+  per-partition row numbers + broadcast cumulative offsets — no
+  single-partition stage, one tiny driver action.
 
 The implementation is a pure join-based rewrite over immutable
 storage (oracle-checkable, no Delta dependency): the Delta MERGE
@@ -219,6 +221,51 @@ def scd2_two_batch_single_shuffle(
 
 def with_surrogate_keys(dim: DataFrame, order_by: Sequence[str]) -> DataFrame:
     """W6 parity-mode sequential surrogate keys (global sort — document
-    as parity-only; see module docstring for the scale path)."""
+    as parity-only; see :func:`with_surrogate_keys_scaled` for the
+    scale path)."""
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return dim.withColumn("surrogate_key", F.row_number().over(w))
+
+
+def with_surrogate_keys_scaled(
+    dim: DataFrame, order_by: Sequence[str], num_partitions: int | None = None
+) -> DataFrame:
+    """W6 scale-mode sequential surrogate keys: same deterministic
+    1..N numbering as :func:`with_surrogate_keys` (given ``order_by``
+    is a total order) with NO single-partition stage.
+
+    Plan shape: range-partition on the key order, per-partition
+    ``row_number`` (window partitioned by the pre-shuffle partition
+    id), ONE tiny driver action collecting the per-partition counts
+    (``num_partitions`` rows), then a broadcast join adding cumulative
+    offsets. Every wide stage runs at full parallelism — this replaces
+    the reference's DB sequence (``section_58.py:229,302``) without
+    serializing the pipeline the way the parity-mode global window
+    does.
+    """
+    spark = dim.sparkSession
+    n = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cols = [F.col(c) for c in order_by]
+    # persist so the counts action and the final consumer share one
+    # range shuffle + local sort (caller unpersists when done)
+    ranged = (
+        dim.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in sizes:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets or [(0, 0)], ["__pid", "__off"])
+    local = ranged.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    )
+    out = local.join(F.broadcast(off_df), "__pid").withColumn(
+        "surrogate_key", (F.col("__off") + F.col("__rn")).cast("int")
+    )
+    return out.select(*dim.columns, "surrogate_key")

@@ -73,3 +73,41 @@ def test_scd2_merge_idempotent_when_no_changes(spark):
     out = scd2_merge(dim, batch, "entity", "ts", ["status"], ["status"], ["event_ref"])
     assert out.count() == 1
     assert out.filter(F.col("is_current")).count() == 1
+
+
+def test_surrogate_keys_scaled_matches_parity_no_single_partition(spark):
+    """Scale-mode surrogate keys: identical 1..N numbering to the
+    parity-mode global window, with no single-partition exchange in
+    the physical plan."""
+    import random
+
+    from open_data_pipelines_spark.operators.scd2 import (
+        with_surrogate_keys,
+        with_surrogate_keys_scaled,
+    )
+
+    rnd = random.Random(7)
+    rows = [(f"e{i:04d}", rnd.random()) for i in range(500)]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, ["entity", "v"]).repartition(8)
+
+    parity = with_surrogate_keys(df, ["entity"])
+    scaled = with_surrogate_keys_scaled(df, ["entity"], num_partitions=6)
+    a = {(r["entity"], r["surrogate_key"]) for r in parity.collect()}
+    b = {(r["entity"], r["surrogate_key"]) for r in scaled.collect()}
+    assert a == b
+    # deterministic across runs
+    b2 = {(r["entity"], r["surrogate_key"]) for r in with_surrogate_keys_scaled(df, ["entity"], num_partitions=6).collect()}
+    assert b2 == b
+
+    plan = scaled._jdf.queryExecution().executedPlan().toString()
+    parity_plan = parity._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in parity_plan  # the documented parity cost
+    assert "SinglePartition" not in plan  # the scale path must not pay it
+
+
+def test_surrogate_keys_scaled_empty_frame(spark):
+    from open_data_pipelines_spark.operators.scd2 import with_surrogate_keys_scaled
+
+    df = spark.createDataFrame([], "entity string, v double")
+    assert with_surrogate_keys_scaled(df, ["entity"], num_partitions=4).count() == 0
