@@ -20,7 +20,7 @@ from ..functions.spatial import (
     wkt_point_x,
     wkt_point_y,
 )
-from ..operators.joins import range_join_within_gridded
+from ..operators.joins import range_join_within_auto
 from ..session import load_tables
 
 
@@ -154,7 +154,10 @@ def q_range_join_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 53) % 500).alias("sx"),
         ((F.col("s_suppkey") * 17) % 500).alias("sy"),
     )
-    pairs = range_join_within_gridded(works, sites, "wx", "wy", "sx", "sy", 25.0)
+    # auto strategy: supplier is a small dim at bench scale -> broadcast
+    # bbox join; flips to the gridded equi-join when stats outgrow the
+    # broadcast threshold (two-large-sides case). Crossover in STRESS.md.
+    pairs = range_join_within_auto(works, sites, "wx", "wy", "sx", "sy", 25.0)
     dx = F.col("wx") - F.col("sx")
     dy = F.col("wy") - F.col("sy")
     return pairs.select(

@@ -88,3 +88,40 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def test_range_join_auto_strategy_choice(spark):
+    """Auto range join: broadcast bbox plan for a small b-side,
+    gridded equi-join when the b-side outgrows the threshold — same
+    rows either way."""
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.joins import (
+        range_join_within,
+        range_join_within_auto,
+        range_join_within_gridded,
+    )
+
+    a = spark.range(400).select(
+        F.col("id").alias("aid"),
+        ((F.col("id") * 37) % 100).cast("double").alias("ax"),
+        ((F.col("id") * 91) % 100).cast("double").alias("ay"),
+    )
+    b = spark.range(50).select(
+        F.col("id").alias("bid"),
+        ((F.col("id") * 53) % 100).cast("double").alias("bx"),
+        ((F.col("id") * 17) % 100).cast("double").alias("by"),
+    )
+
+    auto_small = range_join_within_auto(a, b, "ax", "ay", "bx", "by", 10.0)
+    assert "BroadcastNestedLoopJoin" in auto_small._jdf.queryExecution().executedPlan().toString()
+
+    auto_big = range_join_within_auto(a, b, "ax", "ay", "bx", "by", 10.0, broadcast_bytes=1)
+    plan_big = auto_big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_big
+
+    key = lambda df: sorted((r["aid"], r["bid"]) for r in df.select("aid", "bid").collect())
+    expected = key(range_join_within(a, b, "ax", "ay", "bx", "by", 10.0))
+    assert key(auto_small) == expected
+    assert key(auto_big) == expected
+    assert key(range_join_within_gridded(a, b, "ax", "ay", "bx", "by", 10.0)) == expected

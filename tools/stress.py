@@ -10,6 +10,7 @@ roughly linearly with rows on a fixed core count.
     python tools/stress.py --skew [n_docs]     # LSH heavy-hitter band scenario
     python tools/stress.py --corpus            # corpus-prep funnel at $SPARK_GRAFT_SF_DIR
     python tools/stress.py --ivf-skew [n]      # IVF hot-cell cap scenario
+    python tools/stress.py --range-join        # broadcast-vs-gridded crossover
 """
 
 from __future__ import annotations
@@ -341,7 +342,64 @@ def corpus_scenario() -> None:
     )
 
 
+def range_join_scenario() -> None:
+    """Broadcast-vs-gridded crossover for the planar range join.
+
+    Shape A (bench shape): 15k x 1k — a small dim side. Shape B: both
+    sides 200k — past any broadcast threshold. Reports steady-state
+    medians for each strategy plus what the auto chooser picked, so
+    the crossover documented in STRESS.md stays measured, not assumed.
+    """
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.joins import (
+        range_join_within,
+        range_join_within_auto,
+        range_join_within_gridded,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress_range_join")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pts(n: int, mx, my, side: str):
+        return spark.range(n).select(
+            F.col("id").alias(f"{side}id"),
+            ((F.col("id") * mx) % 500).cast("double").alias(f"{side}x"),
+            ((F.col("id") * my) % 500).cast("double").alias(f"{side}y"),
+        )
+
+    def timed(f) -> tuple[float, int]:
+        rows = f().count()  # warmup
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f().count()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 3), rows
+
+    report: dict = {"scenario": "range_join_crossover", "radius": 25.0}
+    for label, na, nb in (("small_dim_15k_x_1k", 15_000, 1_000), ("both_large_200k_x_200k", 200_000, 200_000)):
+        a, b = pts(na, 37, 91, "a"), pts(nb, 53, 17, "b")
+        auto_df = range_join_within_auto(a, b, "ax", "ay", "bx", "by", 25.0)
+        picked = (
+            "broadcast"
+            if "BroadcastNestedLoopJoin" in auto_df._jdf.queryExecution().executedPlan().toString()
+            else "gridded"
+        )
+        bc, rows = timed(lambda: range_join_within(a, F.broadcast(b), "ax", "ay", "bx", "by", 25.0))
+        gr, rows2 = timed(lambda: range_join_within_gridded(a, b, "ax", "ay", "bx", "by", 25.0))
+        assert rows == rows2
+        report[label] = {"rows_out": rows, "broadcast_sec": bc, "gridded_sec": gr, "auto_picked": picked}
+    print(json.dumps(report, indent=2))
+
+
 def main() -> None:
+    if "--range-join" in sys.argv:
+        range_join_scenario()
+        return
     if "--corpus" in sys.argv:
         corpus_scenario()
         return
