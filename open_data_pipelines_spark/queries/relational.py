@@ -291,7 +291,11 @@ FROM grouped g CROSS JOIN extremes e
 """
 
 
-# --- W4 pct_rank ------------------------------------------------------------
+# --- W4+A5 pct_rank: PERCENT_RANK over customer-nation totals ---------------
+# (kept for direct callers / tests; driver coverage moved into
+# pct_rank_grouped, which carries both the raw rank and the W4 x100
+# percentile scaling in one registry row — the 50-row driver window is
+# full, and both operators rank the same pre-aggregated shape.)
 def q_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, nation = _t(spark, sf_dir, "customer", "nation")
     grouped = customer.groupBy("c_nationkey").agg(decimal_sum("c_acctbal", 2, "total_bal"))
@@ -315,8 +319,12 @@ FROM grouped
 """
 
 
-# --- A5 pct_rank_grouped: PERCENT_RANK over grouped aggregate ---------------
+# --- A5+W4 pct_rank_grouped: PERCENT_RANK over grouped aggregate ------------
 def q_pct_rank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-aggregate (A5) plus the W4 0-100 percentile scaling
+    (the wellbeing convention) in one row; the single-partition window
+    stays on <=segment cardinality — the documented safe use of
+    percent_rank_over."""
     orders, customer = _t(spark, sf_dir, "orders", "customer")
     joined = orders.join(
         F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "inner"
@@ -324,10 +332,10 @@ def q_pct_rank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = joined.groupBy("c_mktsegment").agg(
         decimal_sum("o_totalprice", 2, "segment_total")
     )
-    out = percent_rank_over(
-        grouped, [F.col("segment_total").asc(), F.col("c_mktsegment").asc()], "segment_rank"
-    )
-    return out.select("c_mktsegment", "segment_total", "segment_rank")
+    order = [F.col("segment_total").asc(), F.col("c_mktsegment").asc()]
+    out = percent_rank_over(grouped, order, "segment_rank")
+    out = percent_rank_over(out, order, "segment_rank_pct", 100.0)
+    return out.select("c_mktsegment", "segment_total", "segment_rank", "segment_rank_pct")
 
 
 ORACLE_PCT_RANK_GROUPED = """
@@ -338,7 +346,9 @@ WITH grouped AS (
   GROUP BY c.c_mktsegment
 )
 SELECT c_mktsegment, segment_total,
-       percent_rank() OVER (ORDER BY segment_total ASC, c_mktsegment ASC) AS segment_rank
+       percent_rank() OVER (ORDER BY segment_total ASC, c_mktsegment ASC) AS segment_rank,
+       percent_rank() OVER (ORDER BY segment_total ASC, c_mktsegment ASC) * 100.0
+         AS segment_rank_pct
 FROM grouped
 """
 
@@ -380,7 +390,6 @@ QUERIES = {
     "cond_agg": (q_cond_agg, ORACLE_COND_AGG),
     "agg_battery": (q_agg_battery, ORACLE_AGG_BATTERY),
     "minmax_norm": (q_minmax_norm, ORACLE_MINMAX_NORM),
-    "pct_rank": (q_pct_rank, ORACLE_PCT_RANK),
     "pct_rank_grouped": (q_pct_rank_grouped, ORACLE_PCT_RANK_GROUPED),
     "wellbeing_formula": (q_wellbeing_formula, ORACLE_WELLBEING),
     "impact_score": (impact_scores, IMPACT_ORACLE_SQL),

@@ -458,6 +458,68 @@ LIMIT 20
 """
 
 
+# --- term_stats: TF-IDF top-3 per doc + per-doc character entropy ------------
+# One registry row for both corpus-state term operators
+# (operators/term_stats.py) — the driver's correctness window caps at
+# 50 rows, and the entropy columns join 1:1 onto the tfidf rows.
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smooth TF-IDF (DF table broadcast, bounded per-doc window) with
+    Shannon char entropy joined on doc_id. ln/log2 rounded to 6dp for
+    cross-engine float identity; the tfidf tie order is computed on
+    the unrounded product."""
+    from ..operators.term_stats import char_entropy, tfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    tfidf = tfidf_top_terms(docs, "text", "doc_id", k=3).select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round("idf", 6).alias("idf"),
+        F.round("tfidf", 6).alias("tfidf"),
+        "rank",
+    )
+    ent = char_entropy(docs, "text", "doc_id").select(
+        "doc_id", "n_chars", F.round("char_entropy", 6).alias("char_entropy")
+    )
+    return tfidf.join(ent, "doc_id")
+
+
+ORACLE_TERM_STATS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKENS.format(t='lower(text)')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0 AS idf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, round(idf, 6) AS idf,
+         round(tf * idf, 6) AS tfidf, rank
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tf * idf DESC, term ASC
+    ) AS rank FROM scored
+  ) WHERE rank <= 3
+), chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '([\\s\\S])', 1)) AS c
+  FROM documents
+), counts AS (
+  SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+         round(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS char_entropy
+  FROM counts GROUP BY doc_id
+)
+SELECT r.doc_id, r.term, r.tf, r.idf, r.tfidf, r.rank, p.n_chars, p.char_entropy
+FROM ranked r JOIN per_doc p USING (doc_id)
+"""
+
+
 # --- corpus_funnel ------------------------------------------------------------
 # The flagship LLM-extension driver row: the SQL-expressible sub-funnel
 # of plans/corpus_prep.prepare_corpus — clean (redact+normalize) ->
@@ -600,4 +662,5 @@ QUERIES = {
     "simhash_dedup": (q_simhash_dedup, ORACLE_SIMHASH),
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "corpus_funnel": (q_corpus_funnel, ORACLE_CORPUS_FUNNEL),
+    "term_stats": (q_term_stats, ORACLE_TERM_STATS),
 }
