@@ -172,6 +172,19 @@ def repetition_filter(
     """
     th = dict(GOPHER_THRESHOLDS)
     if thresholds:
+        import re
+
+        known = {"dup_line_fraction", "dup_line_char_fraction"}
+        bad = [
+            k
+            for k in thresholds
+            if k not in known and not re.fullmatch(r"top_\d+gram_char_fraction", k)
+        ]
+        if bad:
+            raise ValueError(
+                f"unknown repetition threshold keys {bad}; valid: "
+                f"{sorted(known)} or top_<n>gram_char_fraction"
+            )
         th.update(thresholds)
     ns = tuple(
         int(k.split("_")[1].removesuffix("gram")) for k in th if k.startswith("top_")

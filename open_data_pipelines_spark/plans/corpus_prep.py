@@ -108,8 +108,9 @@ def prepare_corpus(
     per-stage row-count audit: ``stats_via="count"`` is one action
     per stage (debug mode); ``stats_via="observe"`` harvests the
     whole funnel from a single action on the final frame (production
-    mode — the returned stats are complete and the pipeline ran
-    exactly once).
+    mode — the pipeline runs once and the returned frame is persisted
+    so the caller's own write/collect reuses that execution; call
+    ``.unpersist()`` on it when done).
 
     ``benchmark`` is a (bench_id, text) frame of eval items to
     decontaminate against; ``source_weights`` a target domain mix over
@@ -325,8 +326,11 @@ def prepare_corpus(
     if with_stats and stats_via == "observe":
         # ONE action materializes every stage metric (the funnel for a
         # single pipeline execution); Observation.get then returns
-        # without blocking. The final count doubles as the last stage's
-        # number, so nothing is recomputed.
+        # without blocking. Persist first so the caller's own action
+        # on the returned frame reuses this execution instead of
+        # re-running the whole funnel (incl. the iterative
+        # connected-components prefix); caller unpersists when done.
+        chunked = chunked.persist()
         chunked.count()
         stats.update(
             {name: int(obs.get["rows"]) for name, obs in observations.items()}

@@ -83,10 +83,12 @@ def streaming_corpus_bronze(
     time; arrival time is the natural horizon for "recent drops
     repeat themselves" dedup). Output columns match the batch
     pipeline's pre-near-dup frame: (doc_id, text, lang, quality,
-    n_tokens) + ingest_ts.
+    n_tokens, source) + ingest_ts — ``source`` rides along so the
+    batch compaction can run the domain-mix stages
+    (source_weights/upsample_weights) over bronze.
     """
     cleaned = stream.select(
-        "doc_id", normalize_text(redact_pii("text")).alias("text")
+        "doc_id", normalize_text(redact_pii("text")).alias("text"), "source"
     )
     annotated = cleaned.select(
         "doc_id",
@@ -94,6 +96,7 @@ def streaming_corpus_bronze(
         lang_id("text").alias("lang"),
         quality_score("text").alias("quality"),
         token_count_ws("text").alias("n_tokens"),
+        "source",
     )
     kept = annotated.filter(
         (F.col("quality") >= quality_min) & F.col("lang").isin(*keep_langs)
@@ -130,3 +133,54 @@ def stream_corpus_to_bronze(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_bronze(
+    spark: SparkSession,
+    bronze_path: str,
+    sf_dir: str | None = None,
+    **corpus_kwargs,
+):
+    """Periodic batch compaction over the streamed bronze output: the
+    deferred all-pairs-shaped stages (MinHash/SimHash/embedding
+    near-dup clustering + connected components, chunking, domain mix,
+    packing) run via :func:`..plans.corpus_prep.prepare_corpus` on
+    the accumulated bronze directory.
+
+    The funnel's row-local stages are idempotent on bronze rows
+    (normalize/redact re-produce the same text; lang/quality/token
+    counts re-derive the same values), so stream-ingest-then-compact
+    equals the one-shot batch pipeline on the same input files —
+    pinned by ``tests/test_corpus_stream.py``. ``sf_dir`` is only
+    needed for the ``near_dup="embedding"`` backend's default
+    embeddings table.
+    """
+    from ..plans.corpus_prep import prepare_corpus
+
+    bronze = spark.read.parquet(bronze_path)
+    cols = ["doc_id", "text"] + (["source"] if "source" in bronze.columns else [])
+    return prepare_corpus(
+        spark, sf_dir or "", docs=bronze.select(*cols), **corpus_kwargs
+    )
+
+
+def drain_and_compact(
+    spark: SparkSession,
+    landing_dir: str,
+    bronze_path: str,
+    checkpoint_dir: str,
+    funnel_kwargs: dict | None = None,
+    timeout_sec: int = 300,
+    **corpus_kwargs,
+) -> DataFrame:
+    """The full stream-then-compact cycle: availableNow drain of the
+    streaming funnel into bronze, then the deferred batch compaction —
+    the operational loop a scheduler runs per crawl drop."""
+    q = stream_corpus_to_bronze(
+        read_document_stream(spark, landing_dir),
+        bronze_path,
+        checkpoint_dir,
+        **(funnel_kwargs or {}),
+    )
+    q.awaitTermination(timeout_sec)
+    return compact_bronze(spark, bronze_path, **corpus_kwargs)

@@ -51,7 +51,9 @@ def test_streaming_funnel_matches_batch_stages(spark, doc_landing):
     q.awaitTermination(120)
 
     got = spark.read.parquet(f"{bronze_dir}/corpus")
-    assert got.columns == ["doc_id", "text", "lang", "quality", "n_tokens", "ingest_ts"]
+    assert got.columns == [
+        "doc_id", "text", "lang", "quality", "n_tokens", "source", "ingest_ts",
+    ]
 
     # batch reference: same clean/annotate/filter stages, exact dedup
     from open_data_pipelines_spark.operators.text_analysis import (
@@ -126,3 +128,66 @@ def test_streaming_funnel_is_incremental(spark, doc_landing):
     assert out.count() == n1 + 3
     assert out.filter(F.col("doc_id") >= 30000).count() == 3
     assert out.filter(F.col("doc_id") == 40000).count() == 0
+
+
+def test_stream_then_compact_equals_batch_pipeline(spark):
+    """The operational loop: stream-ingest the crawl drop (row-local
+    funnel + exact dedup on arrival), then run the deferred batch
+    compaction (MinHash near-dup + connected components + chunking)
+    over bronze — and get EXACTLY the one-shot batch prepare_corpus
+    result on the same files. The landing holds near-dup mutations
+    (distinct ids, no exact re-deliveries), so survivor ids are
+    deterministic and the comparison is row-for-row."""
+    import tempfile
+
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from open_data_pipelines_spark.streaming.corpus_stream import drain_and_compact
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    near_dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz mutated suffix")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    planted = docs.unionByName(near_dups)
+    landing = tempfile.mkdtemp(prefix="compact_landing_")
+    planted.write.mode("overwrite").parquet(f"{landing}/drop")
+
+    streamed = drain_and_compact(
+        spark,
+        f"{landing}/drop",
+        tempfile.mkdtemp(prefix="compact_bronze_") + "/corpus",
+        tempfile.mkdtemp(prefix="compact_ckpt_"),
+        near_dup="minhash",
+    )
+    batch = prepare_corpus(spark, SF_SMOKE, docs=planted, near_dup="minhash")
+
+    cols = ["doc_id", "lang", "quality", "chunk_idx", "chunk"]
+    assert streamed.columns == batch.columns == cols
+    s_rows = {tuple(r) for r in streamed.select(*cols).collect()}
+    b_rows = {tuple(r) for r in batch.select(*cols).collect()}
+    assert s_rows == b_rows and len(s_rows) == streamed.count()
+
+
+def test_compact_bronze_runs_domain_mix_over_bronze_source(spark):
+    """ADVICE round-5: bronze must carry `source` so the compaction
+    can run the domain-mix stages; a source_weights compaction over
+    streamed bronze must not fail on a missing column."""
+    import tempfile
+
+    from open_data_pipelines_spark.streaming.corpus_stream import drain_and_compact
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    landing = tempfile.mkdtemp(prefix="mix_landing_")
+    docs.write.mode("overwrite").parquet(f"{landing}/drop")
+    out = drain_and_compact(
+        spark,
+        f"{landing}/drop",
+        tempfile.mkdtemp(prefix="mix_bronze_") + "/corpus",
+        tempfile.mkdtemp(prefix="mix_ckpt_"),
+        near_dup="none",
+        source_weights={"src0": 0.4, "src1": 0.3, "src2": 0.3},
+    )
+    assert out.count() > 0

@@ -153,3 +153,18 @@ LEFT JOIN top t ON t.doc_id = d.doc_id
     ).fetchall()
     want = {r[0]: (round(r[1], 9), round(r[2], 9), round(r[3], 9)) for r in oracle}
     assert got == want
+
+
+def test_repetition_filter_rejects_unknown_threshold_keys(spark):
+    import pytest
+
+    from open_data_pipelines_spark.operators.repetition import repetition_filter
+
+    text = " ".join(f"w{i}" for i in range(40))  # diverse: passes defaults
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unknown repetition threshold keys"):
+        repetition_filter(df, "text", "doc_id", {"top2gram_char_fraction": 0.2})
+    with pytest.raises(ValueError, match="unknown repetition threshold keys"):
+        repetition_filter(df, "text", "doc_id", {"n_lines_max": 5})
+    # valid custom n passes validation
+    assert repetition_filter(df, "text", "doc_id", {"top_5gram_char_fraction": 0.5}).count() == 1
