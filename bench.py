@@ -58,6 +58,7 @@ def main() -> None:
 
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         # pass 0: warmup (codegen compile + broadcast build); then
@@ -71,12 +72,20 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = {
+            "min": round(min(samples), 3),
+            "max": round(max(samples), 3),
+        }
 
     result = {
         "metric": "headline_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # per-query min/max across the measured passes: lets a reader
+        # attribute +-30% drift on ~1 s queries to run noise vs a real
+        # regression without a re-run (r5 verdict ask)
+        "spread": spreads,
         "sf": sf,
         "mode": f"steady_state_median{passes}",
     }

@@ -21,3 +21,57 @@ def test_reference_covers_headline_set():
     assert ref["sf"] == 0.1
     assert 1.0 < ref["ratio_limit"] <= 2.0
     assert all(v > 0 for v in ref["queries"].values())
+
+
+def test_bench_emits_per_query_spread(monkeypatch, capsys):
+    """bench.py must report min/max per query alongside the median so
+    noise is attributable without a re-run. Run the real main() with a
+    stubbed query surface (no Spark) and check the JSON contract."""
+    import types
+
+    import bench as bench_mod
+
+    calls = {"n": 0}
+
+    class _FakeWriter:
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self):
+            calls["n"] += 1
+
+    class _FakeDF:
+        write = _FakeWriter()
+
+    def fake_queries():
+        return {name: (lambda spark, sf: _FakeDF()) for name in bench_mod.HEADLINE}
+
+    fake_entry = types.SimpleNamespace(queries=fake_queries)
+
+    class _FakeCatalog:
+        def clearCache(self):
+            pass
+
+    class _FakeSC:
+        def setLogLevel(self, *_):
+            pass
+
+    fake_spark = types.SimpleNamespace(catalog=_FakeCatalog(), sparkContext=_FakeSC())
+    fake_session = types.SimpleNamespace(get_spark=lambda *a, **k: fake_spark)
+
+    import sys as _sys
+
+    monkeypatch.setitem(_sys.modules, "__spark_entry__", fake_entry)
+    monkeypatch.setitem(_sys.modules, "open_data_pipelines_spark.session", fake_session)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "2")
+    bench_mod.main()
+
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert set(result["spread"]) == set(bench_mod.HEADLINE)
+    for name in bench_mod.HEADLINE:
+        s = result["spread"][name]
+        assert s["min"] <= result["queries"][name] <= s["max"]
