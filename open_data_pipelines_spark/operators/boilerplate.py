@@ -1,0 +1,101 @@
+"""Corpus-level boilerplate line removal (engine extension; the
+C4 / RefinedWeb preprocessing move the per-doc repetition signals
+cannot express: drop LINES that repeat across many DOCUMENTS —
+navigation chrome, cookie banners, license footers — and stitch the
+surviving lines back into documents).
+
+Scale shape: explode docs to (doc, line_idx, line) rows, ONE
+hash-groupBy over the line fingerprint counting distinct docs
+(map-side combinable), broadcast the boilerplate fingerprint set when
+it is small (it usually is — boilerplate is by definition
+heavy-hitter lines) with a shuffle-join fallback flag, then a
+groupBy(doc) reassembly ordered by line index. Two keyed shuffles
+total, never a product, no window over the raw corpus.
+
+The line fingerprint is md5 of the whitespace-normalized line, so
+cosmetic indentation variants of the same banner collapse — the same
+normalization discipline as :func:`.text_dedup.dedup_exact_text`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import normalize_text
+
+
+def _line_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    lines = F.split(F.col(text_col), r"\n")
+    return (
+        df.select(F.col(id_col), F.posexplode(lines).alias("__idx", "__line"))
+        .withColumn("__norm", normalize_text(F.col("__line")))
+        .filter(F.col("__norm") != "")
+        .withColumn("__fp", F.md5("__norm"))
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 3
+) -> DataFrame:
+    """(line_fp, n_docs, sample_line) — normalized lines appearing in
+    at least ``min_docs`` distinct documents. The audit table a
+    curator inspects before committing to removal."""
+    rows = _line_rows(df, text_col, id_col)
+    return (
+        rows.groupBy("__fp")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min("__norm").alias("sample_line"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("__fp").alias("line_fp"), "n_docs", "sample_line")
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """Remove every line appearing in >= ``min_docs`` distinct docs and
+    reassemble the remaining lines in order. Schema preserved; docs
+    whose every line was boilerplate come back with empty text (a
+    downstream quality/length filter drops them — same layering as the
+    reference funnel). Blank lines are dropped in reassembly (the
+    funnel's normalize stage would collapse them anyway).
+
+    ``broadcast_boilerplate=True`` (default) broadcasts the offending
+    fingerprint set — correct while boilerplate stays dim-sized, which
+    heavy-hitter lines are by construction. Set False at extreme
+    corpus diversity to force the shuffle anti-join (same semantics,
+    one more keyed exchange) — mirroring the decontamination
+    operator's broadcast/shuffle flag.
+    """
+    rows = _line_rows(df, text_col, id_col)
+    bad = boilerplate_lines(df, text_col, id_col, min_docs).select("line_fp")
+    if broadcast_boilerplate:
+        bad = F.broadcast(bad)
+    kept = rows.join(bad, rows["__fp"] == bad["line_fp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("__rebuilt")
+    )
+    out = df.join(rebuilt, id_col, "left")
+    return out.select(
+        *[
+            F.coalesce("__rebuilt", F.lit("")).alias(text_col)
+            if c == text_col
+            else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -80,6 +80,7 @@ def prepare_corpus(
     *,
     quality_min: float = 0.5,
     keep_langs: tuple[str, ...] = ("en", "fr", "de"),
+    boilerplate_min_docs: int | None = None,
     repetition_thresholds: dict[str, float] | None = None,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
@@ -138,6 +139,19 @@ def prepare_corpus(
     # the observed frame MUST flow into the plan (a dangling observe
     # node never executes, and its Observation.get would block forever)
     docs = note("input", docs)
+
+    if boilerplate_min_docs is not None:
+        from ..operators.boilerplate import strip_boilerplate_lines
+
+        # line-level boilerplate removal (C4/RefinedWeb) MUST run on
+        # raw text: the normalize stage below collapses newlines, so
+        # line structure only exists here
+        docs = note(
+            "boilerplate_stripped",
+            strip_boilerplate_lines(
+                docs, "text", "doc_id", min_docs=boilerplate_min_docs
+            ),
+        )
 
     # redact BEFORE normalizing so the replacement tokens lowercase
     # with the rest of the text (and whitespace variants of redacted

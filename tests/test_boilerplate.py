@@ -1,0 +1,136 @@
+"""C4/RefinedWeb line-level boilerplate removal: hand-computed
+fixtures, DuckDB parity on the harness corpus, funnel composition."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.boilerplate import (
+    boilerplate_lines,
+    strip_boilerplate_lines,
+)
+from open_data_pipelines_spark.session import load_tables
+
+from conftest import SF_SMOKE
+
+BANNER = "Accept cookies to continue"
+FOOTER = "(c) 2024 Example Corp - All Rights Reserved"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, f"{BANNER}\nUnique first article body line.\n{FOOTER}", "web"),
+        (2, f"{BANNER}\nAnother body, nothing shared.\n{FOOTER}", "web"),
+        (3, f"  {BANNER}  \nThird body text here.\n{FOOTER}", "web"),  # ws variant
+        (4, "A doc with no boilerplate at all.", "books"),
+        (5, f"{BANNER}\n{FOOTER}", "web"),  # all-boilerplate doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_boilerplate_lines_audit(spark, docs):
+    audit = {r["sample_line"]: r["n_docs"] for r in boilerplate_lines(docs, "text", "doc_id").collect()}
+    # normalization lowercases + collapses whitespace, so the indented
+    # variant of the banner counts into the same fingerprint
+    assert audit == {BANNER.lower(): 4, FOOTER.lower(): 4}
+
+
+def test_strip_reassembles_in_order_and_preserves_schema(spark, docs):
+    out = strip_boilerplate_lines(docs, "text", "doc_id")
+    assert out.columns == docs.columns
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == "Unique first article body line."
+    assert got[2] == "Another body, nothing shared."
+    assert got[3] == "Third body text here."
+    assert got[4] == "A doc with no boilerplate at all."
+    assert got[5] == ""  # every line was boilerplate
+
+
+def test_strip_multiline_order_preserved(spark):
+    body = [f"body line {i} of the long article" for i in range(6)]
+    shared = "SHARED NAV"
+    rows = [
+        (1, "\n".join([shared, body[0], body[1], shared, body[2]])),
+        (2, "\n".join([shared, body[3]])),
+        (3, "\n".join([body[4], shared, body[5]])),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in strip_boilerplate_lines(df, "text", "doc_id").collect()}
+    assert got[1] == "\n".join([body[0], body[1], body[2]])
+    assert got[3] == "\n".join([body[4], body[5]])
+
+
+def test_shuffle_fallback_matches_broadcast(spark, docs):
+    a = strip_boilerplate_lines(docs, "text", "doc_id", broadcast_boilerplate=True)
+    b = strip_boilerplate_lines(docs, "text", "doc_id", broadcast_boilerplate=False)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_duckdb_parity_on_harness_corpus(spark):
+    """Same semantics in SQL over the harness documents table (plus a
+    planted shared banner) — explode lines, count distinct docs per
+    normalized fingerprint, rebuild surviving lines in order."""
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lit(BANNER + "\n"), F.col("text"), F.lit("\n" + FOOTER)).alias("text"),
+    )
+    out = strip_boilerplate_lines(planted, "text", "doc_id", min_docs=3)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'")
+    con.execute(f"""
+        CREATE VIEW planted AS
+        SELECT doc_id, '{BANNER}' || chr(10) || text || chr(10) || '{FOOTER}' AS text
+        FROM documents
+    """)
+    oracle = con.execute("""
+        WITH lines AS (
+          SELECT doc_id, idx, line,
+                 md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS fp
+          FROM (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS idx
+            FROM planted
+          )
+          WHERE trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) <> ''
+        ), bad AS (
+          SELECT fp FROM lines GROUP BY fp HAVING count(DISTINCT doc_id) >= 3
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        FROM lines WHERE fp NOT IN (SELECT fp FROM bad)
+        GROUP BY doc_id
+    """).df()
+    expected = dict(zip(oracle["doc_id"], oracle["text"]))
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # oracle omits all-boilerplate docs; engine returns them with ''
+    assert {k: v for k, v in got.items() if v != ""} == expected
+
+
+def test_funnel_composition_boilerplate_stage(spark):
+    """prepare_corpus(boilerplate_min_docs=...) strips the planted
+    banner before cleaning; the surviving chunks never contain it."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lit(BANNER + "\n"), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out, stats = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        docs=planted,
+        near_dup="none",
+        boilerplate_min_docs=3,
+        with_stats=True,
+    )
+    assert stats["boilerplate_stripped"] == stats["input"]
+    assert out.filter(F.col("chunk").contains(BANNER.lower().split()[0] + " " + BANNER.lower().split()[1])).count() == 0
+    assert out.count() > 0
