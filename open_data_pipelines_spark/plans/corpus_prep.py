@@ -81,6 +81,8 @@ def prepare_corpus(
     quality_min: float = 0.5,
     keep_langs: tuple[str, ...] = ("en", "fr", "de"),
     boilerplate_min_docs: int | None = None,
+    quality_model=None,
+    quality_model_min: float = 0.5,
     repetition_thresholds: dict[str, float] | None = None,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
@@ -177,6 +179,17 @@ def prepare_corpus(
             (F.col("quality") >= quality_min) & F.col("lang").isin(*keep_langs)
         ),
     )
+
+    if quality_model is not None:
+        from ..operators.quality_model import quality_model_filter
+
+        # learned quality filter (CCNet/fastText-style) right after the
+        # rule-based one — also a pure row-local projection, so it
+        # belongs in the cheap prefix before anything that shuffles
+        kept = note(
+            "model_quality_kept",
+            quality_model_filter(kept, quality_model, "text", quality_model_min),
+        )
 
     if repetition_thresholds is not None:
         from ..operators.repetition import repetition_filter
