@@ -64,7 +64,7 @@ def number(r: int, c: int, v: float) -> bytes:
     return rec(0x0203, struct.pack("<HHHd", r, c, 15, v))
 
 
-def build_workbook_stream() -> bytes:
+def build_workbook_stream(encrypted: bool = True, pad: bool = True) -> bytes:
     # SWA-shaped content: row 0 title junk, row 1 headers, rows 2+ data
     headers = ["swa_code", "account_name", "prefix", "account_type"]
     data = [
@@ -97,54 +97,81 @@ def build_workbook_stream() -> bytes:
     # placeholder, measure, then patch
     def globals_substream(lbplypos: int) -> bytes:
         bs = rec(0x0085, struct.pack("<IHBB", lbplypos, 0, len(name), 0x01) + name.encode("utf-16-le"))
-        return bof(0x0005) + filepass() + window1 + bs + sst(uniq) + rec(0x000A, b"")
+        fp = filepass() if encrypted else b""
+        return bof(0x0005) + fp + window1 + bs + sst(uniq) + rec(0x000A, b"")
 
     glen = len(globals_substream(0))
     stream = globals_substream(glen) + sheet
     assert len(stream) == glen + len(sheet)
     # pad past the 4096-byte CFB mini-stream cutoff so the stream lives
-    # in regular sectors (zero bytes read as end-of-records)
-    if len(stream) < 4096:
+    # in regular sectors (zero bytes read as end-of-records); the
+    # unpadded variant stays small on purpose to exercise the reader's
+    # mini-stream branch
+    if pad and len(stream) < 4096:
         stream += b"\x00" * (4096 - len(stream))
     return stream
 
 
+def _direntry(name: str, typ: int, child: int, start: int, size: int) -> bytes:
+    raw = name.encode("utf-16-le") + b"\x00\x00"
+    e = raw.ljust(64, b"\x00")
+    e += struct.pack("<HBB", len(raw), typ, 1)
+    e += struct.pack("<III", 0xFFFFFFFF, 0xFFFFFFFF, child)
+    e += b"\x00" * 16  # CLSID
+    e += struct.pack("<I", 0)  # state
+    e += b"\x00" * 16  # timestamps
+    e += struct.pack("<IQ", start, size)
+    assert len(e) == 128
+    return e
+
+
 def write_cfb(stream: bytes) -> bytes:
-    """Minimal v3 CFB: FAT sector 0, directory sector 1, stream from
-    sector 2. Stream must be >= 4096 bytes (no mini stream written)."""
-    assert len(stream) >= 4096
+    """Minimal v3 CFB holding one ``Workbook`` stream.
+
+    >= 4096 bytes: regular sectors (FAT sector 0, directory sector 1,
+    stream from sector 2). < 4096 bytes: stored as 64-byte mini
+    sectors inside a root mini stream (layout: FAT 0, dir 1, mini-FAT
+    2, mini-stream data from 3) — exercises the reader's mini-FAT
+    branch, which real small XLS files hit."""
     ssz = 512
-    n_stream_sectors = -(-len(stream) // ssz)
-
-    def direntry(name: str, typ: int, child: int, start: int, size: int) -> bytes:
-        raw = name.encode("utf-16-le") + b"\x00\x00"
-        e = raw.ljust(64, b"\x00")
-        e += struct.pack("<HBB", len(raw), typ, 1)
-        e += struct.pack("<III", 0xFFFFFFFF, 0xFFFFFFFF, child)
-        e += b"\x00" * 16  # CLSID
-        e += struct.pack("<I", 0)  # state
-        e += b"\x00" * 16  # timestamps
-        e += struct.pack("<IQ", start, size)
-        assert len(e) == 128
-        return e
-
-    directory = direntry("Root Entry", 5, 1, 0xFFFFFFFE, 0)
-    directory += direntry("Workbook", 2, 0xFFFFFFFF, 2, len(stream))
-    directory += (b"\x00" * 64 + struct.pack("<HBB", 0, 0, 0) + b"\xff" * 12 + b"\x00" * 48) * 2
-    directory = directory.ljust(ssz, b"\x00")
-
-    fat = [0xFFFFFFFD, 0xFFFFFFFE]  # FAT sector itself, dir chain
-    fat += [2 + i + 1 for i in range(n_stream_sectors - 1)] + [0xFFFFFFFE]
-    fat += [0xFFFFFFFF] * (ssz // 4 - len(fat))
-    assert len(fat) == ssz // 4, "stream too large for a one-FAT-sector fixture"
-    fat_sector = struct.pack(f"<{ssz // 4}I", *fat)
+    if len(stream) >= 4096:
+        n_stream_sectors = -(-len(stream) // ssz)
+        directory = _direntry("Root Entry", 5, 1, 0xFFFFFFFE, 0)
+        directory += _direntry("Workbook", 2, 0xFFFFFFFF, 2, len(stream))
+        directory = directory.ljust(ssz, b"\x00")
+        fat = [0xFFFFFFFD, 0xFFFFFFFE]  # FAT sector itself, dir chain
+        fat += [2 + i + 1 for i in range(n_stream_sectors - 1)] + [0xFFFFFFFE]
+        fat += [0xFFFFFFFF] * (ssz // 4 - len(fat))
+        assert len(fat) == ssz // 4, "stream too large for a one-FAT-sector fixture"
+        fat_sector = struct.pack(f"<{ssz // 4}I", *fat)
+        n_minifat, first_minifat = 0, 0xFFFFFFFE
+        body = stream.ljust(n_stream_sectors * ssz, b"\x00")
+    else:
+        mssz = 64
+        n_mini = -(-len(stream) // mssz)
+        mini_data = stream.ljust(n_mini * mssz, b"\x00")
+        n_mini_sectors = -(-len(mini_data) // ssz)  # regular sectors holding it
+        directory = _direntry("Root Entry", 5, 1, 3, len(mini_data))
+        directory += _direntry("Workbook", 2, 0xFFFFFFFF, 0, len(stream))
+        directory = directory.ljust(ssz, b"\x00")
+        fat = [0xFFFFFFFD, 0xFFFFFFFE, 0xFFFFFFFE]  # FAT, dir, mini-FAT sector
+        fat += [3 + i + 1 for i in range(n_mini_sectors - 1)] + [0xFFFFFFFE]
+        fat += [0xFFFFFFFF] * (ssz // 4 - len(fat))
+        fat_sector = struct.pack(f"<{ssz // 4}I", *fat)
+        minifat = [i + 1 for i in range(n_mini - 1)] + [0xFFFFFFFE]
+        minifat += [0xFFFFFFFF] * (ssz // 4 - len(minifat))
+        minifat_sector = struct.pack(f"<{ssz // 4}I", *minifat)
+        n_minifat, first_minifat = 1, 2
+        body = minifat_sector + mini_data.ljust(n_mini_sectors * ssz, b"\x00")
 
     header = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
-    header += struct.pack("<HHHHHHIIIIIIII", 0x003E, 0x0003, 0xFFFE, 9, 6, 0, 0, 0, 1, 1, 0, 4096, 0xFFFFFFFE, 0)
+    header += struct.pack(
+        "<HHHHHHIIIIIIII",
+        0x003E, 0x0003, 0xFFFE, 9, 6, 0, 0, 0, 1, 1, 0, 4096, first_minifat, n_minifat,
+    )
     header += struct.pack("<II", 0xFFFFFFFE, 0)
     header += struct.pack("<I", 0) + b"\xff" * 4 * 108
     assert len(header) == 512
-    body = stream.ljust(n_stream_sectors * ssz, b"\x00")
     return header + fat_sector + directory + body
 
 
@@ -156,6 +183,14 @@ def main(out_path: str) -> None:
     assert rc4_crypt_stream(encrypted, PASSWORD, SALT) == plain
     Path(out_path).write_bytes(write_cfb(encrypted))
     print(f"wrote {out_path} ({len(encrypted)}-byte stream, salt {SALT.hex()})")
+
+    # companion fixture: unencrypted, < 4096 bytes -> CFB mini stream
+    # (pins the reader's mini-FAT branch + the no-FILEPASS parse)
+    small = build_workbook_stream(encrypted=False, pad=False)
+    assert len(small) < 4096, len(small)
+    mini_path = str(Path(out_path).parent / "plain_mini.xls")
+    Path(mini_path).write_bytes(write_cfb(small))
+    print(f"wrote {mini_path} ({len(small)}-byte stream, mini-sectored)")
 
 
 if __name__ == "__main__":
