@@ -95,6 +95,29 @@ class QualityModel:
             z = z + F.lit(w) * feats[name]
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
+    def to_dict(self) -> dict:
+        """JSON-serializable form — ship the model to a scheduler /
+        streaming job without pickling."""
+        return {
+            "features": list(FEATURE_NAMES),
+            "weights": list(self.weights),
+            "bias": self.bias,
+            "train_loss": list(self.train_loss),
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "QualityModel":
+        if tuple(d.get("features", ())) != FEATURE_NAMES:
+            raise ValueError(
+                f"model features {d.get('features')} do not match this "
+                f"engine version's {list(FEATURE_NAMES)}"
+            )
+        return QualityModel(
+            tuple(float(w) for w in d["weights"]),
+            float(d["bias"]),
+            tuple(float(x) for x in d.get("train_loss", ())),
+        )
+
 
 def fit_quality_model(
     df: DataFrame,

@@ -73,6 +73,8 @@ def streaming_corpus_bronze(
     quality_min: float = 0.5,
     keep_langs: tuple[str, ...] = ("en", "fr", "de"),
     dedup_watermark: str = "24 hours",
+    quality_model=None,
+    quality_model_min: float = 0.5,
 ) -> DataFrame:
     """The streaming-safe funnel prefix: clean -> annotate -> filter ->
     exact dedup, mirroring ``prepare_corpus`` stages 1-3 exactly
@@ -101,6 +103,10 @@ def streaming_corpus_bronze(
     kept = annotated.filter(
         (F.col("quality") >= quality_min) & F.col("lang").isin(*keep_langs)
     )
+    if quality_model is not None:
+        # the learned filter is a pure projection (inlined weights), so
+        # it is streaming-safe and belongs in the on-arrival prefix
+        kept = kept.filter(quality_model.score_expr("text") >= quality_model_min)
     keyed = kept.withColumn("__fp", doc_fingerprint("text")).withColumn(
         "ingest_ts", F.current_timestamp()
     )

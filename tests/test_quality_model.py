@@ -143,3 +143,56 @@ def test_funnel_composition_model_stage(spark, corpus):
     labels = {r["doc_id"]: r["label"] for r in test.collect()}
     frac_good = sum(labels[i] for i in surviving) / len(surviving)
     assert frac_good >= 0.95, f"survivor purity {frac_good}"
+
+
+def test_model_round_trips_through_dict(spark, corpus):
+    import json
+
+    from open_data_pipelines_spark.operators.quality_model import QualityModel
+
+    train, test = corpus
+    model = fit_quality_model(train, "text", "label", n_iter=10)
+    clone = QualityModel.from_dict(json.loads(json.dumps(model.to_dict())))
+    a = score_quality(test, model, "text").select("doc_id", "model_quality").collect()
+    b = score_quality(test, clone, "text").select("doc_id", "model_quality").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    with pytest.raises(ValueError, match="do not match"):
+        QualityModel.from_dict({"features": ["other"], "weights": [1.0], "bias": 0.0})
+
+
+def test_streaming_funnel_applies_quality_model(spark, corpus):
+    """The learned filter is a pure projection -> streaming-safe; the
+    drained bronze keeps (mostly) only model-approved docs."""
+    import tempfile
+
+    from open_data_pipelines_spark.streaming.corpus_stream import (
+        read_document_stream,
+        stream_corpus_to_bronze,
+    )
+
+    train, test = corpus
+    model = fit_quality_model(train, "text", "label", n_iter=30)
+    landing = tempfile.mkdtemp(prefix="qm_landing_")
+    test.select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{landing}/drop")
+
+    bronze = tempfile.mkdtemp(prefix="qm_bronze_") + "/corpus"
+    q = stream_corpus_to_bronze(
+        read_document_stream(spark, f"{landing}/drop"),
+        bronze,
+        tempfile.mkdtemp(prefix="qm_ckpt_"),
+        quality_min=0.0,
+        quality_model=model,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(bronze)
+    labels = {r["doc_id"]: r["label"] for r in test.collect()}
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids, "stream kept nothing"
+    frac_good = sum(labels[i] for i in ids) / len(ids)
+    assert frac_good >= 0.95, f"streamed survivor purity {frac_good}"
