@@ -242,6 +242,12 @@ def with_surrogate_keys_scaled(
     the reference's DB sequence (``section_58.py:229,302``) without
     serializing the pipeline the way the parity-mode global window
     does.
+
+    The ranged frame stays persisted so the counts action and the
+    caller's consuming action share one shuffle — call
+    ``spark.catalog.clearCache()`` (or unpersist via the returned
+    frame's lineage) once the result is materialized, same contract
+    as ``prepare_corpus(stats_via="observe")``.
     """
     spark = dim.sparkSession
     n = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200"))

@@ -52,7 +52,9 @@ def sst(strings: list[str]) -> bytes:
     body = struct.pack("<II", len(strings), len(strings))
     for s in strings:
         raw = s.encode("utf-16-le")
-        body += struct.pack("<HB", len(s), 0x01) + raw
+        # cch counts UTF-16 CODE UNITS (surrogate pairs = 2), not
+        # codepoints — found by the round-trip property test
+        body += struct.pack("<HB", len(raw) // 2, 0x01) + raw
     return rec(0x00FC, body)
 
 
@@ -64,15 +66,26 @@ def number(r: int, c: int, v: float) -> bytes:
     return rec(0x0203, struct.pack("<HHHd", r, c, 15, v))
 
 
-def build_workbook_stream(encrypted: bool = True, pad: bool = True) -> bytes:
+DEFAULT_HEADERS = ["swa_code", "account_name", "prefix", "account_type"]
+DEFAULT_DATA = [
+    (10.0, "Ashfield District Council", "QD", "District"),
+    (1445.0, "Transport for London", "YG", "Strategic"),
+    (4720.0, "Cardiff Council", "QM", "Unitary"),
+]
+DEFAULT_TITLE = "GeoPlace SWA Codes — fixture"
+
+
+def build_workbook_stream(
+    encrypted: bool = True,
+    pad: bool = True,
+    headers: list | None = None,
+    data: list | None = None,
+    title: str = DEFAULT_TITLE,
+) -> bytes:
     # SWA-shaped content: row 0 title junk, row 1 headers, rows 2+ data
-    headers = ["swa_code", "account_name", "prefix", "account_type"]
-    data = [
-        (10.0, "Ashfield District Council", "QD", "District"),
-        (1445.0, "Transport for London", "YG", "Strategic"),
-        (4720.0, "Cardiff Council", "QM", "Unitary"),
-    ]
-    strings = ["GeoPlace SWA Codes — fixture"] + headers + [v for row in data for v in row if isinstance(v, str)]
+    headers = DEFAULT_HEADERS if headers is None else headers
+    data = DEFAULT_DATA if data is None else data
+    strings = [title] + list(headers) + [v for row in data for v in row if isinstance(v, str)]
     uniq: list[str] = []
     for s in strings:
         if s not in uniq:
@@ -81,7 +94,7 @@ def build_workbook_stream(encrypted: bool = True, pad: bool = True) -> bytes:
 
     sheet = bof(0x0010)
     sheet += rec(0x0200, struct.pack("<IIHHH", 0, 2 + len(data), 0, len(headers), 0))
-    sheet += labelsst(0, 0, idx["GeoPlace SWA Codes — fixture"])
+    sheet += labelsst(0, 0, idx[title])
     for c, h in enumerate(headers):
         sheet += labelsst(1, c, idx[h])
     for r, row in enumerate(data, start=2):
@@ -91,7 +104,6 @@ def build_workbook_stream(encrypted: bool = True, pad: bool = True) -> bytes:
 
     window1 = rec(0x003D, struct.pack("<9H", 360, 270, 14940, 9150, 0x38, 0, 0, 1, 600))
     name = "SWA Codes"
-    boundsheet_body = struct.pack("<IHBB", 0, 0, len(name), 0x01) + name.encode("utf-16-le")
 
     # lbPlyPos needs the final globals length: assemble with a
     # placeholder, measure, then patch
