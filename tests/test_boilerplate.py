@@ -134,3 +134,38 @@ def test_funnel_composition_boilerplate_stage(spark):
     assert stats["boilerplate_stripped"] == stats["input"]
     assert out.filter(F.col("chunk").contains(BANNER.lower().split()[0] + " " + BANNER.lower().split()[1])).count() == 0
     assert out.count() > 0
+
+
+def test_strip_identity_when_nothing_shared(spark):
+    """Property: with min_docs above the corpus size nothing is
+    boilerplate, so stripping reduces to dropping blank lines only —
+    original line bytes and order preserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(
+        alphabet=st.characters(codec="utf-8", categories=("L", "N", "P", "Zs")),
+        max_size=20,
+    )
+    docs_strategy = st.lists(
+        st.lists(line, min_size=1, max_size=6), min_size=1, max_size=4
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs_strategy)
+    def run(doc_lines):
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["text"]
+            for r in strip_boilerplate_lines(df, "text", "doc_id", min_docs=99).collect()
+        }
+        import re
+
+        for i, ls in enumerate(doc_lines):
+            expected = "\n".join(
+                l for l in ls if re.sub(r"\s+", " ", l).strip().lower() != ""
+            )
+            assert out[i] == expected, (i, out[i], expected)
+
+    run()
