@@ -234,6 +234,9 @@ CATALOG: dict[str, SourceConfig] = {
             schema_name="dft",
             table_template="road_stats_latest",
             discovery_args={"href_pattern": r"\.ods$"},
+            # the published RDL ODS carries 6 preamble rows before the
+            # header (reference dft_road_stats.py:41-62, header=6)
+            ingest_args={"header_row": 6},
             ref="src/pipelines/dft_road_stats.py",
         ),
         SourceConfig(

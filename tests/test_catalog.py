@@ -404,7 +404,9 @@ def test_ods_by_name(spark, tmp_path):
     ODS parser."""
     from pathlib import Path
 
-    ods = Path(__file__).parent / "fixtures" / "mini.ods"
+    # DFT-shaped fixture: 6 preamble rows, header at row 6 — the
+    # catalog row's ingest_args must skip them like the reference does
+    ods = Path(__file__).parent / "fixtures" / "dft_shape.ods"
     df = run_source(spark, "dft_road_stats", url=f"file://{ods}", **_kwargs(tmp_path))
     got = {r["local_authority"]: r["road_length_km"] for r in df.collect()}
     assert got["Camden"] == "312.5" and len(got) == 3

@@ -173,11 +173,47 @@ def make_ods(path: Path) -> None:
         )
 
 
+# DFT-shaped variant: the real road-stats ODS carries 6 preamble rows
+# (title, source notes, blank separators) before the header row
+# (reference dft_road_stats.py:41-62, header_row default 6)
+_DFT_PREAMBLE = "\n".join(
+    f"""      <table:table-row>
+        <table:table-cell office:value-type="string"><text:p>{t}</text:p></table:table-cell>
+      </table:table-row>"""
+    for t in (
+        "RDL0202: Road lengths (fixture)",
+        "Department for Transport statistics",
+        "Source: fixture generator",
+        "Notes: row layout mirrors the published ODS",
+        "",
+        "Units: kilometres",
+    )
+)
+ODS_DFT_CONTENT = ODS_CONTENT.replace(
+    "      <table:table-row>\n"
+    '        <table:table-cell office:value-type="string"><text:p>local_authority</text:p></table:table-cell>',
+    _DFT_PREAMBLE
+    + "\n      <table:table-row>\n"
+    '        <table:table-cell office:value-type="string"><text:p>local_authority</text:p></table:table-cell>',
+)
+
+
+def make_dft_ods(path: Path) -> None:
+    global ODS_CONTENT
+    original = ODS_CONTENT
+    ODS_CONTENT = ODS_DFT_CONTENT
+    try:
+        make_ods(path)
+    finally:
+        ODS_CONTENT = original
+
+
 def main() -> None:
     FIXTURES.mkdir(parents=True, exist_ok=True)
     make_gpkg(FIXTURES / "mini.gpkg")
     make_ods(FIXTURES / "mini.ods")
-    print(f"wrote {FIXTURES / 'mini.gpkg'} and {FIXTURES / 'mini.ods'}")
+    make_dft_ods(FIXTURES / "dft_shape.ods")
+    print(f"wrote {FIXTURES / 'mini.gpkg'}, {FIXTURES / 'mini.ods'}, {FIXTURES / 'dft_shape.ods'}")
 
 
 if __name__ == "__main__":
