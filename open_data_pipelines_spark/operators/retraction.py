@@ -1,0 +1,109 @@
+"""Document retraction (engine extension): remove a tombstone list of
+doc ids from a built corpus — the takedown/GDPR operation a
+production training-data pipeline must support without rebuilding the
+corpus from scratch.
+
+Three layers, cheapest first:
+
+- **Un-packed frames** (bronze, chunk tables): one broadcast
+  anti-join on the id — tombstone lists are small by nature (takedown
+  requests, opt-outs), with the usual shuffle fallback for a bulk
+  purge.
+- **Packed frames**: dropping a doc's chunks breaks the affected
+  packs' integrity (``pack_tokens`` would lie, and a pack is a
+  training unit). :func:`retract_from_packed` drops tombstoned rows
+  and RE-PACKS ONLY the packing domains that contained them —
+  surviving domains keep their pack ids byte-for-byte, so the blast
+  radius is |affected domains|, not the corpus.
+- **Audit**: :func:`retraction_audit` counts what was removed and
+  which domains were touched — the evidence row a takedown process
+  files.
+
+Determinism: re-packing a domain uses the same greedy key order as
+:func:`.packing.pack_chunks`, so the operation is reproducible and
+idempotent (retracting an absent id is a no-op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .packing import pack_chunks
+
+
+def _tombstone_join(df: DataFrame, tombstones: DataFrame, id_col: str, broadcast: bool) -> DataFrame:
+    t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
+    if broadcast:
+        t = F.broadcast(t)
+    return df.join(t, id_col, "left_anti")
+
+
+def retract_documents(
+    df: DataFrame,
+    tombstones: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_tombstones: bool = True,
+) -> DataFrame:
+    """Remove every row whose ``id_col`` appears in ``tombstones``
+    (first column of the frame). Schema unchanged."""
+    return _tombstone_join(df, tombstones, id_col, broadcast_tombstones)
+
+
+def retract_from_packed(
+    packed: DataFrame,
+    tombstones: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    key_col: str = "__ck",
+    tokens_col: str = "__ct",
+    pack_col: str = "pack_id",
+    broadcast_tombstones: bool = True,
+) -> DataFrame:
+    """Retract docs from a packed corpus, re-packing ONLY the domains
+    that lost rows.
+
+    ``packed`` must carry the packer's key/token columns (the
+    ``prepare_corpus`` pack stage drops them — run packing with
+    ``keep_keys=True`` semantics by packing explicitly when retraction
+    is a requirement). The pack id encodes the domain as the prefix
+    before ``/``; untouched domains pass through unchanged (pack ids
+    stable), affected domains re-pack greedily in the same key order.
+    """
+    dom = F.split(F.col(pack_col), "/").getItem(0)
+    with_dom = packed.withColumn("__dom", dom)
+    survivors = _tombstone_join(with_dom, tombstones, id_col, broadcast_tombstones)
+
+    t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
+    affected = (
+        with_dom.join(F.broadcast(t) if broadcast_tombstones else t, id_col, "left_semi")
+        .select("__dom")
+        .distinct()
+    )
+    untouched = survivors.join(F.broadcast(affected), "__dom", "left_anti").drop("__dom")
+    to_repack = survivors.join(F.broadcast(affected), "__dom", "left_semi").drop(
+        pack_col, "pack_tokens"
+    )
+    repacked = pack_chunks(
+        to_repack, key_col, tokens_col, max_tokens, group_col="__dom"
+    ).drop("__dom")
+    return untouched.unionByName(repacked)
+
+
+def retraction_audit(
+    packed: DataFrame,
+    tombstones: DataFrame,
+    id_col: str = "doc_id",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """One row: rows_removed, docs_removed, domains_touched — the
+    takedown evidence record."""
+    t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
+    hit = packed.join(F.broadcast(t), id_col, "left_semi")
+    return hit.agg(
+        F.count(F.lit(1)).alias("rows_removed"),
+        F.count_distinct(F.col(id_col)).alias("docs_removed"),
+        F.count_distinct(F.split(F.col(pack_col), "/").getItem(0)).alias(
+            "domains_touched"
+        ),
+    )
