@@ -102,6 +102,7 @@ def prepare_corpus(
     seed: str = "corpus",
     stats_via: str = "count",
     docs: DataFrame | None = None,
+    manifest_path: str | None = None,
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """documents -> deduplicated, filtered, chunked training rows.
 
@@ -362,4 +363,31 @@ def prepare_corpus(
         stats.update(
             {name: int(obs.get["rows"]) for name, obs in observations.items()}
         )
+    if manifest_path is not None:
+        from .manifest import write_corpus_manifest
+
+        cfg: dict = {
+            "quality_min": quality_min,
+            "keep_langs": keep_langs,
+            "boilerplate_min_docs": boilerplate_min_docs,
+            "quality_model": quality_model.to_dict()
+            if quality_model is not None and hasattr(quality_model, "to_dict")
+            else None,
+            "quality_model_min": quality_model_min,
+            "repetition_thresholds": repetition_thresholds,
+            "near_dup": near_dup,
+            "simhash_max_hamming": simhash_max_hamming,
+            "embedding_threshold": embedding_threshold,
+            "jaccard_threshold": jaccard_threshold,
+            "max_bucket_size": max_bucket_size,
+            "chunk_size": chunk_size,
+            "overlap": overlap,
+            "contamination_n": contamination_n,
+            "source_weights": source_weights,
+            "upsample_weights": upsample_weights,
+            "splits": splits,
+            "pack_budget": pack_budget,
+            "seed": seed,
+        }
+        write_corpus_manifest(manifest_path, chunked, config=cfg, stats=stats)
     return (chunked, stats) if with_stats else chunked

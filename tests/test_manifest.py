@@ -49,3 +49,16 @@ def test_manifest_byte_stable_and_comparable(spark, tmp_path):
         str(tmp_path / "m3.json"), docs.filter(F.col("doc_id") != 7)
     )
     assert not manifests_equal(m1, m3)
+
+
+def test_prepare_corpus_writes_manifest(spark, tmp_path):
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+
+    p = str(tmp_path / "build.json")
+    out, stats = prepare_corpus(
+        spark, SF_SMOKE, near_dup="none", with_stats=True, manifest_path=p
+    )
+    m = json.load(open(p))
+    assert m["config"]["near_dup"] == "none"
+    assert m["funnel_stats"]["input"] == 500
+    assert m["signature"]["rows"] == out.count()
