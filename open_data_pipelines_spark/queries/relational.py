@@ -291,34 +291,6 @@ FROM grouped g CROSS JOIN extremes e
 """
 
 
-# --- W4+A5 pct_rank: PERCENT_RANK over customer-nation totals ---------------
-# (kept for direct callers / tests; driver coverage moved into
-# pct_rank_grouped, which carries both the raw rank and the W4 x100
-# percentile scaling in one registry row — the 50-row driver window is
-# full, and both operators rank the same pre-aggregated shape.)
-def q_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer, nation = _t(spark, sf_dir, "customer", "nation")
-    grouped = customer.groupBy("c_nationkey").agg(decimal_sum("c_acctbal", 2, "total_bal"))
-    # total order: tiebreak on the key so rank is well-defined
-    out = percent_rank_over(
-        grouped, [F.col("total_bal").asc(), F.col("c_nationkey").asc()], "bal_pct_rank", 100.0
-    )
-    return out.select("c_nationkey", "total_bal", "bal_pct_rank")
-
-
-ORACLE_PCT_RANK = """
-WITH grouped AS (
-  SELECT c_nationkey,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-  FROM customer GROUP BY c_nationkey
-)
-SELECT c_nationkey, total_bal,
-       percent_rank() OVER (ORDER BY total_bal ASC, c_nationkey ASC) * 100.0
-         AS bal_pct_rank
-FROM grouped
-"""
-
-
 # --- A5+W4 pct_rank_grouped: PERCENT_RANK over grouped aggregate ------------
 def q_pct_rank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-over-aggregate (A5) plus the W4 0-100 percentile scaling
