@@ -1,0 +1,159 @@
+"""N-gram language-model perplexity scoring (engine extension): the
+CCNet-style quality stage — train a small LM on a trusted reference
+corpus (e.g. curated text), score candidate documents by perplexity,
+and keep the head of the distribution. Complements
+:mod:`.quality_model` (discriminative features) with a generative
+signal that needs no labeled junk.
+
+Spark-native shapes:
+
+- **Train** (:func:`train_ngram_lm`): token unigram + bigram counts
+  are two map-side-combinable ``groupBy`` aggregations; the model IS
+  a pair of DataFrames (no driver-side tables), sized O(vocab) and
+  O(seen bigrams).
+- **Score** (:func:`perplexity_score`): explode candidate docs to
+  (prev, token) pairs, LEFT join the count tables (broadcast while
+  the model is dim-sized — reference LMs are — with a flag to force
+  the shuffle join at extreme vocab), and one per-doc aggregation of
+  interpolated log-probabilities. No UDFs, no python in the row path.
+
+Probability model (deliberately simple and fully deterministic):
+interpolated bigram ML with add-alpha-smoothed unigrams,
+
+    p(tok | prev) = lam * c(prev, tok)/c(prev)
+                  + (1 - lam) * (c(tok) + a) / (N + a * (V + 1))
+
+where the unigram term reserves mass for OOV (the "+1" pseudo-type).
+Perplexity = exp(mean negative log p) over the doc's tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import whitespace_tokens
+
+BOS = "<s>"
+
+
+@dataclass(frozen=True)
+class NgramLM:
+    unigrams: DataFrame  # (tok, uni_n)
+    bigrams: DataFrame  # (prev, tok, bi_n, prev_n)
+    n_tokens: int
+    vocab_size: int
+    alpha: float
+    lam: float
+
+
+def _token_pairs(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """(prev, tok) pairs per document with a BOS sentinel — one
+    explode, all expression-level."""
+    toks = F.filter(
+        whitespace_tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    padded = F.concat(F.array(F.lit(BOS)), toks)
+    pairs = F.arrays_zip(
+        F.slice(padded, 1, F.size(padded) - 1).alias("prev"),
+        F.slice(padded, 2, F.size(padded) - 1).alias("tok"),
+    )
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, F.explode(pairs).alias("__p")).select(
+        *([id_col] if id_col else []),
+        F.col("__p.prev").alias("prev"),
+        F.col("__p.tok").alias("tok"),
+    )
+
+
+def train_ngram_lm(
+    reference: DataFrame,
+    text_col: str,
+    alpha: float = 0.1,
+    lam: float = 0.7,
+) -> NgramLM:
+    """Fit the interpolated bigram model on a trusted corpus: two
+    hash aggregations; only two scalars (N, V) reach the driver."""
+    pairs = _token_pairs(reference, text_col, None).persist()
+    try:
+        uni = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("uni_n")).persist()
+        prev_totals = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("prev_n"))
+        bi = (
+            pairs.groupBy("prev", "tok")
+            .agg(F.count(F.lit(1)).alias("bi_n"))
+            .join(prev_totals, "prev")
+            .persist()
+        )
+        totals = uni.agg(
+            F.sum("uni_n").alias("n"), F.count(F.lit(1)).alias("v")
+        ).first()
+        return NgramLM(
+            uni, bi, int(totals["n"]), int(totals["v"]), float(alpha), float(lam)
+        )
+    finally:
+        pairs.unpersist()
+
+
+def _interp_logp(lm: NgramLM, bi_n: Column, prev_n: Column, uni_n: Column) -> Column:
+    uni_p = (F.coalesce(uni_n, F.lit(0)).cast("double") + F.lit(lm.alpha)) / F.lit(
+        lm.n_tokens + lm.alpha * (lm.vocab_size + 1)
+    )
+    bi_p = F.when(
+        prev_n.isNotNull() & bi_n.isNotNull(),
+        bi_n.cast("double") / prev_n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return F.log(F.lit(lm.lam) * bi_p + F.lit(1.0 - lm.lam) * uni_p)
+
+
+def perplexity_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lm: NgramLM,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_logp, perplexity) per document. Empty
+    docs score NULL perplexity (nothing to model) — filter or coalesce
+    by policy downstream."""
+    pairs = _token_pairs(df, text_col, id_col)
+    uni = lm.unigrams
+    bi = lm.bigrams.select("prev", "tok", "bi_n", "prev_n")
+    if broadcast_model:
+        uni, bi = F.broadcast(uni), F.broadcast(bi)
+    scored = (
+        pairs.join(uni, "tok", "left")
+        .join(bi, ["prev", "tok"], "left")
+        .select(F.col(id_col), _interp_logp(lm, F.col("bi_n"), F.col("prev_n"), F.col("uni_n")).alias("__lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("__lp")).alias("avg_neg_logp"),
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "avg_neg_logp",
+        F.exp("avg_neg_logp").alias("perplexity"),
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lm: NgramLM,
+    max_perplexity: float,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Keep documents at or below ``max_perplexity`` (schema
+    unchanged); empty docs drop (no evidence of quality). The CCNet
+    head/middle/tail practice: pick the threshold from the scored
+    distribution's quantiles, then filter."""
+    scores = perplexity_score(df, text_col, id_col, lm, broadcast_model)
+    keep = scores.filter(
+        F.col("perplexity").isNotNull() & (F.col("perplexity") <= max_perplexity)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")

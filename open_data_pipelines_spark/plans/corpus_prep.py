@@ -83,6 +83,8 @@ def prepare_corpus(
     boilerplate_min_docs: int | None = None,
     quality_model=None,
     quality_model_min: float = 0.5,
+    perplexity_lm=None,
+    perplexity_max: float | None = None,
     repetition_thresholds: dict[str, float] | None = None,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
@@ -190,6 +192,20 @@ def prepare_corpus(
         kept = note(
             "model_quality_kept",
             quality_model_filter(kept, quality_model, "text", quality_model_min),
+        )
+
+    if perplexity_lm is not None:
+        from ..operators.lm_score import perplexity_filter
+
+        if perplexity_max is None:
+            raise ValueError("perplexity_lm needs perplexity_max (pick it from "
+                             "the scored distribution's quantiles)")
+        # CCNet-style LM filter: one explode + broadcast model joins +
+        # per-doc agg — runs after the pure projections, before the
+        # shuffling dedup stages
+        kept = note(
+            "perplexity_kept",
+            perplexity_filter(kept, "text", "doc_id", perplexity_lm, perplexity_max),
         )
 
     if repetition_thresholds is not None:
@@ -374,6 +390,15 @@ def prepare_corpus(
             if quality_model is not None and hasattr(quality_model, "to_dict")
             else None,
             "quality_model_min": quality_model_min,
+            "perplexity_lm": {
+                "n_tokens": perplexity_lm.n_tokens,
+                "vocab_size": perplexity_lm.vocab_size,
+                "alpha": perplexity_lm.alpha,
+                "lam": perplexity_lm.lam,
+            }
+            if perplexity_lm is not None
+            else None,
+            "perplexity_max": perplexity_max,
             "repetition_thresholds": repetition_thresholds,
             "near_dup": near_dup,
             "simhash_max_hamming": simhash_max_hamming,
