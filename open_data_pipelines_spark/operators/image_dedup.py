@@ -1,0 +1,172 @@
+"""Perceptual image deduplication (engine extension): the multimodal
+counterpart of the text near-dup pack — average-hash (aHash)
+signatures computed over REAL decoded pixels (stdlib BMP codec, same
+injectable-decoder posture as :mod:`.multimodal` for formats the
+container can't decode), then the SAME Hamming-banded candidate
+generation discipline as :func:`.text_dedup.simhash_band_candidates`:
+an equi-join on signature bands, never an all-pairs product.
+
+aHash: grayscale, block-mean downsample to ``hash_size`` x
+``hash_size``, threshold each cell at the global mean → one bit per
+cell (64-bit for the default 8x8). Robust to re-encoding, mild
+resizing and brightness-preserving noise; rotation/crops need the
+embedding near-dup path instead.
+
+Scale shape: hashing is ``mapInPandas`` (Arrow-batched, binary column
+read once, signature is 8 bytes out per row — the shuffle moves
+hashes, never pixels); banding + verification are pure Column
+expressions over 64-bit longs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .media_codecs import sniff_and_decode
+
+
+def average_hash(decoded: dict, hash_size: int = 8) -> int:
+    """aHash of a decoded image dict ({width, height, channels,
+    payload}) — deterministic pure-python over one image's pixels."""
+    w, h, ch = decoded["width"], decoded["height"], decoded["channels"]
+    payload = decoded["payload"]
+    if w <= 0 or h <= 0 or not payload:
+        return 0
+    cells = [[0, 0] for _ in range(hash_size * hash_size)]  # [sum, count]
+    for y in range(h):
+        cy = y * hash_size // h
+        row_off = y * w * ch
+        for x in range(w):
+            off = row_off + x * ch
+            px = payload[off : off + ch]
+            gray = (px[0] * 299 + px[1] * 587 + px[2] * 114) // 1000 if ch >= 3 else px[0]
+            cell = cells[cy * hash_size + (x * hash_size // w)]
+            cell[0] += gray
+            cell[1] += 1
+    means = [s / c if c else 0.0 for s, c in cells]
+    overall = sum(means) / len(means)
+    bits = 0
+    for i, m in enumerate(means):
+        if m > overall:
+            bits |= 1 << i
+    # two's-complement signed representation: Spark LongType / Arrow
+    # int64 can't hold bit-63-set values as unsigned; XOR/popcount
+    # Hamming arithmetic is representation-agnostic
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def with_image_ahash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    hash_size: int = 8,
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """(id, ahash) — decode + hash in one Arrow-batched pass; rows
+    that fail to decode get NULL (quarantine them by policy). Only the
+    8-byte signature leaves the scan."""
+    dec = decoder or sniff_and_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    content = bytes(r[content_col]) if r[content_col] is not None else b""
+                    decoded = dec(content)
+                    sig = (
+                        average_hash(decoded, hash_size)
+                        if decoded.get("kind") == "image"
+                        else None
+                    )
+                except Exception:
+                    sig = None
+                out.append({"__id": r[id_col], "ahash": sig})
+            yield pd.DataFrame(out, columns=["__id", "ahash"])
+
+    schema = T.StructType(
+        [
+            T.StructField("__id", df.schema[id_col].dataType),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+    hashes = df.select(id_col, content_col).mapInPandas(run, schema)
+    return df.join(
+        hashes.withColumnRenamed("__id", id_col), id_col, "left"
+    )
+
+
+def image_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` over 64-bit
+    aHashes. Pigeonhole: distance d < 64/band_bits guarantees a shared
+    band, so ``band_bits=8`` (8 bands) is lossless up to hamming 7 —
+    candidates come from a hash equi-join, verification is one
+    popcount expression."""
+    n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} not guaranteed by {n_bands} bands; "
+            f"lower band_bits"
+        )
+    sig = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col).alias("__sh")
+    )
+    banded = sig.select(
+        id_col,
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sh"), b * band_bits).bitwiseAND(
+                        F.lit(2**band_bits - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_value"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"), "band_id", "band_value")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"), "band_id", "band_value")
+    pairs = (
+        a.join(b, ["band_id", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_images(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Keep one representative (min id) per perceptual-dup cluster —
+    the text pipeline's cluster-minimum endgame on image signatures.
+    Undecodable rows (NULL hash) are kept: no evidence of duplication."""
+    from .graph import cluster_members
+
+    hashed = with_image_ahash(df, content_col, id_col, decoder=decoder)
+    pairs = image_near_dup_pairs(hashed, id_col, max_hamming=max_hamming)
+    clusters = cluster_members(pairs, "id_a", "id_b", algorithm="auto")
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
