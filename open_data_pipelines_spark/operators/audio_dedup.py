@@ -26,17 +26,32 @@ from pyspark.sql import types as T
 from .media_codecs import sniff_and_decode
 
 
-def audio_fingerprint(decoded: dict, n_bits: int = 64) -> int:
+def audio_fingerprint(decoded: dict, n_bits: int = 64) -> int | None:
     """Energy-delta fingerprint of a decoded audio dict — pure-python
     over one clip's samples, signed-long two's-complement output (the
-    same Arrow/LongType posture as :func:`.image_dedup.average_hash`)."""
+    same Arrow/LongType posture as :func:`.image_dedup.average_hash`).
+    Returns None for sample widths the decoder can't interpret."""
     bits_per = decoded.get("bits_per_sample", 16)
     channels = max(decoded.get("channels", 1), 1)
     payload = decoded.get("payload", b"")
-    if bits_per != 16 or not payload:
-        samples = list(payload)  # 8-bit unsigned fallback
-    else:
+    # real sample decoding per WAV width — 8-bit PCM is UNSIGNED with
+    # a 128 DC offset (recentre or the DC term swamps frame energies
+    # and gain invariance breaks); 24-bit is 3-byte little-endian
+    # signed; treating raw bytes as samples would fingerprint the
+    # byte layout, not the audio
+    if bits_per == 16:
         samples = list(struct.unpack(f"<{len(payload) // 2}h", payload[: len(payload) // 2 * 2]))
+    elif bits_per == 8:
+        samples = [b - 128 for b in payload]
+    elif bits_per == 32:
+        samples = list(struct.unpack(f"<{len(payload) // 4}i", payload[: len(payload) // 4 * 4]))
+    elif bits_per == 24:
+        samples = []
+        for i in range(0, len(payload) - 2, 3):
+            v = payload[i] | (payload[i + 1] << 8) | (payload[i + 2] << 16)
+            samples.append(v - (1 << 24) if v & 0x800000 else v)
+    else:
+        return None  # unknown width: no fingerprint beats a wrong one
     if channels > 1:  # mono mix
         samples = [
             sum(samples[i : i + channels]) / channels
@@ -105,13 +120,9 @@ def dedup_audio(
     undecodable rows are kept — no evidence of duplication. Shares the
     banded pair generation and cluster-minimum endgame with the image
     and text packs."""
-    from .graph import cluster_members
+    from .graph import keep_cluster_representatives
     from .image_dedup import image_near_dup_pairs
 
     fps = with_audio_fingerprint(df, content_col, id_col, decoder=decoder)
     pairs = image_near_dup_pairs(fps, id_col, hash_col="afp", max_hamming=max_hamming)
-    clusters = cluster_members(pairs, "id_a", "id_b", algorithm="auto")
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    return df.join(drop, id_col, "left_anti")
+    return keep_cluster_representatives(df, pairs, id_col)

@@ -211,3 +211,22 @@ def cluster_members(
         F.col("component").alias("cluster_rep"),
         "cluster_size",
     )
+
+
+def keep_cluster_representatives(
+    df, pairs, id_col: str, src: str = "id_a", dst: str = "id_b"
+):
+    """The dedup endgame shared by every near-dup modality (text /
+    image / audio / video): cluster the candidate pairs, keep the
+    minimum-id representative per cluster, drop the rest from ``df``
+    with a keyed anti-join. Rows absent from ``pairs`` (no duplicate
+    evidence, incl. NULL-signature quarantine rows) are kept.
+    Centralized so a policy change (tie-breaking, quarantine) cannot
+    silently diverge across modalities."""
+    from pyspark.sql import functions as F
+
+    clusters = cluster_members(pairs, src, dst, algorithm="auto")
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -161,12 +161,8 @@ def dedup_images(
     """Keep one representative (min id) per perceptual-dup cluster —
     the text pipeline's cluster-minimum endgame on image signatures.
     Undecodable rows (NULL hash) are kept: no evidence of duplication."""
-    from .graph import cluster_members
+    from .graph import keep_cluster_representatives
 
     hashed = with_image_ahash(df, content_col, id_col, decoder=decoder)
     pairs = image_near_dup_pairs(hashed, id_col, max_hamming=max_hamming)
-    clusters = cluster_members(pairs, "id_a", "id_b", algorithm="auto")
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    return df.join(drop, id_col, "left_anti")
+    return keep_cluster_representatives(df, pairs, id_col)

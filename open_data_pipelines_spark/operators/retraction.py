@@ -58,6 +58,7 @@ def retract_from_packed(
     key_col: str = "__ck",
     tokens_col: str = "__ct",
     pack_col: str = "pack_id",
+    pack_tokens_col: str = "pack_tokens",
     broadcast_tombstones: bool = True,
 ) -> DataFrame:
     """Retract docs from a packed corpus, re-packing ONLY the domains
@@ -81,12 +82,21 @@ def retract_from_packed(
         .distinct()
     )
     untouched = survivors.join(F.broadcast(affected), "__dom", "left_anti").drop("__dom")
+    missing = {pack_col, pack_tokens_col} - set(packed.columns)
+    if missing:
+        raise ValueError(f"packed frame lacks columns {sorted(missing)}")
     to_repack = survivors.join(F.broadcast(affected), "__dom", "left_semi").drop(
-        pack_col, "pack_tokens"
+        pack_col, pack_tokens_col
     )
     repacked = pack_chunks(
         to_repack, key_col, tokens_col, max_tokens, group_col="__dom"
     ).drop("__dom")
+    # pack_chunks emits its standard column names; align to the
+    # caller's when they differ so the union stays by-name correct
+    if pack_col != "pack_id":
+        repacked = repacked.withColumnRenamed("pack_id", pack_col)
+    if pack_tokens_col != "pack_tokens":
+        repacked = repacked.withColumnRenamed("pack_tokens", pack_tokens_col)
     return untouched.unionByName(repacked)
 
 

@@ -228,7 +228,10 @@ def with_surrogate_keys(dim: DataFrame, order_by: Sequence[str]) -> DataFrame:
 
 
 def with_surrogate_keys_scaled(
-    dim: DataFrame, order_by: Sequence[str], num_partitions: int | None = None
+    dim: DataFrame,
+    order_by: Sequence[str],
+    num_partitions: int | None = None,
+    keep_cached: bool = False,
 ) -> DataFrame:
     """W6 scale-mode sequential surrogate keys: same deterministic
     1..N numbering as :func:`with_surrogate_keys` (given ``order_by``
@@ -243,26 +246,31 @@ def with_surrogate_keys_scaled(
     serializing the pipeline the way the parity-mode global window
     does.
 
-    The ranged frame stays persisted so the counts action and the
-    caller's consuming action share one shuffle — call
-    ``spark.catalog.clearCache()`` (or unpersist via the returned
-    frame's lineage) once the result is materialized, same contract
-    as ``prepare_corpus(stats_via="observe")``.
+    ``keep_cached=True`` leaves the ranged frame persisted so the
+    counts action and the caller's consuming action share one shuffle
+    — but the intermediate handle is not returned, so the caller must
+    reclaim it via ``spark.catalog.clearCache()``. The default
+    unpersists right after the counts collect: the consumer re-runs
+    the range shuffle once (still fully parallel — the point of this
+    variant is NO single-partition stage, not zero recompute) and
+    nothing leaks into a long-lived session.
     """
     spark = dim.sparkSession
     n = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200"))
     cols = [F.col(c) for c in order_by]
-    # persist so the counts action and the final consumer share one
-    # range shuffle + local sort (caller unpersists when done)
     ranged = (
         dim.repartitionByRange(n, *cols)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    sizes = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    )
+    try:
+        sizes = sorted(
+            (r["__pid"], r["cnt"])
+            for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        )
+    finally:
+        if not keep_cached:
+            ranged.unpersist()
     offsets, acc = [], 0
     for pid, cnt in sizes:
         offsets.append((pid, acc))
@@ -271,7 +279,9 @@ def with_surrogate_keys_scaled(
     local = ranged.withColumn(
         "__rn", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
     )
+    # long, not int: the scale variant exists precisely for dims past
+    # 2^31 rows, where an int key would wrap into collisions
     out = local.join(F.broadcast(off_df), "__pid").withColumn(
-        "surrogate_key", (F.col("__off") + F.col("__rn")).cast("int")
+        "surrogate_key", (F.col("__off") + F.col("__rn")).cast("long")
     )
     return out.select(*dim.columns, "surrogate_key")

@@ -43,6 +43,10 @@ def video_signature(
     """Per-bit-majority fold of sampled-frame aHashes; None when no
     frame decodes (quarantine by policy)."""
     n_bits = hash_size * hash_size
+    if n_bits > 64:
+        # the fold targets one LongType signature; a wider grid would
+        # silently overflow the two's-complement conversion below
+        raise ValueError(f"hash_size {hash_size} exceeds the 64-bit signature (max 8)")
     counts = [0] * n_bits
     n_frames = 0
     for ts in range(0, max(duration_ms, 0) + 1, every_ms):
@@ -118,15 +122,11 @@ def dedup_video(
     rows with no decodable frame are kept. Shares the banded pair
     generation and cluster-minimum endgame with the image/audio/text
     packs."""
-    from .graph import cluster_members
+    from .graph import keep_cluster_representatives
     from .image_dedup import image_near_dup_pairs
 
     sigs = with_video_signature(
         df, frame_decoder, content_col, id_col, duration_col, every_ms
     )
     pairs = image_near_dup_pairs(sigs, id_col, hash_col="vsig", max_hamming=max_hamming)
-    clusters = cluster_members(pairs, "id_a", "id_b", algorithm="auto")
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    return df.join(drop, id_col, "left_anti")
+    return keep_cluster_representatives(df, pairs, id_col)

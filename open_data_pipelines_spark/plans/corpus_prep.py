@@ -382,6 +382,12 @@ def prepare_corpus(
     if manifest_path is not None:
         from .manifest import write_corpus_manifest
 
+        # the signature aggregation is an extra action: persist first
+        # (when observe mode hasn't already) so it doesn't re-execute
+        # the whole funnel, and the caller's own action reuses this run
+        if not chunked.is_cached:
+            chunked = chunked.persist()
+
         cfg: dict = {
             "quality_min": quality_min,
             "keep_langs": keep_langs,

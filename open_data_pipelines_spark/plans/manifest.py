@@ -24,9 +24,20 @@ from pyspark.sql import functions as F
 
 
 def corpus_signature(df: DataFrame) -> dict[str, Any]:
-    """{rows, xor_sig, schema} — one action, order-insensitive."""
+    """{rows, xor_sig, schema} — one action, order-insensitive.
+
+    Nulls are encoded explicitly per column: Spark's ``xxhash64``
+    passes the seed through untouched for null inputs, so without the
+    sentinel a value MIGRATING between columns (null in one, present
+    in the other) would leave the hash unchanged and two different
+    corpora would sign identically."""
     cols = sorted(df.columns)
-    h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    h = F.xxhash64(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(f"\x00null:{c}"))
+            for c in cols
+        ]
+    )
     row = df.agg(
         F.count(F.lit(1)).alias("rows"),
         F.bit_xor(h).alias("sig"),

@@ -188,5 +188,12 @@ def drain_and_compact(
         checkpoint_dir,
         **(funnel_kwargs or {}),
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # compacting a partially-drained bronze would silently miss
+        # documents (and race the still-running writer)
+        q.stop()
+        raise TimeoutError(
+            f"stream drain did not finish within {timeout_sec}s; "
+            "bronze is partial — raise timeout_sec and re-run"
+        )
     return compact_bronze(spark, bronze_path, **corpus_kwargs)

@@ -86,13 +86,21 @@ def streaming_media_bronze(
     signed = with_media_signature(stream, decoder=decoder).withColumn(
         "ingest_ts", F.current_timestamp()
     )
-    decodable = signed.filter(F.col("signature").isNotNull())
-    deduped = (
-        decodable.withWatermark("ingest_ts", dedup_watermark)
-        .dropDuplicatesWithinWatermark(["kind", "signature"])
+    # ONE dedup key over the whole stream (a decodable/undecodable
+    # filter-union would re-execute the decode+hash mapInPandas
+    # subtree once per branch — doubling the dominant per-row cost):
+    # decodable rows key on (kind, signature); undecodable rows get a
+    # per-row unique key so null signatures never collapse together
+    dedup_key = F.when(
+        F.col("signature").isNotNull(),
+        F.concat_ws(":", F.col("kind"), F.col("signature").cast("string")),
+    ).otherwise(F.concat(F.lit("undecodable:"), F.col("media_id").cast("string")))
+    return (
+        signed.withColumn("__dk", dedup_key)
+        .withWatermark("ingest_ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["__dk"])
+        .drop("__dk")
     )
-    undecodable = signed.filter(F.col("signature").isNull())
-    return deduped.unionByName(undecodable)
 
 
 def stream_media_to_bronze(
