@@ -11,6 +11,7 @@ roughly linearly with rows on a fixed core count.
     python tools/stress.py --corpus            # corpus-prep funnel at $SPARK_GRAFT_SF_DIR
     python tools/stress.py --ivf-skew [n]      # IVF hot-cell cap scenario
     python tools/stress.py --range-join        # broadcast-vs-gridded crossover
+    python tools/stress.py --media             # multimodal signature throughput
 """
 
 from __future__ import annotations
@@ -396,7 +397,83 @@ def range_join_scenario() -> None:
     print(json.dumps(report, indent=2))
 
 
+def media_scenario(n_images: int = 2_000, n_audio: int = 500) -> None:
+    """Perceptual-signature throughput for the multimodal dedup pack:
+    decode + hash N real BMPs and WAVs through with_media_signature
+    (one Arrow-batched pass), then the banded near-dup join over the
+    signatures — evidence that pixels stay in the scan and only
+    8-byte signatures cross the shuffle."""
+    import math
+    import statistics
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from open_data_pipelines_spark.operators.image_dedup import image_near_dup_pairs
+    from open_data_pipelines_spark.operators.media_codecs import encode_bmp, encode_wav
+    from open_data_pipelines_spark.session import get_spark
+    from open_data_pipelines_spark.streaming.media_stream import with_media_signature
+
+    spark = get_spark("stress_media")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def bmp(seed: int, w=64, h=48):
+        rgb = bytes(
+            (x * 7 + y * 3 + seed) % 256
+            for y in range(h)
+            for x in range(w)
+            for _ in range(3)
+        )
+        return encode_bmp(w, h, rgb)
+
+    def wav(freq: int):
+        rate, n = 8000, 4000
+        samples = [int(12000 * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)]
+        return encode_wav(rate, 1, 16, _struct.pack(f"<{n}h", *samples))
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("content", T.BinaryType())]
+    )
+    rows = [(i, bmp(i % 50)) for i in range(n_images)]
+    rows += [(n_images + i, wav(200 + (i % 40) * 10)) for i in range(n_audio)]
+    df = spark.createDataFrame(rows, schema).repartition(32).persist()
+    total = df.count()
+
+    def timed(f):
+        f()
+        s = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f()
+            s.append(time.perf_counter() - t0)
+        return round(statistics.median(s), 3)
+
+    sig_sec = timed(lambda: with_media_signature(df).write.format("noop").mode("overwrite").save())
+    signed = with_media_signature(df).persist()
+    signed.count()
+    pair_sec = timed(
+        lambda: image_near_dup_pairs(
+            signed.filter(F.col("kind") == "image"), "media_id", hash_col="signature"
+        ).write.format("noop").mode("overwrite").save()
+    )
+    print(
+        json.dumps(
+            {
+                "scenario": "media_signatures",
+                "rows": total,
+                "signature_sec": sig_sec,
+                "rows_per_sec": round(total / sig_sec),
+                "near_dup_join_sec": pair_sec,
+            }
+        )
+    )
+
+
 def main() -> None:
+    if "--media" in sys.argv:
+        media_scenario()
+        return
     if "--range-join" in sys.argv:
         range_join_scenario()
         return
