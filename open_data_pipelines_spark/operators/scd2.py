@@ -231,14 +231,14 @@ def with_surrogate_keys_scaled(
     dim: DataFrame,
     order_by: Sequence[str],
     num_partitions: int | None = None,
-    keep_cached: bool = False,
 ) -> DataFrame:
     """W6 scale-mode sequential surrogate keys: same deterministic
     1..N numbering as :func:`with_surrogate_keys` (given ``order_by``
     is a total order) with NO single-partition stage.
 
-    Plan shape: range-partition on the key order, per-partition
-    ``row_number`` (window partitioned by the pre-shuffle partition
+    Plan shape: range-partition on the key order, materialize that
+    frame ONCE (``localCheckpoint(eager=True)``), per-partition
+    ``row_number`` (window partitioned by the materialized partition
     id), ONE tiny driver action collecting the per-partition counts
     (``num_partitions`` rows), then a broadcast join adding cumulative
     offsets. Every wide stage runs at full parallelism — this replaces
@@ -246,14 +246,17 @@ def with_surrogate_keys_scaled(
     serializing the pipeline the way the parity-mode global window
     does.
 
-    ``keep_cached=True`` leaves the ranged frame persisted so the
-    counts action and the caller's consuming action share one shuffle
-    — but the intermediate handle is not returned, so the caller must
-    reclaim it via ``spark.catalog.clearCache()``. The default
-    unpersists right after the counts collect: the consumer re-runs
-    the range shuffle once (still fully parallel — the point of this
-    variant is NO single-partition stage, not zero recompute) and
-    nothing leaks into a long-lived session.
+    The checkpoint is load-bearing, not an optimization:
+    ``repartitionByRange`` samples its boundaries with a
+    non-reproducible seed, so a *recomputed* range shuffle can land
+    rows in different partitions than the ones the counts collect
+    observed, producing duplicate/gapped keys. Freezing the ranged
+    frame guarantees the counts and the numbering read the same
+    physical partitioning. The trade-off is fail-fast semantics at
+    cluster scale: checkpoint blocks are not replicated, so losing an
+    executor fails the job rather than silently recomputing into a
+    corrupt key assignment — the correct failure mode for key
+    generation. Blocks are reclaimed when the frame is GC'd.
     """
     spark = dim.sparkSession
     n = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -261,16 +264,12 @@ def with_surrogate_keys_scaled(
     ranged = (
         dim.repartitionByRange(n, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        sizes = sorted(
-            (r["__pid"], r["cnt"])
-            for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-        )
-    finally:
-        if not keep_cached:
-            ranged.unpersist()
+    sizes = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
     offsets, acc = [], 0
     for pid, cnt in sizes:
         offsets.append((pid, acc))

@@ -85,12 +85,17 @@ def _clear_orphan_location(spark: SparkSession, table_name: str) -> None:
     is immune by construction, so the engine must be too.
 
     Uses the Hadoop FileSystem API so it works on any warehouse
-    (local disk, HDFS, S3A), not just local mode.
+    (local disk, HDFS, S3A), not just local mode. The location is
+    derived from the CURRENT database's catalog locationUri — not
+    string-built from the warehouse dir — so with a non-default
+    current database the guard deletes the directory ``saveAsTable``
+    would actually write (``<db>.db/<name>``), never a same-named
+    default-db table's data.
     """
     try:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        db_location = spark.catalog.getDatabase(spark.catalog.currentDatabase()).locationUri
         jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
+        path = jvm.org.apache.hadoop.fs.Path(db_location, table_name.lower())
         fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(path):
             log.warning("clearing orphaned table location %s", path.toString())
@@ -144,10 +149,14 @@ class Dag:
             log.info("model %s (deps=%s)", name, list(m.deps))
             df = m.fn(spark)
             if m.materialize == "table":
-                if not spark.catalog.tableExists(f"default.{name}"):
+                # resolve against the CURRENT database — saveAsTable
+                # does, so the existence check and the orphan guard
+                # must agree with it (advice r6)
+                qualified = f"{spark.catalog.currentDatabase()}.{name}"
+                if not spark.catalog.tableExists(qualified):
                     _clear_orphan_location(spark, name)
-                df.write.mode("overwrite").saveAsTable(name)
-                df = spark.table(name)
+                df.write.mode("overwrite").saveAsTable(qualified)
+                df = spark.table(qualified)
             elif m.materialize == "incremental":
                 # dbt incremental semantics: first run = full build;
                 # later runs merge the new batch into the existing table
@@ -155,7 +164,7 @@ class Dag:
                 # no Delta dependency). The db-qualified name bypasses
                 # any same-named TEMP VIEW (which unqualified
                 # spark.table/tableExists would silently resolve to).
-                qualified = f"default.{name}"
+                qualified = f"{spark.catalog.currentDatabase()}.{name}"
                 if spark.catalog.tableExists(qualified):
                     existing = spark.table(qualified)
                     if m.unique_key:

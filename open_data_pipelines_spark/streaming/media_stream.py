@@ -77,13 +77,18 @@ def streaming_media_bronze(
     stream: DataFrame,
     dedup_watermark: str = "24 hours",
     decoder: Callable[[bytes], dict] | None = None,
+    content_col: str = "content",
+    id_col: str = "media_id",
 ) -> DataFrame:
     """The streaming-safe media funnel prefix: signature on arrival,
     exact-signature dedup within the watermark horizon. Undecodable
     rows (NULL signature) pass through — the batch compaction
     quarantines them by policy, mirroring the text funnel's split of
-    cheap-on-arrival vs global-in-batch work."""
-    signed = with_media_signature(stream, decoder=decoder).withColumn(
+    cheap-on-arrival vs global-in-batch work. ``id_col`` names the
+    per-row unique id used as the undecodable-row dedup key, mirroring
+    ``content_col`` on :func:`with_media_signature` so streams with
+    differently-named columns work end to end."""
+    signed = with_media_signature(stream, content_col=content_col, decoder=decoder).withColumn(
         "ingest_ts", F.current_timestamp()
     )
     # ONE dedup key over the whole stream (a decodable/undecodable
@@ -94,7 +99,7 @@ def streaming_media_bronze(
     dedup_key = F.when(
         F.col("signature").isNotNull(),
         F.concat_ws(":", F.col("kind"), F.col("signature").cast("string")),
-    ).otherwise(F.concat(F.lit("undecodable:"), F.col("media_id").cast("string")))
+    ).otherwise(F.concat(F.lit("undecodable:"), F.col(id_col).cast("string")))
     return (
         signed.withColumn("__dk", dedup_key)
         .withWatermark("ingest_ts", dedup_watermark)

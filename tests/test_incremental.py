@@ -57,6 +57,45 @@ def test_incremental_model_survives_orphaned_location(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_incremental_model_in_non_default_database(spark):
+    """Advice r6: the orphan guard and existence check must resolve
+    against the session's CURRENT database. With current db != default,
+    an orphaned ``<db>.db/<name>/`` directory must be cleared (not a
+    same-named default-db table's location), and the merge must land in
+    the current db."""
+    db, name = "dag_alt_db", "inc_alt_model"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+    spark.sql(f"DROP TABLE IF EXISTS default.{name}")
+    db_location = spark.catalog.getDatabase(db).locationUri.removeprefix("file:")
+    orphan = os.path.join(db_location, name)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "wb") as f:
+        f.write(b"junk")
+    # a same-named default-db table that must NOT be touched
+    spark.createDataFrame([(99, "keep")], ["k", "v"]).write.mode("overwrite").saveAsTable(
+        f"default.{name}"
+    )
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        dag = Dag()
+
+        @dag.model(name, materialize="incremental", unique_key="k")
+        def inc_alt_model(s):
+            return s.createDataFrame([(1, "a")], ["k", "v"])
+
+        out = {r["k"]: r["v"] for r in dag.run(spark)[name].collect()}
+        assert out == {1: "a"}
+        assert spark.catalog.tableExists(f"{db}.{name}")
+        default_rows = {r["k"]: r["v"] for r in spark.table(f"default.{name}").collect()}
+        assert default_rows == {99: "keep"}
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        spark.sql(f"DROP TABLE IF EXISTS default.{name}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
 def test_table_model_survives_orphaned_location(spark):
     name = "tbl_orphan_model"
     spark.sql(f"DROP TABLE IF EXISTS {name}")

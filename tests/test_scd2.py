@@ -106,6 +106,37 @@ def test_surrogate_keys_scaled_matches_parity_no_single_partition(spark):
     assert "SinglePartition" not in plan  # the scale path must not pay it
 
 
+def test_surrogate_keys_scaled_dense_keys_at_scale(spark):
+    """Regression for the round-6 advice bug: unpersisting the ranged
+    frame between the counts collect and the numbering join let a
+    recomputed range shuffle (nondeterministic boundary sampling) land
+    rows in different partitions, yielding duplicate/gapped keys
+    (117,239 distinct of 120k reproduced). 500 rows stayed under the
+    reservoir sample so the old test could not catch it; this one runs
+    well past it and asserts the keys are exactly the dense 1..N set."""
+    from open_data_pipelines_spark.operators.scd2 import with_surrogate_keys_scaled
+
+    n_rows = 60_000
+    df = (
+        spark.range(n_rows)
+        .selectExpr("concat('e', lpad(cast(id as string), 7, '0')) as entity", "id as v")
+        .repartition(16)
+    )
+    out = with_surrogate_keys_scaled(df, ["entity"], num_partitions=12)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("surrogate_key").alias("d"),
+        F.min("surrogate_key").alias("lo"),
+        F.max("surrogate_key").alias("hi"),
+    ).collect()[0]
+    assert (stats["n"], stats["d"], stats["lo"], stats["hi"]) == (
+        n_rows,
+        n_rows,
+        1,
+        n_rows,
+    )
+
+
 def test_surrogate_keys_scaled_empty_frame(spark):
     from open_data_pipelines_spark.operators.scd2 import with_surrogate_keys_scaled
 
