@@ -522,11 +522,17 @@ FROM ranked r JOIN per_doc p USING (doc_id)
 
 # --- corpus_funnel ------------------------------------------------------------
 # The flagship LLM-extension driver row: the SQL-expressible sub-funnel
-# of plans/corpus_prep.prepare_corpus — clean (redact+normalize) ->
-# annotate (lang, quality) -> filter -> exact dedup -> MinHash-LSH
-# near-dup clustering -> chunk — executed by the REAL pipeline code on
-# the Spark side and mirrored stage-for-stage in DuckDB SQL.
+# of plans/corpus_prep.prepare_corpus — boilerplate line strip ->
+# clean (redact+normalize) -> annotate (lang, quality) -> filter ->
+# exact dedup -> MinHash-LSH near-dup clustering -> chunk — executed by
+# the REAL pipeline code on the Spark side and mirrored stage-for-stage
+# in DuckDB SQL. A shared cookie-banner line is planted on every doc so
+# the boilerplate stage is load-bearing: if stripping regressed, every
+# chunk (and the lang/quality columns) would carry banner tokens and
+# the oracle hash would diverge.
 _FUNNEL_CHUNK, _FUNNEL_OVERLAP = 64, 8
+_FUNNEL_BANNER = "Accept Cookies To Continue"
+_FUNNEL_BL_MIN_DOCS = 3
 
 
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,10 +550,18 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     planted = docs.unionByName(exact_copies).unionByName(near_copies)
+    # every doc gets the same leading banner line (harness texts are
+    # single-line, so each planted doc is banner + body); stripping the
+    # shared line restores the body exactly, keeping the downstream
+    # funnel algebra identical while exercising the C4-style stage
+    planted = planted.withColumn(
+        "text", F.concat(F.lit(_FUNNEL_BANNER + "\n"), F.col("text"))
+    )
     return prepare_corpus(
         spark,
         sf_dir,
         docs=planted,
+        boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
         chunk_size=_FUNNEL_CHUNK,
         overlap=_FUNNEL_OVERLAP,
         # cap-free so the Spark algebra is EXACTLY the oracle SQL at
@@ -580,9 +594,37 @@ for _pat, _tok in _PII:
 _CLEAN_SQL = "lower(trim(regexp_replace(" + _REDACT_SQL + ", '\\s+', ' ', 'g')))"
 
 _FUNNEL_STRIDE = _FUNNEL_CHUNK - _FUNNEL_OVERLAP
+# boilerplate strip mirror (operators/boilerplate.strip_boilerplate_lines):
+# explode lines, fingerprint the whitespace-normalized lowercase line,
+# drop fingerprints shared by >= min_docs distinct docs, reassemble in
+# order. The oracle's GROUP BY omits all-boilerplate docs; the engine
+# returns them with '' — both vanish at the quality filter, so `kept`
+# agrees (same contract as tests/test_boilerplate.py parity).
+_BL_NORM = "trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))"
 ORACLE_CORPUS_FUNNEL = f"""
 WITH RECURSIVE
-planted AS ({_FUNNEL_PLANTED_SQL}),
+planted_raw AS ({_FUNNEL_PLANTED_SQL}),
+planted_bannered AS (
+  SELECT doc_id, '{_FUNNEL_BANNER}' || chr(10) || text AS text FROM planted_raw
+),
+bl_lines AS (
+  SELECT doc_id, idx, line, md5({_BL_NORM}) AS fp
+  FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS idx
+    FROM planted_bannered
+  )
+  WHERE {_BL_NORM} <> ''
+),
+bl_bad AS (
+  SELECT fp FROM bl_lines GROUP BY fp
+  HAVING count(DISTINCT doc_id) >= {_FUNNEL_BL_MIN_DOCS}
+),
+planted AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+  FROM bl_lines WHERE fp NOT IN (SELECT fp FROM bl_bad)
+  GROUP BY doc_id
+),
 cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS text FROM planted),
 lang_scored AS (
   SELECT doc_id, text,
