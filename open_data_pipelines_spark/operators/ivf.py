@@ -183,6 +183,76 @@ def index_drift_stats(
     )
 
 
+def global_mean_dist2(
+    vectors: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> float:
+    """Scalar fit of the bank to ``vectors``: mean nearest-centroid
+    squared distance (the cell-weighted rollup of
+    :func:`index_drift_stats`). One projection + one agg; only the
+    scalar reaches the driver. Record it at train time as the baseline
+    the retrain policy compares batches against."""
+    d2 = F.array_min(_cell_dists(as_double_array(vec_col), centroids))["d"]
+    row = vectors.agg(F.avg(d2).alias("m")).first()
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def maintain_ivf_index(
+    new_vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    path: str,
+    baseline_mean_dist2: float,
+    retrain_factor: float = 2.0,
+    k: int | None = None,
+    iters: int = 3,
+) -> dict:
+    """The retrain policy on top of :func:`index_drift_stats` /
+    :func:`append_to_ivf_index` (round-6 gap: drift was measured but
+    nothing acted on it).
+
+    Appends ``new_vectors`` when the bank still fits them
+    (``batch mean_dist2 <= retrain_factor * baseline``); otherwise
+    retrains on existing-index + batch and rebuilds the partitioned
+    layout, remapping EVERY row to the new bank — so the probe-all ==
+    brute-force invariant holds across the retrain boundary (the index
+    is always a complete single-bank assignment, never a mix of two
+    banks).
+
+    Returns ``{"centroids", "baseline_mean_dist2", "retrained",
+    "batch_mean_dist2"}`` — the caller's next-round state. Scale
+    shape: the no-retrain path touches only the batch (one agg + a
+    partition-local append); the retrain path pays one full index
+    read + k-means + rewrite, which is the point of thresholding it.
+    """
+    batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
+    if batch_fit <= retrain_factor * baseline_mean_dist2:
+        append_to_ivf_index(new_vectors, vec_col, id_col, centroids, path)
+        return {
+            "centroids": centroids,
+            "baseline_mean_dist2": baseline_mean_dist2,
+            "retrained": False,
+            "batch_mean_dist2": batch_fit,
+        }
+    spark = new_vectors.sparkSession
+    existing = spark.read.parquet(path).select(*new_vectors.columns)
+    # materialize before the overwrite below — the rebuilt index is
+    # written to the same path the union reads from
+    full = existing.unionByName(new_vectors).localCheckpoint(eager=True)
+    new_centroids = train_centroids(
+        full, vec_col, id_col, k=k or len(centroids), iters=iters
+    )
+    build_ivf_index(full, vec_col, id_col, new_centroids, path)
+    return {
+        "centroids": new_centroids,
+        "baseline_mean_dist2": global_mean_dist2(full, vec_col, new_centroids),
+        "retrained": True,
+        "batch_mean_dist2": batch_fit,
+    }
+
+
 def cell_stats(
     index: DataFrame,
     list_col: str = "list_id",

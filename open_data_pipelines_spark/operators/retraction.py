@@ -100,6 +100,95 @@ def retract_from_packed(
     return untouched.unionByName(repacked)
 
 
+def retract_and_reissue(
+    df: DataFrame,
+    tombstones: DataFrame,
+    manifest_path: str,
+    id_col: str = "doc_id",
+    max_tokens: int | None = None,
+    broadcast_tombstones: bool = True,
+    **packed_kwargs,
+):
+    """Run a retraction AND close the evidence chain: re-sign the
+    stored manifest so a takedown can never leave a stale release
+    record (the round-6 gap — ``retract_documents`` removed docs while
+    the manifest silently kept signing the pre-takedown corpus). Same
+    evidence discipline as the reference's run-metadata logger
+    (``src/data_processors/utils/metadata_logger.py:35-137``).
+
+    ``max_tokens`` set -> packed mode (:func:`retract_from_packed`,
+    forwarding ``packed_kwargs``); otherwise :func:`retract_documents`.
+
+    Returns ``(retracted_df, report)`` where ``report`` carries the
+    per-id diff vs the stored manifest: the exact ids removed, row
+    counts before/after, and both signatures. Semantics:
+
+    - ids actually present are removed; the manifest is rewritten with
+      the fresh signature plus an appended ``retractions`` history
+      entry (the original ``config``/``funnel_stats`` stay — they
+      describe the build; the history records what was taken down);
+    - retracting only absent ids is a no-op: the manifest file is NOT
+      rewritten (byte-identical on disk) and ``changed`` is False.
+    """
+    import json
+
+    from ..plans.manifest import manifests_equal, write_corpus_manifest
+
+    with open(manifest_path) as fh:
+        old = json.load(fh)
+
+    t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
+    if broadcast_tombstones:
+        t = F.broadcast(t)
+    # bounded driver read: |hit ids| <= |tombstones|, dim-sized by nature
+    removed_ids = sorted(
+        r[0] for r in df.join(t, id_col, "left_semi").select(id_col).distinct().collect()
+    )
+
+    if max_tokens is not None:
+        out = retract_from_packed(
+            df,
+            tombstones,
+            max_tokens,
+            id_col=id_col,
+            broadcast_tombstones=broadcast_tombstones,
+            **packed_kwargs,
+        )
+    else:
+        if packed_kwargs:
+            raise ValueError(
+                f"packed-mode kwargs {sorted(packed_kwargs)} need max_tokens"
+            )
+        out = retract_documents(df, tombstones, id_col, broadcast_tombstones)
+
+    if not removed_ids:
+        return out, {
+            "changed": False,
+            "removed_ids": [],
+            "rows_before": old["signature"]["rows"],
+            "rows_after": old["signature"]["rows"],
+            "old_signature": old["signature"],
+            "new_signature": old["signature"],
+        }
+
+    history = list(old.get("retractions", [])) + [{"removed_ids": removed_ids}]
+    new = write_corpus_manifest(
+        manifest_path,
+        out,
+        config=old.get("config"),
+        stats=old.get("funnel_stats"),
+        extra={"retractions": history},
+    )
+    return out, {
+        "changed": not manifests_equal(old, new),
+        "removed_ids": removed_ids,
+        "rows_before": old["signature"]["rows"],
+        "rows_after": new["signature"]["rows"],
+        "old_signature": old["signature"],
+        "new_signature": new["signature"],
+    }
+
+
 def retraction_audit(
     packed: DataFrame,
     tombstones: DataFrame,

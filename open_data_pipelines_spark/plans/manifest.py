@@ -54,12 +54,16 @@ def write_corpus_manifest(
     output: DataFrame,
     config: dict[str, Any] | None = None,
     stats: dict[str, int] | None = None,
+    extra: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Assemble and write the manifest JSON; returns the dict.
 
     ``config`` is the prepare_corpus kwargs used (JSON-serializable
-    values only); ``stats`` the funnel's with_stats counts. The
-    manifest carries no timestamps — two identical builds produce
+    values only); ``stats`` the funnel's with_stats counts. ``extra``
+    merges additional top-level evidence keys (e.g. the ``retractions``
+    history :func:`..operators.retraction.retract_and_reissue`
+    appends) — it may not shadow the three core keys. The manifest
+    carries no timestamps — two identical builds produce
     byte-identical manifests, which is the point.
     """
     manifest = {
@@ -67,6 +71,11 @@ def write_corpus_manifest(
         "config": config or {},
         "funnel_stats": stats or {},
     }
+    if extra:
+        overlap = set(extra) & set(manifest)
+        if overlap:
+            raise ValueError(f"extra keys shadow manifest core keys: {sorted(overlap)}")
+        manifest.update(extra)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)

@@ -144,3 +144,74 @@ def test_append_to_ivf_index_and_drift(spark, tmp_path):
         F.avg("mean_dist2")
     ).first()[0]
     assert shifted > ok * 10
+
+
+def test_maintain_ivf_index_retrain_policy(spark, tmp_path):
+    """Verdict r6 task: drift-triggered retrain. An in-distribution
+    batch appends without retraining; a far-shifted batch trips the
+    threshold, retrains+remaps, and the rebuilt index at probe-all is
+    still ROW-IDENTICAL to brute force over the full corpus — the
+    invariant must survive the retrain boundary."""
+    from open_data_pipelines_spark.operators.ivf import (
+        global_mean_dist2,
+        maintain_ivf_index,
+    )
+
+    def vecs(ids, offset=0.0):
+        rows = [
+            (i, [float(i % 7) + 1.0 + offset, float((i * 3) % 5) + 1.0 + offset])
+            for i in ids
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    k_cells = 4
+    base = vecs(range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=k_cells, iters=5)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path)
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    # in-distribution batch: appended, no retrain, state unchanged
+    calm = vecs(range(100, 120))
+    st = maintain_ivf_index(
+        calm, "embedding", "vec_id", cents, path, baseline, retrain_factor=2.0
+    )
+    assert st["retrained"] is False
+    assert st["centroids"] == cents and st["baseline_mean_dist2"] == baseline
+    assert spark.read.parquet(path).count() == 120
+
+    # drifted batch: retrain fires, the whole index is remapped
+    drifted = vecs(range(200, 240), offset=50.0)
+    st2 = maintain_ivf_index(
+        drifted, "embedding", "vec_id", st["centroids"], path, st["baseline_mean_dist2"],
+        retrain_factor=2.0,
+    )
+    assert st2["retrained"] is True
+    assert st2["centroids"] != cents
+    index = spark.read.parquet(path)
+    assert index.count() == 160
+
+    # the new bank actually fits the union better than the old one did
+    full = base.unionByName(calm).unionByName(drifted)
+    assert global_mean_dist2(full, "embedding", st2["centroids"]) < global_mean_dist2(
+        full, "embedding", cents
+    )
+
+    # probe-all == brute force across the retrain boundary
+    queries = vecs([0, 101, 205], offset=0.0)
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {
+        tuple(r)
+        for r in brute_force_topk(full, queries, "embedding", "vec_id", k=5)
+        .select(cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_topk(
+            index, queries, "embedding", "vec_id", st2["centroids"], k=5, nprobe=k_cells
+        )
+        .select(cols)
+        .collect()
+    }
+    assert got == bf

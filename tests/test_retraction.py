@@ -3,6 +3,8 @@ re-pack of affected domains only, audit record, idempotency."""
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 
 from open_data_pipelines_spark.functions.hashing import stable_long_hash
@@ -91,3 +93,75 @@ def test_retraction_audit(spark):
     assert row["rows_removed"] == 6
     assert row["docs_removed"] == 2
     assert row["domains_touched"] >= 1
+
+
+def test_retract_and_reissue_resigns_manifest(spark, tmp_path):
+    """Takedown evidence chain: reissue writes a fresh manifest whose
+    signature differs, the report's per-id diff lists exactly the
+    tombstoned-and-present ids, and the history is appended on disk."""
+    from open_data_pipelines_spark.operators.retraction import retract_and_reissue
+    from open_data_pipelines_spark.plans.manifest import write_corpus_manifest
+
+    df = _chunks(spark)
+    path = str(tmp_path / "manifest.json")
+    old = write_corpus_manifest(path, df, config={"k": 1}, stats={"input": 120})
+
+    tomb = spark.createDataFrame([(3,), (17,), (999,)], ["doc_id"])
+    out, report = retract_and_reissue(df, tomb, path)
+    assert report["changed"] is True
+    assert report["removed_ids"] == [3, 17]  # 999 absent -> not in the diff
+    assert report["rows_before"] == 120 and report["rows_after"] == 114
+    assert report["new_signature"] != old["signature"]
+    assert out.count() == 114
+
+    reissued = json.load(open(path))
+    assert reissued["signature"] == report["new_signature"]
+    assert reissued["config"] == {"k": 1}  # build config preserved
+    assert reissued["retractions"] == [{"removed_ids": [3, 17]}]
+
+    # chained takedown appends to the history
+    tomb2 = spark.createDataFrame([(25,)], ["doc_id"])
+    out2, report2 = retract_and_reissue(out, tomb2, path)
+    assert report2["removed_ids"] == [25]
+    chained = json.load(open(path))
+    assert chained["retractions"] == [{"removed_ids": [3, 17]}, {"removed_ids": [25]}]
+    assert chained["signature"]["rows"] == 111
+
+
+def test_retract_and_reissue_absent_id_is_byte_noop(spark, tmp_path):
+    from open_data_pipelines_spark.operators.retraction import retract_and_reissue
+    from open_data_pipelines_spark.plans.manifest import write_corpus_manifest
+
+    df = _chunks(spark)
+    path = str(tmp_path / "manifest.json")
+    write_corpus_manifest(path, df)
+    before = open(path, "rb").read()
+
+    out, report = retract_and_reissue(
+        df, spark.createDataFrame([(999,)], ["doc_id"]), path
+    )
+    assert report["changed"] is False and report["removed_ids"] == []
+    assert open(path, "rb").read() == before  # byte-identical on disk
+    assert out.count() == df.count()
+
+
+def test_retract_and_reissue_packed_mode(spark, tmp_path):
+    """max_tokens routes through retract_from_packed: the reissued
+    signature covers the re-packed frame and pack integrity holds."""
+    from open_data_pipelines_spark.operators.retraction import retract_and_reissue
+    from open_data_pipelines_spark.plans.manifest import write_corpus_manifest
+
+    df = _chunks(spark)
+    packed = pack_chunks(df, "__ck", "__ct", max_tokens=128, n_shards=8)
+    path = str(tmp_path / "manifest.json")
+    old = write_corpus_manifest(path, packed)
+
+    tomb = spark.createDataFrame([(5,), (6,)], ["doc_id"])
+    out, report = retract_and_reissue(packed, tomb, path, max_tokens=128)
+    assert report["changed"] is True and report["removed_ids"] == [5, 6]
+    assert out.filter(F.col("doc_id").isin(5, 6)).count() == 0
+    sums = out.groupBy("pack_id").agg(
+        F.sum("__ct").alias("s"), F.first("pack_tokens").alias("pt")
+    )
+    assert sums.filter(F.col("s") != F.col("pt")).count() == 0
+    assert report["new_signature"] != old["signature"]
