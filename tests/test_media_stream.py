@@ -81,3 +81,44 @@ def test_stream_media_dedup_across_drops(spark):
     images = out.filter(F.col("kind") == "image")
     pairs = image_near_dup_pairs(images, "media_id", hash_col="signature", max_hamming=6)
     assert pairs.count() >= 0  # runs on bronze as-is
+
+
+def test_stream_media_dedup_survives_checkpoint_restart(spark):
+    """Verdict r6 task: restart recovery. Run 1 drains drop 1 and
+    terminates (the kill point — availableNow snapshots its input, so
+    later files are exactly 'arrived after the crash'). Drop 2 then
+    lands a byte-identical re-upload of an already-ingested image plus
+    genuinely new media; run 2 restarts on the SAME checkpoint. The
+    dedup operator's state store must come back from the checkpoint:
+    the re-upload is swallowed across the restart boundary, the new
+    media lands, and bronze holds one row per (kind, signature)."""
+    landing = tempfile.mkdtemp(prefix="media_restart_landing_")
+    bronze = tempfile.mkdtemp(prefix="media_restart_bronze_") + "/media"
+    ckpt = tempfile.mkdtemp(prefix="media_restart_ckpt_")
+
+    drop1 = [(1, _bmp(seed=0)), (2, _wav(440)), (9, b"junk")]
+    spark.createDataFrame(drop1, MEDIA_SCHEMA).write.mode("overwrite").parquet(f"{landing}/d")
+
+    def run():
+        stream = spark.readStream.format("parquet").schema(MEDIA_SCHEMA).load(f"{landing}/d")
+        q = stream_media_to_bronze(stream, bronze, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(bronze)
+    assert first.filter(F.col("signature").isNotNull()).count() == 2
+
+    # post-"crash" arrivals: re-upload of image 1 (new id, same bytes),
+    # a new image, and a PCM-identical re-encode of the 440Hz tone
+    drop2 = [(11, _bmp(seed=0)), (12, _bmp(seed=160)), (13, _wav(440))]
+    spark.createDataFrame(drop2, MEDIA_SCHEMA).write.mode("append").parquet(f"{landing}/d")
+
+    run()  # restart on the same checkpoint
+    out = spark.read.parquet(bronze).collect()
+    decodable = [r for r in out if r["signature"] is not None]
+    # one row per distinct (kind, signature) ACROSS the restart
+    assert len(decodable) == len({(r["kind"], r["signature"]) for r in decodable})
+    kept_ids = {r["media_id"] for r in decodable}
+    assert 11 not in kept_ids and 13 not in kept_ids  # state restored
+    assert 12 in kept_ids  # new media still lands
+    assert {r["media_id"] for r in out if r["signature"] is None} == {9}

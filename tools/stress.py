@@ -12,6 +12,7 @@ roughly linearly with rows on a fixed core count.
     python tools/stress.py --ivf-skew [n]      # IVF hot-cell cap scenario
     python tools/stress.py --range-join        # broadcast-vs-gridded crossover
     python tools/stress.py --media             # multimodal signature throughput
+    python tools/stress.py --quality-model     # logistic-regression fit cost
 """
 
 from __future__ import annotations
@@ -470,7 +471,72 @@ def media_scenario(n_images: int = 2_000, n_audio: int = 500) -> None:
     )
 
 
+def quality_model_scenario() -> None:
+    """Training cost of the full-batch logistic-regression quality
+    classifier at $SPARK_GRAFT_SF_DIR: every GD iteration is ONE
+    map-side-combined aggregation over the persisted standardized
+    feature frame, so the numbers to pin are (a) the fixed setup cost
+    (featurize + stats + cache materialize, paid once) and (b) the
+    cache-hit cost per iteration (the marginal knob n_iter buys).
+    Labels here are synthetic (doc_id parity) — iteration cost depends
+    on row count and feature width, not label quality. Scoring is the
+    zero-join codegen projection over the full table."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.quality_model import (
+        fit_quality_model,
+        quality_model_filter,
+    )
+    from open_data_pipelines_spark.session import get_spark, load_tables
+
+    spark = get_spark("stress-quality-model")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", BASE)
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    labeled = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 2).cast("int").alias("label")
+    )
+    n_rows = labeled.count()
+
+    def fit_secs(n_iter: int) -> float:
+        t0 = time.perf_counter()
+        fit_quality_model(labeled, "text", "label", n_iter=n_iter)
+        return time.perf_counter() - t0
+
+    fit_secs(1)  # warmup: codegen + shuffle service
+    t1 = statistics.median(fit_secs(1) for _ in range(3))
+    t31 = statistics.median(fit_secs(31) for _ in range(3))
+    per_iter = max(t31 - t1, 0.0) / 30
+
+    model = fit_quality_model(labeled, "text", "label", n_iter=30)
+    t0 = time.perf_counter()
+    quality_model_filter(docs, model, "text", 0.5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    score_sec = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "scenario": "quality_model_fit",
+                "sf_dir": sf_dir,
+                "n_rows": n_rows,
+                "fit_setup_plus_1iter_sec": round(t1, 3),
+                "fit_31iter_sec": round(t31, 3),
+                "cache_hit_sec_per_iter": round(per_iter, 4),
+                "score_full_table_sec": round(score_sec, 3),
+            },
+            indent=2,
+        )
+    )
+
+
 def main() -> None:
+    if "--quality-model" in sys.argv:
+        quality_model_scenario()
+        return
     if "--media" in sys.argv:
         media_scenario()
         return
