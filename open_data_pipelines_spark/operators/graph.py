@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class ConvergenceError(RuntimeError):
@@ -40,6 +41,7 @@ def connected_components(
     dst: str = "id_b",
     max_rounds: int = 25,
     algorithm: str = "propagation",
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``.
 
@@ -52,21 +54,22 @@ def connected_components(
     ``algorithm="star"``: large-star/small-star contraction
     (Kiveris et al., SoCC'14), O(log^2 n) rounds — right for deep
     chains where propagation would need diameter rounds.
-    ``algorithm="auto"``: propagation first (the cheap, shallow-graph
-    path), escalating to star contraction if no fixpoint lands within
-    ``max_rounds`` — a pathological chain costs the bounded
-    propagation budget plus O(log^2 n) star rounds instead of raising.
+    ``algorithm="auto"``: size-gated strategy chooser, the graph
+    analogue of a broadcast-join threshold. The deduplicated edge set
+    is materialized and counted once; at or under
+    ``driver_max_edges`` unique edges (a few MB — near-dup graphs
+    after thresholding are tiny relative to the corpus) components
+    are solved in ONE driver union-find pass instead of paying the
+    iterative loop's per-round fixed costs (each round is a join, an
+    aggregation, and a checkpoint — seconds of overhead to propagate
+    labels over a few hundred edges). Past the gate it runs the
+    distributed propagation loop, escalating to star contraction if no
+    fixpoint lands within ``max_rounds``. Identical output on every
+    path: min-node-id labels.
     """
     if algorithm == "star":
         return _connected_components_star(edges, src, dst, max_rounds)
-    if algorithm == "auto":
-        try:
-            return connected_components(edges, src, dst, max_rounds, "propagation")
-        except ConvergenceError:
-            # star needs O(log^2 n) rounds, not O(diameter) — its own
-            # max_rounds budget is fresh and ample at any real scale
-            return _connected_components_star(edges, src, dst, max(max_rounds, 64))
-    if algorithm != "propagation":
+    if algorithm not in ("propagation", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     adj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -74,45 +77,95 @@ def connected_components(
         .distinct()
         .persist()
     )
+    try:
+        if algorithm == "auto":
+            # adj is symmetric: 2 rows per unique undirected edge. The
+            # count doubles as the cache materialization the loop would
+            # pay anyway, so the gate costs nothing extra.
+            if adj.count() <= 2 * driver_max_edges:
+                return _components_driver_union_find(adj)
+        try:
+            return _propagation_loop(adj, max_rounds)
+        except ConvergenceError:
+            if algorithm != "auto":
+                raise
+            # star needs O(log^2 n) rounds, not O(diameter) — its own
+            # max_rounds budget is fresh and ample at any real scale
+            return _connected_components_star(edges, src, dst, max(max_rounds, 64))
+    finally:
+        adj.unpersist()
+
+
+def _components_driver_union_find(adj: DataFrame) -> DataFrame:
+    """Union-find over a bounded, already-materialized edge set —
+    ≤ ``driver_max_edges`` rows ever reach the driver (the same
+    bounded-collect discipline as broadcast thresholds). Union-by-min
+    with path compression: the root of every set is its minimum
+    member, so labels equal the propagation/star result exactly."""
+    rows = adj.filter(F.col("a") < F.col("b")).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min stays the root
+    labels = [(n, find(n)) for n in parent]
+    node_type = adj.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("component", node_type)]
+    )
+    return adj.sparkSession.createDataFrame(labels, schema)
+
+
+def _propagation_loop(adj: DataFrame, max_rounds: int) -> DataFrame:
+    """Distributed min-label propagation over a persisted symmetric
+    adjacency frame; lineage truncated per round."""
     labels = (
         adj.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(max_rounds):
-            nbr_min = (
-                adj.join(labels, adj["b"] == labels["node"])
-                .groupBy("a")
-                .agg(F.min("component").alias("nbr_min"))
-            )
-            stepped = (
-                labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-                .select(
-                    "node",
-                    "component",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_min"), F.col("component")),
-                    ).alias("new_component"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = stepped.filter(
-                F.col("new_component") != F.col("component")
-            ).count()
-            labels = stepped.select(
-                "node", F.col("new_component").alias("component")
-            )
-            if changed == 0:
-                return labels
-        raise ConvergenceError(
-            f"no fixpoint after {max_rounds} rounds - deep chain graph? "
-            "raise max_rounds or use a star-contraction variant"
+    for _ in range(max_rounds):
+        nbr_min = (
+            adj.join(labels, adj["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
         )
-    finally:
-        adj.unpersist()
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("new_component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(
+            F.col("new_component") != F.col("component")
+        ).count()
+        labels = stepped.select("node", F.col("new_component").alias("component"))
+        if changed == 0:
+            return labels
+    raise ConvergenceError(
+        f"no fixpoint after {max_rounds} rounds - deep chain graph? "
+        "raise max_rounds or use a star-contraction variant"
+    )
 
 
 def _connected_components_star(

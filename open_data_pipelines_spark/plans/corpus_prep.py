@@ -221,6 +221,19 @@ def prepare_corpus(
         )
 
     exact = note("exact_deduped", dedup_exact_text(kept, "text", "doc_id"))
+    if near_dup != "none":
+        # `exact` is consumed twice on any near-dup path — once to
+        # build the candidate pairs (shingle/signature side) and once
+        # as the survivors side of the final anti-join. Persisting it
+        # caches the whole cleaned/filtered/deduped prefix (filters,
+        # regex-heavy lang/quality annotation, the dedup window) so
+        # that prefix executes once per run instead of twice; the
+        # frame is corpus-sized text, MEMORY_AND_DISK by default so
+        # it spills rather than evicts (an evicted partition would
+        # just recompute — correctness is unaffected). Released by
+        # the caller's clearCache()/session end, same contract as the
+        # observe-mode result persist below.
+        exact = exact.persist()
 
     # near-dup pair generation is pluggable; every backend is banded
     # (equi-joins on hash keys, never a product) and feeds the same

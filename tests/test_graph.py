@@ -66,13 +66,42 @@ def test_auto_escalates_to_star_on_deep_chain(spark):
     e = _edges(spark, chain)
     auto = {
         r["node"]: r["component"]
-        for r in connected_components(e, algorithm="auto", max_rounds=25).collect()
+        for r in connected_components(
+            e, algorithm="auto", max_rounds=25, driver_max_edges=0
+        ).collect()
     }
     star = {
         r["node"]: r["component"]
         for r in connected_components(e, algorithm="star", max_rounds=25).collect()
     }
     assert auto == star == {i: 1 for i in range(1, 101)}
+
+
+def test_auto_driver_gate_matches_distributed(spark):
+    """The size-gated union-find path must label identically to the
+    distributed loop (same min-id contract), including non-numeric
+    node ids, and preserve the node dtype in the output schema."""
+    pairs = [(5, 2), (2, 9), (9, 1), (20, 30), (30, 25), (40, 41)]
+    e = _edges(spark, pairs)
+    driver = {
+        r["node"]: r["component"]
+        for r in connected_components(e, algorithm="auto").collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e, algorithm="auto", driver_max_edges=0
+        ).collect()
+    }
+    assert driver == dist
+
+    se = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], ["id_a", "id_b"]
+    )
+    out = connected_components(se, algorithm="auto")
+    assert out.schema["node"].dataType.simpleString() == "string"
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_auto_uses_propagation_when_shallow(spark):
