@@ -101,8 +101,11 @@ def _components_driver_union_find(adj: DataFrame) -> DataFrame:
     ≤ ``driver_max_edges`` rows ever reach the driver (the same
     bounded-collect discipline as broadcast thresholds). Union-by-min
     with path compression: the root of every set is its minimum
-    member, so labels equal the propagation/star result exactly."""
-    rows = adj.filter(F.col("a") < F.col("b")).collect()
+    member, so labels equal the propagation/star result exactly.
+    ``a <= b`` (not ``<``) keeps self-loop rows: a node appearing only
+    in a self-loop must still label itself, exactly as the
+    propagation loop's ``adj.select("a").distinct()`` seeding does."""
+    rows = adj.filter(F.col("a") <= F.col("b")).collect()
     parent: dict = {}
 
     def find(x):
@@ -117,6 +120,8 @@ def _components_driver_union_find(adj: DataFrame) -> DataFrame:
         a, b = r["a"], r["b"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
+        if a == b:
+            continue
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)

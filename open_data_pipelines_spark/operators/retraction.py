@@ -32,11 +32,16 @@ from pyspark.sql import functions as F
 from .packing import pack_chunks
 
 
-def _tombstone_join(df: DataFrame, tombstones: DataFrame, id_col: str, broadcast: bool) -> DataFrame:
+def _tombstone_ids(tombstones: DataFrame, id_col: str, broadcast: bool) -> DataFrame:
+    """Normalize the tombstone frame to one distinct id column (the
+    'first column is the id' convention, in ONE place) — optionally
+    broadcast-hinted, since takedown lists are dim-sized by nature."""
     t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
-    if broadcast:
-        t = F.broadcast(t)
-    return df.join(t, id_col, "left_anti")
+    return F.broadcast(t) if broadcast else t
+
+
+def _tombstone_join(df: DataFrame, tombstones: DataFrame, id_col: str, broadcast: bool) -> DataFrame:
+    return df.join(_tombstone_ids(tombstones, id_col, broadcast), id_col, "left_anti")
 
 
 def retract_documents(
@@ -75,9 +80,10 @@ def retract_from_packed(
     with_dom = packed.withColumn("__dom", dom)
     survivors = _tombstone_join(with_dom, tombstones, id_col, broadcast_tombstones)
 
-    t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
     affected = (
-        with_dom.join(F.broadcast(t) if broadcast_tombstones else t, id_col, "left_semi")
+        with_dom.join(
+            _tombstone_ids(tombstones, id_col, broadcast_tombstones), id_col, "left_semi"
+        )
         .select("__dom")
         .distinct()
     )
@@ -137,9 +143,7 @@ def retract_and_reissue(
     with open(manifest_path) as fh:
         old = json.load(fh)
 
-    t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
-    if broadcast_tombstones:
-        t = F.broadcast(t)
+    t = _tombstone_ids(tombstones, id_col, broadcast_tombstones)
     # bounded driver read: |hit ids| <= |tombstones|, dim-sized by nature
     removed_ids = sorted(
         r[0] for r in df.join(t, id_col, "left_semi").select(id_col).distinct().collect()
@@ -171,6 +175,14 @@ def retract_and_reissue(
             "new_signature": old["signature"],
         }
 
+    # the signature aggregation below fully executes the retraction
+    # plan (in packed mode: the anti-join + per-domain re-pack);
+    # persist first so the caller's own write/count on the returned
+    # frame reuses that execution instead of re-packing from scratch —
+    # the same persist-before-sign discipline as prepare_corpus's
+    # observe path. The handle IS returned: callers .unpersist() when
+    # done.
+    out = out.persist()
     history = list(old.get("retractions", [])) + [{"removed_ids": removed_ids}]
     new = write_corpus_manifest(
         manifest_path,
@@ -197,8 +209,7 @@ def retraction_audit(
 ) -> DataFrame:
     """One row: rows_removed, docs_removed, domains_touched — the
     takedown evidence record."""
-    t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
-    hit = packed.join(F.broadcast(t), id_col, "left_semi")
+    hit = packed.join(_tombstone_ids(tombstones, id_col, True), id_col, "left_semi")
     return hit.agg(
         F.count(F.lit(1)).alias("rows_removed"),
         F.count_distinct(F.col(id_col)).alias("docs_removed"),

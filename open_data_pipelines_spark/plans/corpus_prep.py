@@ -220,20 +220,26 @@ def prepare_corpus(
             repetition_filter(kept, "text", "doc_id", repetition_thresholds),
         )
 
-    exact = note("exact_deduped", dedup_exact_text(kept, "text", "doc_id"))
+    exact = dedup_exact_text(kept, "text", "doc_id")
     if near_dup != "none":
         # `exact` is consumed twice on any near-dup path — once to
         # build the candidate pairs (shingle/signature side) and once
-        # as the survivors side of the final anti-join. Persisting it
-        # caches the whole cleaned/filtered/deduped prefix (filters,
-        # regex-heavy lang/quality annotation, the dedup window) so
-        # that prefix executes once per run instead of twice; the
-        # frame is corpus-sized text, MEMORY_AND_DISK by default so
-        # it spills rather than evicts (an evicted partition would
-        # just recompute — correctness is unaffected). Released by
-        # the caller's clearCache()/session end, same contract as the
-        # observe-mode result persist below.
-        exact = exact.persist()
+        # as the survivors side of the final anti-join. A LAZY local
+        # checkpoint materializes the whole cleaned/filtered/deduped
+        # prefix (filters, regex-heavy lang/quality annotation, the
+        # dedup window) on first use and reuses it for the second
+        # consumer — and, unlike an internal .persist() whose handle
+        # never reaches the caller (the unreclaimable-cache pattern
+        # round-6 advice flagged on scd2), its blocks are reclaimed by
+        # the ContextCleaner as soon as the returned result frame is
+        # garbage-collected. No clearCache() needed. Trade-off as
+        # documented on with_surrogate_keys_scaled: checkpoint blocks
+        # are unreplicated, so executor loss fails the job fast.
+        # Applied BELOW the observe node: the checkpoint materializes
+        # as an RDD job that bypasses SQL observed-metrics, so an
+        # observation under it would silently read 0.
+        exact = exact.localCheckpoint(eager=False)
+    exact = note("exact_deduped", exact)
 
     # near-dup pair generation is pluggable; every backend is banded
     # (equi-joins on hash keys, never a product) and feeds the same

@@ -132,3 +132,19 @@ def test_star_converges_on_deep_chain(spark):
         for r in connected_components(e, algorithm="star", max_rounds=25).collect()
     }
     assert got == {i: 1 for i in range(1, 101)}
+
+
+def test_self_loop_nodes_labeled_on_both_auto_paths(spark):
+    """A node appearing only in a self-loop must label itself on the
+    driver union-find path exactly as on the distributed path
+    (code-review r7 finding: a<b collection dropped such nodes)."""
+    e = _edges(spark, [(7, 7), (1, 2)])
+    driver = {
+        r["node"]: r["component"]
+        for r in connected_components(e, algorithm="auto").collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(e, algorithm="auto", driver_max_edges=0).collect()
+    }
+    assert driver == dist == {1: 1, 2: 1, 7: 7}
