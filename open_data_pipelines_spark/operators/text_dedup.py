@@ -174,12 +174,16 @@ def candidates_from_shingled(
         .select(F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh"))
         .select(F.col(id_col), minhash_signature_from_base(F.col("__bh"), k).alias("__sig"))
     )
+    # lazy checkpoint, not an internal persist: consumed by up to three
+    # subtrees (hot-bucket audit, both self-join sides); materialized
+    # once on first use, blocks reclaimed when the caller's result is
+    # GC'd — no clearCache() obligation leaks to the caller
     banded = sig.select(
         id_col,
         F.posexplode(F.array(*lsh_bands(F.col("__sig"), bands, rows))).alias(
             "band_id", "band_hash"
         ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band_id", "band_hash")
@@ -237,16 +241,32 @@ def jaccard_from_shingled(
     Distinct-shingle explode + equi-join — intersection counting is a
     hash join on shingle strings, never an all-pairs scan. Pairs whose
     side has zero shingles drop out via the inner size join.
+
+    Scale shape: only docs that actually appear in ``pairs`` are
+    exploded — a semi-join prunes the corpus first, so the shuffled
+    shingle volume is bounded by the CANDIDATE set (typically a tiny
+    fraction after LSH), not the corpus. ``pairs`` is consumed three
+    times (id pruning, intersection, final join) and the exploded
+    shingles twice, so both are lazily checkpointed — materialized
+    once on first use, blocks reclaimed when the result frame is GC'd
+    (no unreclaimable internal persist).
     """
-    sh = shingled.select(
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = shingled.join(cand_ids, id_col, "left_semi")
+    sh = needed.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     # per-doc distinct-shingle count is a projection on the array —
     # NOT a groupBy over the exploded rows (which would shuffle
     # |docs| * |shingles| rows just to count them). Zero-shingle docs
     # are excluded to keep the historical inner-join contract: pairs
     # with an empty side drop out.
-    sizes = shingled.select(
+    sizes = needed.select(
         F.col(id_col), F.size(F.array_distinct(F.col("__sh"))).alias("__n")
     ).filter(F.col("__n") > 0)
 
