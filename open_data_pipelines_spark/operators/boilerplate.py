@@ -74,8 +74,17 @@ def strip_boilerplate_lines(
     one more keyed exchange) — mirroring the decontamination
     operator's broadcast/shuffle flag.
     """
-    rows = _line_rows(df, text_col, id_col)
-    bad = boilerplate_lines(df, text_col, id_col, min_docs).select("line_fp")
+    # ONE line-explode shared by the audit aggregation and the
+    # anti-join side — lazily checkpointed so the explode+fingerprint
+    # pass over the corpus executes once, not twice (blocks reclaimed
+    # when the result frame is GC'd)
+    rows = _line_rows(df, text_col, id_col).localCheckpoint(eager=False)
+    bad = (
+        rows.groupBy("__fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("__fp").alias("line_fp"))
+    )
     if broadcast_boilerplate:
         bad = F.broadcast(bad)
     kept = rows.join(bad, rows["__fp"] == bad["line_fp"], "left_anti")

@@ -148,3 +148,31 @@ def test_self_loop_nodes_labeled_on_both_auto_paths(spark):
         for r in connected_components(e, algorithm="auto", driver_max_edges=0).collect()
     }
     assert driver == dist == {1: 1, 2: 1, 7: 7}
+
+
+def test_union_find_equals_distributed_on_random_graphs(spark):
+    """Property: on arbitrary random graphs (self-loops, duplicate
+    and reversed edges, multiple components, isolated-by-self-loop
+    nodes) the driver union-find gate labels EXACTLY like the forced
+    distributed propagation path."""
+    import random
+
+    rnd = random.Random(1234)
+    for trial in range(6):
+        n_nodes = rnd.randint(2, 40)
+        n_edges = rnd.randint(1, 60)
+        pairs = [
+            (rnd.randrange(n_nodes), rnd.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        e = _edges(spark, pairs)
+        driver = {
+            r["node"]: r["component"]
+            for r in connected_components(e, algorithm="auto").collect()
+        }
+        dist = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                e, algorithm="auto", driver_max_edges=0, max_rounds=60
+            ).collect()
+        }
+        assert driver == dist, (trial, pairs)

@@ -13,6 +13,7 @@ roughly linearly with rows on a fixed core count.
     python tools/stress.py --range-join        # broadcast-vs-gridded crossover
     python tools/stress.py --media             # multimodal signature throughput
     python tools/stress.py --quality-model     # logistic-regression fit cost
+    python tools/stress.py --cc-gate           # connected-components gate crossover
 """
 
 from __future__ import annotations
@@ -471,6 +472,54 @@ def media_scenario(n_images: int = 2_000, n_audio: int = 500) -> None:
     )
 
 
+def cc_gate_scenario() -> None:
+    """Crossover evidence for connected_components' driver union-find
+    gate: label random near-dup-shaped graphs (many small clusters) at
+    increasing edge counts via both paths and report wall time. The
+    driver path's cost is one bounded collect + O(E α(E)) python; the
+    distributed loop pays per-round join+agg+checkpoint fixed costs —
+    the gate exists because those fixed costs dominate until the edge
+    set stops being dim-sized."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.graph import connected_components
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-cc-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {"scenario": "cc_gate_crossover", "points": []}
+    # warmup: pay JVM/codegen start once so the smallest point isn't
+    # measuring session startup
+    warm = spark.range(64).select(
+        F.col("id").alias("id_a"), (F.col("id") - F.col("id") % 4).alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    connected_components(warm, algorithm="auto").count()
+    connected_components(warm, algorithm="auto", driver_max_edges=0).count()
+    for n_edges in (1_000, 10_000, 100_000, 400_000):
+        # near-dup shape: clusters of ~4 docs -> edges (i, i - i%4)
+        e = spark.range(n_edges).select(
+            F.col("id").alias("id_a"), (F.col("id") - F.col("id") % 4).alias("id_b")
+        ).filter(F.col("id_a") != F.col("id_b"))
+        t0 = time.perf_counter()
+        n_driver = connected_components(e, algorithm="auto", driver_max_edges=10**9).count()
+        t_driver = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_dist = connected_components(e, algorithm="auto", driver_max_edges=0).count()
+        t_dist = time.perf_counter() - t0
+        assert n_driver == n_dist
+        report["points"].append(
+            {
+                "edges": n_edges,
+                "nodes_labeled": n_driver,
+                "driver_union_find_sec": round(t_driver, 2),
+                "distributed_sec": round(t_dist, 2),
+            }
+        )
+    print(json.dumps(report, indent=2))
+
+
 def quality_model_scenario() -> None:
     """Training cost of the full-batch logistic-regression quality
     classifier at $SPARK_GRAFT_SF_DIR: every GD iteration is ONE
@@ -536,6 +585,9 @@ def quality_model_scenario() -> None:
 def main() -> None:
     if "--quality-model" in sys.argv:
         quality_model_scenario()
+        return
+    if "--cc-gate" in sys.argv:
+        cc_gate_scenario()
         return
     if "--media" in sys.argv:
         media_scenario()
