@@ -1,0 +1,88 @@
+"""Streaming IVF maintenance: in-distribution batches append against
+the frozen bank; a drifted batch triggers retrain+remap inside its
+micro-batch; probe-all stays row-identical to brute force after the
+drain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.ivf import (
+    build_ivf_index,
+    global_mean_dist2,
+    ivf_topk,
+    train_centroids,
+)
+from open_data_pipelines_spark.operators.similarity import brute_force_topk
+from open_data_pipelines_spark.streaming.ivf_stream import stream_embeddings_to_ivf
+
+K_CELLS = 4
+
+
+def _vecs(spark, ids, offset=0.0):
+    rows = [
+        (i, [float(i % 7) + 1.0 + offset, float((i * 3) % 5) + 1.0 + offset])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_stream_maintains_index_and_retrains_on_drift(spark, tmp_path):
+    base = _vecs(spark, range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=K_CELLS, iters=5)
+    index_path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=index_path)
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    # two drops, one file each (maxFilesPerTrigger=1 -> two batches):
+    # calm batch then a far-shifted one
+    landing = str(tmp_path / "landing")
+    calm = _vecs(spark, range(100, 120))
+    drifted = _vecs(spark, range(200, 240), offset=50.0)
+    calm.repartition(1).write.parquet(landing)
+    drifted.repartition(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(calm.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+    q, state = stream_embeddings_to_ivf(
+        stream,
+        "embedding",
+        "vec_id",
+        index_path,
+        str(tmp_path / "ckpt"),
+        cents,
+        baseline,
+        retrain_factor=2.0,
+    )
+    q.awaitTermination(120)
+
+    assert state["batches"] == 2
+    assert state["retrains"] == 1  # only the drifted batch trips the gate
+    assert state["centroids"] != cents
+
+    index = spark.read.parquet(index_path)
+    assert index.count() == 160
+
+    full = base.unionByName(calm).unionByName(drifted)
+    queries = _vecs(spark, [0, 101])
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {
+        tuple(r)
+        for r in brute_force_topk(full, queries, "embedding", "vec_id", k=5)
+        .select(cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_topk(
+            index, queries, "embedding", "vec_id", state["centroids"], k=5,
+            nprobe=K_CELLS,
+        )
+        .select(cols)
+        .collect()
+    }
+    assert got == bf
