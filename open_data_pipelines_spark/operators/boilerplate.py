@@ -35,13 +35,11 @@ def _line_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def boilerplate_lines(
-    df: DataFrame, text_col: str, id_col: str, min_docs: int = 3
-) -> DataFrame:
-    """(line_fp, n_docs, sample_line) — normalized lines appearing in
-    at least ``min_docs`` distinct documents. The audit table a
-    curator inspects before committing to removal."""
-    rows = _line_rows(df, text_col, id_col)
+def _boilerplate_fps(rows: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+    """The ONE definition of 'boilerplate': normalized-line
+    fingerprints appearing in >= ``min_docs`` distinct docs. Shared by
+    the curator audit and the strip so the two can never disagree on
+    what gets removed."""
     return (
         rows.groupBy("__fp")
         .agg(
@@ -51,6 +49,15 @@ def boilerplate_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select(F.col("__fp").alias("line_fp"), "n_docs", "sample_line")
     )
+
+
+def boilerplate_lines(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 3
+) -> DataFrame:
+    """(line_fp, n_docs, sample_line) — normalized lines appearing in
+    at least ``min_docs`` distinct documents. The audit table a
+    curator inspects before committing to removal."""
+    return _boilerplate_fps(_line_rows(df, text_col, id_col), id_col, min_docs)
 
 
 def strip_boilerplate_lines(
@@ -79,12 +86,7 @@ def strip_boilerplate_lines(
     # pass over the corpus executes once, not twice (blocks reclaimed
     # when the result frame is GC'd)
     rows = _line_rows(df, text_col, id_col).localCheckpoint(eager=False)
-    bad = (
-        rows.groupBy("__fp")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select(F.col("__fp").alias("line_fp"))
-    )
+    bad = _boilerplate_fps(rows, id_col, min_docs).select("line_fp")
     if broadcast_boilerplate:
         bad = F.broadcast(bad)
     kept = rows.join(bad, rows["__fp"] == bad["line_fp"], "left_anti")

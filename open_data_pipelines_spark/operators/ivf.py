@@ -35,6 +35,7 @@ are built-in expressions — no UDFs anywhere.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -237,10 +238,16 @@ def maintain_ivf_index(
             "batch_mean_dist2": batch_fit,
         }
     spark = new_vectors.sparkSession
-    existing = spark.read.parquet(path).select(*new_vectors.columns)
-    # materialize before the overwrite below — the rebuilt index is
-    # written to the same path the union reads from
-    full = existing.unionByName(new_vectors).localCheckpoint(eager=True)
+    try:
+        existing = spark.read.parquet(path).select(*new_vectors.columns)
+        # materialize before the overwrite below — the rebuilt index
+        # is written to the same path the union reads from
+        full = existing.unionByName(new_vectors).localCheckpoint(eager=True)
+    except AnalysisException:
+        # no index at `path` yet: a drift-first maintenance call (the
+        # streaming entry point makes this ordering reachable) retrains
+        # on the batch alone instead of crashing inside foreachBatch
+        full = new_vectors.localCheckpoint(eager=True)
     new_centroids = train_centroids(
         full, vec_col, id_col, k=k or len(centroids), iters=iters
     )

@@ -245,11 +245,12 @@ def jaccard_from_shingled(
     Scale shape: only docs that actually appear in ``pairs`` are
     exploded — a semi-join prunes the corpus first, so the shuffled
     shingle volume is bounded by the CANDIDATE set (typically a tiny
-    fraction after LSH), not the corpus. ``pairs`` is consumed three
-    times (id pruning, intersection, final join) and the exploded
-    shingles twice, so both are lazily checkpointed — materialized
-    once on first use, blocks reclaimed when the result frame is GC'd
-    (no unreclaimable internal persist).
+    fraction after LSH), not the corpus. ``pairs`` (consumed three
+    times: id pruning, intersection, final join), the pruned corpus
+    ``needed`` (three: explode + both size sides), and the exploded
+    shingles (two join sides) are each lazily checkpointed —
+    materialized once on first use, blocks reclaimed when the result
+    frame is GC'd (no unreclaimable internal persist).
     """
     pairs = pairs.localCheckpoint(eager=False)
     cand_ids = (
@@ -257,7 +258,7 @@ def jaccard_from_shingled(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = shingled.join(cand_ids, id_col, "left_semi")
+    needed = shingled.join(cand_ids, id_col, "left_semi").localCheckpoint(eager=False)
     sh = needed.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
     ).localCheckpoint(eager=False)

@@ -86,3 +86,54 @@ def test_stream_maintains_index_and_retrains_on_drift(spark, tmp_path):
         .collect()
     }
     assert got == bf
+
+
+def test_drift_first_batch_on_fresh_index_path(spark, tmp_path):
+    """Code-review r7 finding: a drifted FIRST batch on an index path
+    nothing has written yet must retrain on the batch alone, not crash
+    inside foreachBatch on the missing parquet."""
+    base = _vecs(spark, range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=K_CELLS, iters=5)
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    landing = str(tmp_path / "landing")
+    drifted = _vecs(spark, range(300, 340), offset=50.0)
+    drifted.repartition(1).write.parquet(landing)
+
+    index_path = str(tmp_path / "fresh_ivf")  # never built
+    stream = (
+        spark.readStream.format("parquet").schema(drifted.schema).load(landing)
+    )
+    q, state = stream_embeddings_to_ivf(
+        stream,
+        "embedding",
+        "vec_id",
+        index_path,
+        str(tmp_path / "ckpt"),
+        cents,
+        baseline,
+        retrain_factor=2.0,
+    )
+    q.awaitTermination(120)
+    assert state["retrains"] == 1 and state["batches"] == 1
+
+    index = spark.read.parquet(index_path)
+    assert index.count() == 40
+    queries = _vecs(spark, [301], offset=50.0)
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {
+        tuple(r)
+        for r in brute_force_topk(drifted, queries, "embedding", "vec_id", k=5)
+        .select(cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_topk(
+            index, queries, "embedding", "vec_id", state["centroids"], k=5,
+            nprobe=K_CELLS,
+        )
+        .select(cols)
+        .collect()
+    }
+    assert got == bf

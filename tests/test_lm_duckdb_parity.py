@@ -19,9 +19,6 @@ from open_data_pipelines_spark.session import load_tables
 
 from conftest import SF_SMOKE
 
-MAX_PPL = 30.0
-
-
 def test_duckdb_parity_on_harness_corpus(spark):
     docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
     ref = docs.filter(F.col("doc_id") % 10 == 0)
@@ -30,10 +27,6 @@ def test_duckdb_parity_on_harness_corpus(spark):
     engine = {
         r["doc_id"]: r["perplexity"]
         for r in perplexity_score(docs, "text", "doc_id", lm).collect()
-    }
-    kept_engine = {
-        r["doc_id"]
-        for r in perplexity_filter(docs, "text", "doc_id", lm, MAX_PPL).collect()
     }
 
     con = duckdb.connect()
@@ -85,7 +78,20 @@ def test_duckdb_parity_on_harness_corpus(spark):
         a, b = engine[d], oracle_ppl[d]
         assert abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0), (d, a, b)
 
-    kept_oracle = {d for d, p in oracle_ppl.items() if p <= MAX_PPL}
+    # threshold at the median midpoint of the scored distribution, with
+    # a boundary-distance guard: no doc's perplexity may sit within
+    # float-noise reach of the cut, so kept-set parity can never flip
+    # on libm/summation-order differences (the flake class the
+    # repo's cross-engine oracle notes warn about)
+    ppls = sorted(oracle_ppl.values())
+    thr = (ppls[len(ppls) // 2 - 1] + ppls[len(ppls) // 2]) / 2
+    assert min(abs(p - thr) for p in ppls) > 1e-6
+
+    kept_engine = {
+        r["doc_id"]
+        for r in perplexity_filter(docs, "text", "doc_id", lm, thr).collect()
+    }
+    kept_oracle = {d for d, p in oracle_ppl.items() if p <= thr}
     assert kept_engine == kept_oracle
     # the threshold actually splits the corpus (parity over a trivial
     # all-kept/all-dropped set would prove nothing)

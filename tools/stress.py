@@ -497,11 +497,15 @@ def cc_gate_scenario() -> None:
     ).filter(F.col("id_a") != F.col("id_b"))
     connected_components(warm, algorithm="auto").count()
     connected_components(warm, algorithm="auto", driver_max_edges=0).count()
-    for n_edges in (1_000, 10_000, 100_000, 400_000):
-        # near-dup shape: clusters of ~4 docs -> edges (i, i - i%4)
-        e = spark.range(n_edges).select(
+    for n_rows in (1_000, 10_000, 100_000, 530_000):
+        # near-dup shape: clusters of ~4 docs -> edges (i, i - i%4);
+        # the i%4==0 self-loops are filtered, so UNIQUE edges =
+        # 0.75 * n_rows — report the unique count, which is what
+        # driver_max_edges gates on
+        e = spark.range(n_rows).select(
             F.col("id").alias("id_a"), (F.col("id") - F.col("id") % 4).alias("id_b")
         ).filter(F.col("id_a") != F.col("id_b"))
+        n_unique = e.distinct().count()
         t0 = time.perf_counter()
         n_driver = connected_components(e, algorithm="auto", driver_max_edges=10**9).count()
         t_driver = time.perf_counter() - t0
@@ -511,7 +515,7 @@ def cc_gate_scenario() -> None:
         assert n_driver == n_dist
         report["points"].append(
             {
-                "edges": n_edges,
+                "unique_edges": n_unique,
                 "nodes_labeled": n_driver,
                 "driver_union_find_sec": round(t_driver, 2),
                 "distributed_sec": round(t_dist, 2),
