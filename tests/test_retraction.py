@@ -165,3 +165,49 @@ def test_retract_and_reissue_packed_mode(spark, tmp_path):
     )
     assert sums.filter(F.col("s") != F.col("pt")).count() == 0
     assert report["new_signature"] != old["signature"]
+
+
+def test_retract_from_packed_property_random_tombstones(spark):
+    """Property over random corpora/tombstone sets: retracting from a
+    packed corpus equals packing the survivors from scratch (same
+    greedy key order), and domains that lost no rows keep their pack
+    assignments byte-for-byte."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(99)
+    for trial in range(4):
+        n_docs = rnd.randint(10, 50)
+        rows = []
+        for d in range(n_docs):
+            for c in range(rnd.randint(1, 4)):
+                rows.append((d, f"{d:05d}#{c:03d}", rnd.randint(20, 70)))
+        df = spark.createDataFrame(rows, ["doc_id", "__ck", "__ct"])
+        packed = pack_chunks(df, "__ck", "__ct", max_tokens=128, n_shards=4)
+
+        victims = rnd.sample(range(n_docs), rnd.randint(0, n_docs // 2))
+        victims.append(99999)  # absent id: must be a no-op contributor
+        tomb = spark.createDataFrame([(v,) for v in victims], ["doc_id"])
+
+        out = retract_from_packed(packed, tomb, max_tokens=128)
+        fresh = pack_chunks(
+            df.join(tomb, "doc_id", "left_anti"),
+            "__ck",
+            "__ct",
+            max_tokens=128,
+            n_shards=4,
+        )
+        got = {tuple(r) for r in out.select("__ck", "pack_id", "pack_tokens").collect()}
+        want = {
+            tuple(r) for r in fresh.select("__ck", "pack_id", "pack_tokens").collect()
+        }
+        assert got == want, (trial, victims)
+        # pack integrity: recorded pack_tokens equals the actual sum
+        bad = (
+            out.groupBy("pack_id")
+            .agg(F.sum("__ct").alias("s"), F.first("pack_tokens").alias("pt"))
+            .filter(F.col("s") != F.col("pt"))
+            .count()
+        )
+        assert bad == 0, trial
