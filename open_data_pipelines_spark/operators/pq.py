@@ -41,7 +41,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark.errors import AnalysisException
+
 from .ivf import _cell_dists, probe_list_ids, train_centroids
+from .ivf import assign_list_id as assign_list_id_local
 from .similarity import as_double_array, dot_int, quantize
 
 Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
@@ -260,3 +263,96 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    path: str | None = None,
+    code_col: str = "pq_code",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Corpus + cell assignment + PQ codes in ONE projection pass,
+    written ``partitionBy(list_col)`` when ``path`` is given — the
+    persisted form :func:`ivf_pq_topk` searches."""
+    encoded = corpus.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
+        list_col, assign_list_id_local(vec_col, centroids)
+    )
+    if path is not None:
+        encoded.write.mode("overwrite").partitionBy(list_col).parquet(path)
+        return corpus.sparkSession.read.parquet(path)
+    return encoded
+
+
+def maintain_ivf_pq_index(
+    new_vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    path: str,
+    baseline_mean_dist2: float,
+    retrain_factor: float = 2.0,
+    k: int | None = None,
+    iters: int = 3,
+    train_fraction: float | None = None,
+    code_col: str = "pq_code",
+    list_col: str = "list_id",
+) -> dict:
+    """The PQ-layer extension of :func:`.ivf.maintain_ivf_index`: the
+    drift gate covers BOTH models that age together — the cell bank
+    and the subspace codebooks. In-distribution batches encode against
+    the frozen bank+codebooks (one projection, partition-local
+    append); a drifted batch retrains both on existing+batch and
+    rebuilds the layout, so codes and cell assignments always come
+    from one model generation (ADC scores against stale codebooks
+    would silently degrade recall — the failure mode this guards).
+
+    Returns ``{"centroids", "codebooks", "baseline_mean_dist2",
+    "retrained", "batch_mean_dist2"}``.
+    """
+    from .ivf import global_mean_dist2, train_centroids
+
+    batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
+    if batch_fit <= retrain_factor * baseline_mean_dist2:
+        new_vectors.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
+            list_col, assign_list_id_local(vec_col, centroids)
+        ).write.mode("append").partitionBy(list_col).parquet(path)
+        return {
+            "centroids": centroids,
+            "codebooks": codebooks,
+            "baseline_mean_dist2": baseline_mean_dist2,
+            "retrained": False,
+            "batch_mean_dist2": batch_fit,
+        }
+    spark = new_vectors.sparkSession
+    try:
+        existing = spark.read.parquet(path).select(*new_vectors.columns)
+        full = existing.unionByName(new_vectors).localCheckpoint(eager=True)
+    except AnalysisException:
+        full = new_vectors.localCheckpoint(eager=True)
+    new_centroids = train_centroids(
+        full, vec_col, id_col, k=k or len(centroids), iters=iters
+    )
+    new_books = train_pq(
+        full,
+        vec_col,
+        id_col,
+        m=len(codebooks),
+        nbits=(len(codebooks[0]) - 1).bit_length(),
+        iters=iters,
+        train_fraction=train_fraction,
+    )
+    build_ivf_pq_index(
+        full, vec_col, id_col, new_centroids, new_books, path, code_col, list_col
+    )
+    return {
+        "centroids": new_centroids,
+        "codebooks": new_books,
+        "baseline_mean_dist2": global_mean_dist2(full, vec_col, new_centroids),
+        "retrained": True,
+        "batch_mean_dist2": batch_fit,
+    }

@@ -163,3 +163,90 @@ def test_cap_keeps_centroid_nearest_deterministically(spark, ivfpq):
     a = cap_hot_cells(idx, "embedding", "vec_id", cents, 10).select("vec_id").collect()
     b = cap_hot_cells(idx, "embedding", "vec_id", cents, 10).select("vec_id").collect()
     assert sorted(r["vec_id"] for r in a) == sorted(r["vec_id"] for r in b)
+
+
+def test_maintain_ivf_pq_retrains_both_models_on_drift(spark, tmp_path):
+    """PQ-layer maintenance: in-distribution batches encode against the
+    frozen bank+codebooks and append; a drifted batch retrains BOTH and
+    rebuilds, with the composed probe-all + corpus-sized-shortlist
+    search still row-identical to brute force afterwards."""
+    from open_data_pipelines_spark.operators.ivf import global_mean_dist2
+    from open_data_pipelines_spark.operators.pq import (
+        build_ivf_pq_index,
+        maintain_ivf_pq_index,
+    )
+
+    def vecs(ids, offset=0.0):
+        rows = [
+            (
+                i,
+                [
+                    float(i % 7) + 1.0 + offset,
+                    float((i * 3) % 5) + 1.0 + offset,
+                    float((i * 5) % 9) + 1.0 + offset,
+                    float((i * 11) % 4) + 1.0 + offset,
+                ],
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    k_cells, m, nbits = 4, 2, 3
+    base = vecs(range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=k_cells, iters=5)
+    books = train_pq(base, "embedding", "vec_id", m=m, nbits=nbits, iters=3)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(base, "embedding", "vec_id", cents, books, path)
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    calm = vecs(range(100, 120))
+    st = maintain_ivf_pq_index(
+        calm, "embedding", "vec_id", cents, books, path, baseline, retrain_factor=2.0
+    )
+    assert st["retrained"] is False
+    assert st["codebooks"] == books
+    assert spark.read.parquet(path).count() == 120
+
+    drifted = vecs(range(200, 240), offset=50.0)
+    st2 = maintain_ivf_pq_index(
+        drifted,
+        "embedding",
+        "vec_id",
+        st["centroids"],
+        st["codebooks"],
+        path,
+        st["baseline_mean_dist2"],
+        retrain_factor=2.0,
+    )
+    assert st2["retrained"] is True
+    assert st2["codebooks"] != books and st2["centroids"] != cents
+    assert len(st2["codebooks"]) == m and len(st2["codebooks"][0]) == 1 << nbits
+    index = spark.read.parquet(path)
+    assert index.count() == 160
+
+    full = base.unionByName(calm).unionByName(drifted)
+    queries = vecs([0, 101, 205])
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {
+        tuple(r)
+        for r in brute_force_topk(full, queries, "embedding", "vec_id", k=5)
+        .select(cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_pq_topk(
+            index,
+            queries,
+            "embedding",
+            "vec_id",
+            st2["centroids"],
+            st2["codebooks"],
+            k=5,
+            nprobe=k_cells,
+            rescore_factor=1000,
+        )
+        .select(cols)
+        .collect()
+    }
+    assert got == bf
