@@ -245,3 +245,36 @@ def rebalance_to_mix(
     }
     fracs = mix_fractions(counts, target_weights)
     return stratified_sample(df, stratum_col, fracs, key_col, seed=seed, default=0.0)
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_col: str,
+    temperature: float,
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights from the corpus's OWN
+    stratum sizes — the standard multinomial data-mixing move
+    (p_i ∝ n_i^(1/T), public recipe from the multilingual/multi-domain
+    LM literature): T=1 reproduces natural proportions, T->inf tends
+    to uniform, T<1 sharpens toward the head. Feed the result straight
+    into :func:`rebalance_to_mix` (downsampling) or
+    :func:`upsample_to_mix` (repetition).
+
+    One map-side-combinable count per stratum reaches the driver
+    (#strata rows — dim-sized by nature); the heavy lifting stays in
+    the mix operators.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None and r["n"] > 0
+    }
+    if not counts:
+        return {}
+    scaled = {s: n ** (1.0 / temperature) for s, n in counts.items()}
+    total = sum(scaled.values())
+    return {s: v / total for s, v in scaled.items()}

@@ -172,3 +172,48 @@ def test_shuffle_deterministic_is_stable(docs):
     assert a != c  # different seed -> different order
     assert sorted(a) == sorted(c)  # ... of the same rows
     assert a != sorted(a)  # actually shuffled
+
+
+def test_temperature_weights_limits_and_composition(spark):
+    """T=1 -> natural proportions; large T -> near-uniform; T<1
+    sharpens the head; weights feed rebalance_to_mix unchanged."""
+    import math
+
+    from open_data_pipelines_spark.operators.sampling import (
+        rebalance_to_mix,
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "web") for i in range(800)]
+        + [(i + 1000, "code") for i in range(150)]
+        + [(i + 2000, "books") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    w1 = temperature_weights(df, "source", 1.0)
+    assert abs(w1["web"] - 0.8) < 1e-9 and abs(w1["books"] - 0.05) < 1e-9
+
+    w_hi = temperature_weights(df, "source", 100.0)
+    assert max(w_hi.values()) - min(w_hi.values()) < 0.02  # near-uniform
+
+    w_lo = temperature_weights(df, "source", 0.5)
+    assert w_lo["web"] > w1["web"]  # sharpened toward the head
+    for w in (w1, w_hi, w_lo):
+        assert abs(sum(w.values()) - 1.0) < 1e-9
+
+    # composition: a T=2 mix through the existing downsampler moves the
+    # realized proportions toward the flattened target
+    w2 = temperature_weights(df, "source", 2.0)
+    out = rebalance_to_mix(df, "source", w2, "doc_id", seed="t2")
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(got.values())
+    # books' natural share is 5%; the T=2 target is ~sqrt-flattened
+    # (~15%) — assert direction with binomial slack
+    assert got["books"] / total > 0.10
+    assert math.isclose(sum(w2.values()), 1.0, rel_tol=1e-9)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_weights(df, "source", 0.0)
