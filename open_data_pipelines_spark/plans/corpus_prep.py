@@ -98,6 +98,7 @@ def prepare_corpus(
     benchmark: DataFrame | None = None,
     contamination_n: int = 8,
     source_weights: dict[str, float] | None = None,
+    mix_temperature: float | None = None,
     upsample_weights: dict[str, float] | None = None,
     splits: tuple[tuple[str, float], ...] | None = None,
     pack_budget: int | None = None,
@@ -126,6 +127,8 @@ def prepare_corpus(
     """
     if stats_via not in ("count", "observe"):
         raise ValueError(f"unknown stats_via {stats_via!r}")
+    if mix_temperature is not None and source_weights:
+        raise ValueError("mix_temperature derives source_weights - pass one, not both")
     if docs is None:
         docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     stats: dict[str, int] = {}
@@ -161,7 +164,11 @@ def prepare_corpus(
     # redact BEFORE normalizing so the replacement tokens lowercase
     # with the rest of the text (and whitespace variants of redacted
     # spans collapse to identical strings for the dedup stages)
-    carry = ["source"] if (source_weights or upsample_weights) else []
+    carry = (
+        ["source"]
+        if (source_weights or upsample_weights or mix_temperature is not None)
+        else []
+    )
     cleaned = docs.select(
         "doc_id",
         normalize_text(redact_pii("text")).alias("text"),
@@ -302,6 +309,13 @@ def prepare_corpus(
             "decontaminated",
             decontaminate(surviving, benchmark, n=contamination_n),
         )
+    if mix_temperature is not None:
+        from ..operators.sampling import temperature_weights
+
+        # derive the target mix from the SURVIVING corpus's own
+        # stratum sizes (post-dedup, so mass duplicates don't inflate
+        # a domain's share) — one dim-sized count action
+        source_weights = temperature_weights(surviving, "source", mix_temperature)
     if source_weights:
         from ..operators.sampling import rebalance_to_mix
 
@@ -434,6 +448,7 @@ def prepare_corpus(
             "overlap": overlap,
             "contamination_n": contamination_n,
             "source_weights": source_weights,
+            "mix_temperature": mix_temperature,
             "upsample_weights": upsample_weights,
             "splits": splits,
             "pack_budget": pack_budget,

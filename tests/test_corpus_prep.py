@@ -313,3 +313,44 @@ def test_near_dup_backend_none_and_unknown(spark):
 
     with pytest.raises(ValueError):
         prepare_corpus(spark, SF_SMOKE, near_dup="bogus")
+
+
+def test_mix_temperature_flattens_source_mix(spark):
+    """prepare_corpus(mix_temperature=T) derives the target mix from
+    the surviving corpus's own stratum sizes and downsamples toward
+    the flattened proportions; passing both knobs is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from open_data_pipelines_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    # skew the natural mix hard: 9 parts "web", 1 part "books"
+    skewed = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 10 == 0, "books").otherwise("web")
+    )
+    out = prepare_corpus(
+        spark, SF_SMOKE, docs=skewed, near_dup="none", mix_temperature=3.0
+    )
+    got = {
+        r["s"]: r["n"]
+        for r in out.select("doc_id")
+        .distinct()
+        .join(skewed.select("doc_id", "source"), "doc_id")
+        .groupBy(F.col("source").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    share = got["books"] / (got["books"] + got["web"])
+    assert share > 0.2  # natural ~10% flattened well upward at T=3
+
+    with pytest.raises(ValueError):
+        prepare_corpus(
+            spark,
+            SF_SMOKE,
+            docs=skewed,
+            near_dup="none",
+            mix_temperature=2.0,
+            source_weights={"web": 1.0},
+        )
