@@ -43,8 +43,7 @@ from pyspark.sql import functions as F
 
 from pyspark.errors import AnalysisException
 
-from .ivf import _cell_dists, probe_list_ids, train_centroids
-from .ivf import assign_list_id as assign_list_id_local
+from .ivf import _cell_dists, assign_list_id, probe_list_ids, train_centroids
 from .similarity import as_double_array, dot_int, quantize
 
 Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
@@ -279,7 +278,7 @@ def build_ivf_pq_index(
     written ``partitionBy(list_col)`` when ``path`` is given — the
     persisted form :func:`ivf_pq_topk` searches."""
     encoded = corpus.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
-        list_col, assign_list_id_local(vec_col, centroids)
+        list_col, assign_list_id(vec_col, centroids)
     )
     if path is not None:
         encoded.write.mode("overwrite").partitionBy(list_col).parquet(path)
@@ -319,7 +318,7 @@ def maintain_ivf_pq_index(
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
         new_vectors.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
-            list_col, assign_list_id_local(vec_col, centroids)
+            list_col, assign_list_id(vec_col, centroids)
         ).write.mode("append").partitionBy(list_col).parquet(path)
         return {
             "centroids": centroids,
