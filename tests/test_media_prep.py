@@ -1,0 +1,99 @@
+"""Composed multimodal corpus pipeline: signature reuse, exact +
+per-kind near-dup dedup, quarantine policy, funnel counts, manifest."""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from open_data_pipelines_spark.operators.media_codecs import encode_bmp, encode_wav
+from open_data_pipelines_spark.plans.media_prep import prepare_media_corpus
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _bmp(seed=0, w=16, h=12):
+    rgb = bytes(
+        (x * 16 + seed) % 256 for _ in range(h) for x in range(w) for _ in range(3)
+    )
+    return encode_bmp(w, h, rgb)
+
+
+def _wav(freq=440):
+    rate = 8000
+    samples = [
+        int(0.4 * 32767 * math.sin(2 * math.pi * freq * i / rate))
+        for i in range(rate // 2)
+    ]
+    return encode_wav(rate, 1, 16, struct.pack(f"<{len(samples)}h", *samples))
+
+
+def _corpus(spark):
+    rows = [
+        (1, _bmp(seed=0)),
+        (2, _bmp(seed=0)),  # byte-identical image re-upload
+        (3, _bmp(seed=160)),  # distinct image
+        (4, _wav(440)),
+        (5, _wav(440)),  # PCM-identical re-encode
+        (6, _wav(1900)),  # distinct tone
+        (9, b"junk"),  # undecodable
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_prepare_media_corpus_dedups_per_kind_and_quarantines(spark, tmp_path):
+    out, stats = prepare_media_corpus(_corpus(spark), with_stats=True)
+    rows = out.collect()
+    kept = {r["media_id"] for r in rows}
+    assert 1 in kept and 2 not in kept  # exact image dup collapsed to min id
+    assert 4 in kept and 5 not in kept  # exact audio dup collapsed to min id
+    assert {3, 6, 9} <= kept  # distinct media + quarantined junk kept
+    assert stats["input"] == 7
+    assert stats["quarantined"] == 1
+    assert stats["exact_deduped"] == 4
+    assert stats["output"] == len(kept)
+    # signatures were computed once and carried through
+    assert all(r["signature"] is not None for r in rows if r["media_id"] != 9)
+
+
+def test_prepare_media_corpus_reuses_bronze_signatures(spark):
+    """A frame that already carries kind/signature (the streaming
+    bronze form) must NOT be re-decoded: feed impossible content bytes
+    with precomputed signatures and assert the pipeline trusts them."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("signature", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, b"not-decodable", "image", 1111),
+        (2, b"not-decodable", "image", 1111),  # same signature -> dup
+        (3, b"not-decodable", "audio", 1111),  # same value, other kind: NOT a dup
+    ]
+    out = prepare_media_corpus(spark.createDataFrame(rows, schema))
+    kept = {r["media_id"] for r in out.collect()}
+    assert kept == {1, 3}  # cross-kind signatures never collapse
+
+
+def test_prepare_media_corpus_manifest_and_drop_policy(spark, tmp_path):
+    path = str(tmp_path / "media_manifest.json")
+    out = prepare_media_corpus(
+        _corpus(spark), keep_undecodable=False, manifest_path=path
+    )
+    kept = {r["media_id"] for r in out.collect()}
+    assert 9 not in kept  # drop policy honoured
+    m = json.load(open(path))
+    assert m["signature"]["rows"] == len(kept)
+    assert m["config"]["keep_undecodable"] is False
