@@ -99,6 +99,12 @@ def train_centroids(
         .collect()
     )
     centroids = [list(r["__v"]) for r in seeds]
+    if not centroids:
+        raise ValueError("train_centroids: training frame is empty")
+    # fewer training rows than k (reachable via the maintenance paths'
+    # fresh-index retrain on a tiny first batch): every row is its own
+    # cell — clamp rather than index past the seed list below
+    k = min(k, len(centroids))
     for _ in range(iters):
         assigned = v.select(
             assign_list_id(F.col("__v"), centroids).alias("__list"),

@@ -300,6 +300,7 @@ def maintain_ivf_pq_index(
     train_fraction: float | None = None,
     code_col: str = "pq_code",
     list_col: str = "list_id",
+    nbits: int | None = None,
 ) -> dict:
     """The PQ-layer extension of :func:`.ivf.maintain_ivf_index`: the
     drift gate covers BOTH models that age together — the cell bank
@@ -310,11 +311,20 @@ def maintain_ivf_pq_index(
     from one model generation (ADC scores against stale codebooks
     would silently degrade recall — the failure mode this guards).
 
+    ``nbits`` pins the retrained code width explicitly; when omitted it
+    is inferred from the current codebook size, which silently SHRINKS
+    the width if a prior retrain produced fewer than ``2**nbits``
+    centroids (``train_pq`` seeds at most one centroid per training
+    row) — pass it whenever the configured width matters across
+    generations.
+
     Returns ``{"centroids", "codebooks", "baseline_mean_dist2",
-    "retrained", "batch_mean_dist2"}``.
+    "retrained", "batch_mean_dist2", "nbits"}``.
     """
     from .ivf import global_mean_dist2, train_centroids
 
+    if nbits is None:
+        nbits = (len(codebooks[0]) - 1).bit_length()
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
         new_vectors.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
@@ -326,6 +336,7 @@ def maintain_ivf_pq_index(
             "baseline_mean_dist2": baseline_mean_dist2,
             "retrained": False,
             "batch_mean_dist2": batch_fit,
+            "nbits": nbits,
         }
     spark = new_vectors.sparkSession
     try:
@@ -341,7 +352,7 @@ def maintain_ivf_pq_index(
         vec_col,
         id_col,
         m=len(codebooks),
-        nbits=(len(codebooks[0]) - 1).bit_length(),
+        nbits=nbits,
         iters=iters,
         train_fraction=train_fraction,
     )
@@ -354,4 +365,5 @@ def maintain_ivf_pq_index(
         "baseline_mean_dist2": global_mean_dist2(full, vec_col, new_centroids),
         "retrained": True,
         "batch_mean_dist2": batch_fit,
+        "nbits": nbits,
     }

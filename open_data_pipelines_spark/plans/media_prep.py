@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..operators.dedup import top1_per_key
@@ -47,34 +47,84 @@ def prepare_media_corpus(
     keep_undecodable: bool = True,
     manifest_path: str | None = None,
     with_stats: bool = False,
+    stats_via: str = "observe",
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """media frame -> perceptually deduplicated corpus (one
     representative per near-dup cluster per kind), with the funnel
     counts and release manifest the text pipeline offers.
 
-    ``with_stats=True`` returns ``(out, stats)`` with per-stage counts
-    (count-mode only — media frames are decode-bound, so the audit's
-    extra scans re-read signatures, never pixels, once the signature
-    column exists).
+    ``with_stats=True`` returns ``(out, stats)``. The default
+    ``stats_via="observe"`` harvests every stage count from the ONE
+    pipeline execution (the text funnel's observation pattern,
+    ``corpus_prep``): observations ride the plan, the returned frame
+    is persisted and counted once, and ``Observation.get`` reads the
+    metrics without re-running the banding joins — the caller's own
+    action reuses the persisted result (call ``.unpersist()`` when
+    done). ``stats_via="count"`` is the debug mode: one action per
+    stage, each re-executing its upstream.
+
+    The signed frame and the exact-dedup survivors are lazily
+    local-checkpointed (repo caching convention): both are consumed by
+    several subtrees (quarantine split, kinds collect, per-kind pair
+    builds, the survivors side, the manifest signature), and for
+    raw-content input the checkpoint guarantees the Arrow-batched
+    decode runs ONCE — blocks are reclaimed when the result frame is
+    GC'd, no ``clearCache()`` obligation leaks to the caller.
     """
+    if stats_via not in ("count", "observe"):
+        raise ValueError(f"unknown stats_via {stats_via!r}")
     stats: dict[str, int] = {}
+    observations: dict[str, "Observation"] = {}
 
     def note(name: str, frame: DataFrame) -> DataFrame:
-        if with_stats:
-            stats[name] = frame.count()
+        if not with_stats:
+            return frame
+        if stats_via == "observe":
+            obs = Observation(f"media_{name}")
+            observations[name] = obs
+            return frame.observe(obs, F.count(F.lit(1)).alias("rows"))
+        stats[name] = frame.count()
         return frame
 
-    if "signature" not in df.columns or "kind" not in df.columns:
+    have = {"signature", "kind"} & set(df.columns)
+    if not have:
         df = with_media_signature(df, content_col, decoder=decoder)
-    df = note("input", df)
+    elif have != {"signature", "kind"}:
+        # exactly one of the pair: re-signing would append a duplicate
+        # column and every downstream reference would be ambiguous —
+        # fail loud instead of guessing which half is authoritative
+        missing = ({"signature", "kind"} - have).pop()
+        raise ValueError(
+            f"media frame has {have.pop()!r} but not {missing!r} — "
+            "drop the partial column or provide both"
+        )
+    # observe ABOVE the checkpoint: the checkpoint materializes as an
+    # RDD job that bypasses SQL observed-metrics (corpus_prep note)
+    df = note("input", df.localCheckpoint(eager=False))
 
     decodable = df.filter(F.col("signature").isNotNull())
-    quarantine = note("quarantined", df.filter(F.col("signature").isNull()))
+    quarantine_raw = df.filter(F.col("signature").isNull())
+    if with_stats and stats_via == "observe" and not keep_undecodable:
+        # the quarantine branch never reaches the output plan, so an
+        # observation on it would dangle (and .get would block): count
+        # the NULL signatures on the input frame instead, inside the
+        # same single execution
+        obs = Observation("media_quarantined")
+        observations["quarantined"] = obs
+        decodable = df.observe(
+            obs,
+            F.sum(
+                F.when(F.col("signature").isNull(), 1).otherwise(0)
+            ).alias("rows"),
+        ).filter(F.col("signature").isNotNull())
+        quarantine = quarantine_raw
+    else:
+        quarantine = note("quarantined", quarantine_raw)
 
-    exact = note(
-        "exact_deduped",
-        top1_per_key(decodable, ["kind", "signature"], [F.col(id_col).asc()]),
-    )
+    exact = top1_per_key(
+        decodable, ["kind", "signature"], [F.col(id_col).asc()]
+    ).localCheckpoint(eager=False)
+    exact = note("exact_deduped", exact)
 
     # bounded collect: the distinct media kinds (a handful by nature)
     kinds = sorted(
@@ -95,6 +145,18 @@ def prepare_media_corpus(
     if keep_undecodable:
         out = out.unionByName(quarantine)
     out = note("output", out)
+
+    if with_stats and stats_via == "observe":
+        # ONE action fills every remaining observation (the earlier
+        # kinds collect already executed — and reported — the ones
+        # upstream of the exact checkpoint). Persist first so the
+        # manifest signature and the caller's own action reuse this
+        # execution; caller unpersists when done.
+        out = out.persist()
+        out.count()
+        stats.update(
+            {name: int(obs.get["rows"] or 0) for name, obs in observations.items()}
+        )
 
     if manifest_path is not None:
         from .manifest import write_corpus_manifest

@@ -97,3 +97,47 @@ def test_prepare_media_corpus_manifest_and_drop_policy(spark, tmp_path):
     m = json.load(open(path))
     assert m["signature"]["rows"] == len(kept)
     assert m["config"]["keep_undecodable"] is False
+
+
+def test_media_stats_observe_matches_count(spark):
+    """Single-pass observe() funnel == per-stage count() funnel
+    (VERDICT r7 task #4): one action yields all stage counts."""
+    corpus = _corpus(spark)
+    out, observed = prepare_media_corpus(corpus, with_stats=True, stats_via="observe")
+    _, eager = prepare_media_corpus(corpus, with_stats=True, stats_via="count")
+    assert observed == eager
+    out.unpersist()
+
+
+def test_media_stats_observe_matches_count_drop_policy(spark):
+    """keep_undecodable=False: the quarantine branch never reaches the
+    output plan, so its count must come from the input-side
+    conditional observation — not a dangling (forever-blocking)
+    observe node."""
+    corpus = _corpus(spark)
+    out, observed = prepare_media_corpus(
+        corpus, with_stats=True, stats_via="observe", keep_undecodable=False
+    )
+    _, eager = prepare_media_corpus(
+        corpus, with_stats=True, stats_via="count", keep_undecodable=False
+    )
+    assert observed == eager
+    assert observed["quarantined"] == 1
+    out.unpersist()
+
+
+def test_media_partial_signature_columns_rejected(spark):
+    """Exactly one of kind/signature present: re-signing would append
+    a duplicate column (ambiguous downstream) — must fail loud."""
+    import pytest
+
+    df = _corpus(spark).withColumn("kind", F.lit("image"))
+    with pytest.raises(ValueError, match="signature"):
+        prepare_media_corpus(df)
+
+
+def test_media_stats_via_validated(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="stats_via"):
+        prepare_media_corpus(_corpus(spark), with_stats=True, stats_via="bogus")
