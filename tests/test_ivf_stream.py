@@ -137,3 +137,73 @@ def test_drift_first_batch_on_fresh_index_path(spark, tmp_path):
         .collect()
     }
     assert got == bf
+
+
+def test_bank_state_survives_restart(spark, tmp_path):
+    """VERDICT r7 task #3: with state_path, a restarted stream resumes
+    against the PERSISTED bank — the second session is handed a
+    deliberately bogus seed bank (which WOULD trip the drift gate) and
+    must ignore it in favour of the sidecar: no spurious retrain, and
+    probe-all stays row-identical to brute force."""
+    base = _vecs(spark, range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=K_CELLS, iters=5)
+    index_path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=index_path)
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    bank = str(tmp_path / "bank.json")
+
+    # session 1: one calm batch, persisting the bank sidecar
+    calm1 = _vecs(spark, range(100, 120))
+    calm1.repartition(1).write.parquet(landing)
+    stream = (
+        spark.readStream.format("parquet").schema(calm1.schema).load(landing)
+    )
+    q, s1 = stream_embeddings_to_ivf(
+        stream, "embedding", "vec_id", index_path, ckpt,
+        cents, baseline, retrain_factor=2.0, state_path=bank,
+    )
+    q.awaitTermination(120)
+    assert s1["batches"] == 1 and s1["retrains"] == 0
+
+    # session 2 (restart): second calm file; the seed args are a bogus
+    # far-off bank + near-zero baseline that WOULD force a retrain if
+    # the sidecar were ignored
+    calm2 = _vecs(spark, range(120, 140))
+    calm2.repartition(1).write.mode("append").parquet(landing)
+    bogus_cents = [[1e6, 1e6] for _ in range(K_CELLS)]
+    stream2 = (
+        spark.readStream.format("parquet").schema(calm2.schema).load(landing)
+    )
+    q2, s2 = stream_embeddings_to_ivf(
+        stream2, "embedding", "vec_id", index_path, ckpt,
+        bogus_cents, 1e-12, retrain_factor=2.0, state_path=bank,
+    )
+    q2.awaitTermination(120)
+    assert s2["centroids"] == cents  # resumed the persisted bank
+    assert s2["retrains"] == 0       # calm batch against the true bank
+    assert s2["batches"] == 2        # counter carried across sessions
+
+    index = spark.read.parquet(index_path)
+    assert index.count() == 140
+    full = base.unionByName(calm1).unionByName(calm2)
+    queries = _vecs(spark, [0, 101, 121])
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {
+        tuple(r)
+        for r in brute_force_topk(full, queries, "embedding", "vec_id", k=5)
+        .select(cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_topk(
+            index, queries, "embedding", "vec_id", s2["centroids"], k=5,
+            nprobe=K_CELLS,
+        )
+        .select(cols)
+        .collect()
+    }
+    assert got == bf
