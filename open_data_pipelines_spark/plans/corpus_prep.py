@@ -146,18 +146,28 @@ def prepare_corpus(
 
     # the observed frame MUST flow into the plan (a dangling observe
     # node never executes, and its Observation.get would block forever)
-    docs = note("input", docs)
-
-    if boilerplate_min_docs is not None:
+    if boilerplate_min_docs is None:
+        docs = note("input", docs)
+    else:
         from ..operators.boilerplate import strip_boilerplate_lines
 
         # line-level boilerplate removal (C4/RefinedWeb) MUST run on
         # raw text: the normalize stage below collapses newlines, so
-        # line structure only exists here
+        # line structure only exists here.
+        # BOTH observations ride the strip OUTPUT: the strip's internal
+        # line-explode localCheckpoint would swallow an observation
+        # attached to its input (the RDD materialization bypasses SQL
+        # observed-metrics — an input observe silently read 0, round-8
+        # find), and the strip is row-preserving by construction (left
+        # join back to every input id; all-boilerplate docs come back
+        # with empty text), so input count == stripped count exactly.
         docs = note(
             "boilerplate_stripped",
-            strip_boilerplate_lines(
-                docs, "text", "doc_id", min_docs=boilerplate_min_docs
+            note(
+                "input",
+                strip_boilerplate_lines(
+                    docs, "text", "doc_id", min_docs=boilerplate_min_docs
+                ),
             ),
         )
 

@@ -354,3 +354,20 @@ def test_mix_temperature_flattens_source_mix(spark):
             mix_temperature=2.0,
             source_weights={"web": 1.0},
         )
+
+
+def test_observe_audit_with_boilerplate_stage(spark):
+    """Round-8 regression: with the boilerplate stage on, the input
+    observation used to read 0 — the strip's internal line-explode
+    localCheckpoint swallowed it (RDD materialization bypasses SQL
+    observed-metrics). Both audit modes must agree, and input must be
+    the real corpus size (the strip is row-preserving)."""
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    n_docs = docs.count()
+    kwargs = dict(chunk_size=16, overlap=4, with_stats=True,
+                  boilerplate_min_docs=3, docs=docs)
+    _, eager = prepare_corpus(spark, SF_SMOKE, **kwargs)
+    out, observed = prepare_corpus(spark, SF_SMOKE, stats_via="observe", **kwargs)
+    assert observed == eager
+    assert observed["input"] == n_docs
+    out.unpersist()
