@@ -1,0 +1,43 @@
+"""The repo's ONE internal-reuse caching primitive.
+
+Operators and plans that consume an expensive subtree more than once
+cache it with a LAZY ``localCheckpoint`` — materialized on first use,
+blocks reclaimed by the ContextCleaner when the result frame is
+garbage-collected — never a bare internal ``.persist()`` whose handle
+the caller can't release (the unreclaimable-cache pattern review
+rounds flag). Trade-off, documented once here: checkpoint blocks are
+unreplicated, so losing an executor fails the job fast instead of
+silently recomputing — acceptable for derived reuse caches, and the
+REQUIRED failure mode for key generation (see
+``operators/scd2.with_surrogate_keys_scaled``, which stays on a raw
+eager checkpoint precisely because its checkpoint is load-bearing for
+correctness, not a reuse cache).
+
+``SPARK_GRAFT_NO_INTERNAL_CHECKPOINT=1`` turns :func:`lazy_checkpoint`
+into a no-op. Two uses:
+
+- **plan auditing**: a checkpoint truncates lineage to a
+  ``Scan ExistingRDD`` node, hiding the subtree's exchanges, pushed
+  filters, and scan widths from ``.explain`` — ``tools/
+  explain_audit.py`` sets the flag so EXPLAIN_AUDIT.md reports the
+  FULL logical plan (what executes once per subtree, not what the
+  truncated top plan shows);
+- **debugging**: recompute-everything semantics reproduce issues that
+  block reuse can mask.
+
+The flag changes reuse strategy only, never results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy local checkpoint per the repo convention (no-op under
+    ``SPARK_GRAFT_NO_INTERNAL_CHECKPOINT=1``)."""
+    if os.environ.get("SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"):
+        return df
+    return df.localCheckpoint(eager=False)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from .text_analysis import normalize_text
 
 
@@ -85,7 +86,7 @@ def strip_boilerplate_lines(
     # anti-join side — lazily checkpointed so the explode+fingerprint
     # pass over the corpus executes once, not twice (blocks reclaimed
     # when the result frame is GC'd)
-    rows = _line_rows(df, text_col, id_col).localCheckpoint(eager=False)
+    rows = lazy_checkpoint(_line_rows(df, text_col, id_col))
     bad = _boilerplate_fps(rows, id_col, min_docs).select("line_fp")
     if broadcast_boilerplate:
         bad = F.broadcast(bad)

@@ -38,6 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from ..functions.hashing import record_hash
 from .dedup import top1_per_key
 
@@ -86,21 +87,32 @@ def scd2_merge(
 ) -> DataFrame:
     """Incremental merge -> new dimension snapshot (join-based rewrite).
 
-    One wide shuffle on ``entity_key`` (the dedup window, the
-    change-detection join, and the anti-join all share it — Catalyst
-    reuses the exchange), then a union of four branches.
+    Plan shape (round 8: the union branches used to re-run their
+    shared subtrees — 9 shuffles in EXPLAIN_AUDIT): ``inc`` (consumed
+    by the change-detection join AND the brand-new anti-join) and the
+    joined frame ``j`` (consumed by THREE union branches) are lazily
+    local-checkpointed, so the staging dedup window and the wide join
+    each execute once; blocks are reclaimed when the result frame is
+    GC'd (repo caching convention — no clearCache() obligation leaks
+    to the caller, incl. the per-batch streaming wrapper).
     """
-    inc = _latest_per_entity(staging, entity_key, event_time, tiebreakers).select(
-        F.col(entity_key).alias("__k"),
-        *[F.col(c).alias(f"__{c}") for c in attr_cols],
-        F.col(event_time).alias("__t"),
-        record_hash(*hash_cols).alias("__h"),
+    inc = (
+        _latest_per_entity(staging, entity_key, event_time, tiebreakers)
+        .select(
+            F.col(entity_key).alias("__k"),
+            *[F.col(c).alias(f"__{c}") for c in attr_cols],
+            F.col(event_time).alias("__t"),
+            record_hash(*hash_cols).alias("__h"),
+        )
     )
+    inc = lazy_checkpoint(inc)
 
     current = dim.filter(F.col("is_current"))
     history = dim.filter(~F.col("is_current"))
 
-    j = current.join(inc, current[entity_key] == inc["__k"], "left")
+    j = lazy_checkpoint(
+        current.join(inc, current[entity_key] == inc["__k"], "left")
+    )
 
     # I4 guard: strictly newer AND changed
     is_changed = F.col("__k").isNotNull() & (F.col("__t") > F.col("event_time")) & (

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import lazy_checkpoint
 from pyspark.storagelevel import StorageLevel
 
 from .text_analysis import doc_fingerprint, whitespace_tokens
@@ -183,7 +185,8 @@ def candidates_from_shingled(
         F.posexplode(F.array(*lsh_bands(F.col("__sig"), bands, rows))).alias(
             "band_id", "band_hash"
         ),
-    ).localCheckpoint(eager=False)
+    )
+    banded = lazy_checkpoint(banded)
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band_id", "band_hash")
@@ -252,16 +255,17 @@ def jaccard_from_shingled(
     materialized once on first use, blocks reclaimed when the result
     frame is GC'd (no unreclaimable internal persist).
     """
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = lazy_checkpoint(pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = shingled.join(cand_ids, id_col, "left_semi").localCheckpoint(eager=False)
+    needed = lazy_checkpoint(shingled.join(cand_ids, id_col, "left_semi"))
     sh = needed.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
-    ).localCheckpoint(eager=False)
+    )
+    sh = lazy_checkpoint(sh)
     # per-doc distinct-shingle count is a projection on the array —
     # NOT a groupBy over the exploded rows (which would shuffle
     # |docs| * |shingles| rows just to count them). Zero-shingle docs

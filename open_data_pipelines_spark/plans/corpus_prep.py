@@ -61,6 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from ..operators.graph import cluster_members
 from ..operators.text_analysis import (
     chunk_tokens,
@@ -255,7 +256,7 @@ def prepare_corpus(
         # Applied BELOW the observe node: the checkpoint materializes
         # as an RDD job that bypasses SQL observed-metrics, so an
         # observation under it would silently read 0.
-        exact = exact.localCheckpoint(eager=False)
+        exact = lazy_checkpoint(exact)
     exact = note("exact_deduped", exact)
 
     # near-dup pair generation is pluggable; every backend is banded

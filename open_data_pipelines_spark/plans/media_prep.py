@@ -32,6 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from ..operators.dedup import top1_per_key
 from ..operators.graph import keep_cluster_representatives
 from ..operators.image_dedup import image_near_dup_pairs
@@ -100,7 +101,7 @@ def prepare_media_corpus(
         )
     # observe ABOVE the checkpoint: the checkpoint materializes as an
     # RDD job that bypasses SQL observed-metrics (corpus_prep note)
-    df = note("input", df.localCheckpoint(eager=False))
+    df = note("input", lazy_checkpoint(df))
 
     decodable = df.filter(F.col("signature").isNotNull())
     quarantine_raw = df.filter(F.col("signature").isNull())
@@ -123,7 +124,8 @@ def prepare_media_corpus(
 
     exact = top1_per_key(
         decodable, ["kind", "signature"], [F.col(id_col).asc()]
-    ).localCheckpoint(eager=False)
+    )
+    exact = lazy_checkpoint(exact)
     exact = note("exact_deduped", exact)
 
     # bounded collect: the distinct media kinds (a handful by nature)

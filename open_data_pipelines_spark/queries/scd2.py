@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from ..operators.scd2 import scd2_initial_load, scd2_merge, with_surrogate_keys
 from ..session import load_tables
 
@@ -30,9 +31,15 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch1 = events.filter(F.col("event_id") % 2 == 0)
     batch2 = events.filter(F.col("event_id") % 2 == 1)
 
+    # the merge consumes dim three ways (current filter, history
+    # filter, key-distinct for the brand-new anti-join); dim here is a
+    # COMPUTED window over batch1, so a lazy checkpoint runs that
+    # window once instead of three times (a dim read straight from
+    # storage would not need this — scans are cheap to repeat)
     dim = scd2_initial_load(
         batch1, "user_id", "ts", ATTRS, HASH_COLS, tiebreakers=["event_id"]
     )
+    dim = lazy_checkpoint(dim)
     merged = scd2_merge(dim, batch2, "user_id", "ts", ATTRS, HASH_COLS, tiebreakers=["event_id"])
     final = with_surrogate_keys(merged, ["user_id", "valid_from"])
     return final.select(
