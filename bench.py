@@ -47,7 +47,43 @@ HEADLINE = [
     # so its guard lives here rather than in the oracle registry)
     "corpus_funnel",
     "perplexity_filter",
+    # round 8: the composed media funnel (signature -> quarantine ->
+    # exact dedup -> per-kind Hamming banding -> cluster reps) gets a
+    # perf guard over a synthetic 100k-row bronze-signed frame derived
+    # from the events table (bench-local for the same window reason)
+    "media_funnel",
 ]
+
+
+def _bench_media_funnel(spark, sf_dir):
+    """prepare_media_corpus over a deterministic bronze-signed frame
+    (kind+signature precomputed — the streaming-bronze form, so no
+    decode): one row per event, groups of 16 ids share a 64-bit base
+    signature (4 exact copies of each of 4 near-variants differing in
+    the low 2 bits), every 97th row undecodable. Exercises the exact
+    (kind, signature) dedup shuffle, the per-kind Hamming banding
+    joins, the connected-components endgame, and the quarantine
+    re-union at 100k rows."""
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.plans.media_prep import prepare_media_corpus
+    from open_data_pipelines_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, register_views=False)["events"]
+    grp = (F.col("event_id") / 16).cast("long")
+    base = F.xxhash64(grp)
+    frame = ev.select(
+        F.col("event_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("content"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(grp, F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("long"))
+        .otherwise(base.bitwiseXOR(F.pmod(F.col("event_id"), F.lit(4))))
+        .alias("signature"),
+    )
+    return prepare_media_corpus(frame, max_hamming=2)
 
 
 def _bench_perplexity_filter(spark, sf_dir):
@@ -71,7 +107,29 @@ def _bench_perplexity_filter(spark, sf_dir):
 
 # bench-only callables for operators whose driver-window slot is taken
 # (queries() is pinned at the 50-row driver cap)
-EXTRA = {"perplexity_filter": _bench_perplexity_filter}
+EXTRA = {
+    "perplexity_filter": _bench_perplexity_filter,
+    "media_funnel": _bench_media_funnel,
+}
+
+
+def _gc_settle(spark) -> None:
+    """Deterministic storage reclaim between headline entries.
+
+    The operators' internal reuse caches are LAZY localCheckpoints
+    whose blocks are reclaimed only after the driver GC drops the
+    frame references (ContextCleaner). Without an explicit collection,
+    blocks from entry N's passes linger into entry N+1's measurement —
+    storage pressure that depends on headline-set COMPOSITION, exactly
+    the cross-entry contamination suspected in the round-7 driver run
+    (four untouched queries drifted together; same-day A/B of r6 vs r7
+    code showed no per-query code regression — STRESS.md round-8
+    attribution). One py + JVM GC per entry (~100 ms) makes each
+    query's number independent of what ran before it."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
@@ -106,6 +164,7 @@ def main() -> None:
             "min": round(min(samples), 3),
             "max": round(max(samples), 3),
         }
+        _gc_settle(spark)
 
     result = {
         "metric": "headline_total_runtime",
