@@ -167,6 +167,76 @@ def append_to_ivf_index(
     ).partitionBy("list_id").parquet(path)
 
 
+def compact_ivf_index(
+    spark,
+    path: str,
+    id_col: str,
+    on_conflict: str = "error",
+    list_col: str = "list_id",
+) -> dict:
+    """Restore exactly-once contents after at-least-once appends.
+
+    :func:`append_to_ivf_index` (and the streaming wrapper replaying a
+    micro-batch after a crash) re-appends byte-identical rows; this is
+    the compaction the append contract defers to retrain time, as its
+    own maintenance operator. One ``dropDuplicates`` over the index
+    collapses replay copies (identical rows — one keyed shuffle), then
+    the layout is rewritten ``partitionBy(list_col)``; the compacted
+    frame is eagerly checkpointed before the same-path overwrite (the
+    :func:`maintain_ivf_index` discipline).
+
+    An id surviving with MORE than one distinct row is not a replay —
+    it is a genuine conflict (the upstream sent two payloads for one
+    id). ``on_conflict="error"`` (default) raises with a bounded
+    sample; ``on_conflict="min"`` keeps the lexicographically smallest
+    payload per id — deterministic, but a policy the caller must opt
+    into. Returns ``{"rows_before", "rows_after", "replay_rows",
+    "conflict_ids"}``.
+    """
+    if on_conflict not in ("error", "min"):
+        raise ValueError(f"unknown on_conflict {on_conflict!r}")
+    idx = spark.read.parquet(path)
+    before = idx.count()
+    # localCheckpoint here serves BOTH reuse (3 consumers: conflict
+    # count, resolution, rewrite) and the same-path-overwrite hazard
+    deduped = idx.dropDuplicates().localCheckpoint(eager=True)
+    replay_rows = before - deduped.count()
+    payload_cols = [c for c in deduped.columns if c != id_col]
+    counts = deduped.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_conflicts = counts.filter(F.col("__n") > 1).count()
+    if n_conflicts and on_conflict == "error":
+        sample = [
+            r[id_col]
+            for r in counts.filter(F.col("__n") > 1).limit(5).collect()
+        ]
+        raise ValueError(
+            f"compact_ivf_index: {n_conflicts} ids carry multiple distinct "
+            f"payloads (sample: {sample}) — not replay duplicates; rerun "
+            "with on_conflict='min' to keep a deterministic one per id"
+        )
+    if n_conflicts:
+        w = Window.partitionBy(id_col).orderBy(
+            *[F.col(c) for c in payload_cols]
+        )
+        deduped = (
+            deduped.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if n_conflicts:
+        # the row_number consumes the checkpointed frame, then the
+        # result must itself be frozen before overwriting its source
+        deduped = deduped.localCheckpoint(eager=True)
+    after = deduped.count()
+    deduped.write.mode("overwrite").partitionBy(list_col).parquet(path)
+    return {
+        "rows_before": before,
+        "rows_after": after,
+        "replay_rows": replay_rows,
+        "conflict_ids": n_conflicts,
+    }
+
+
 def index_drift_stats(
     vectors: DataFrame,
     vec_col: str,

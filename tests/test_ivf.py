@@ -215,3 +215,90 @@ def test_maintain_ivf_index_retrain_policy(spark, tmp_path):
         .collect()
     }
     assert got == bf
+
+
+def _mk_vecs(spark, ids, offset=0.0):
+    rows = [
+        (i, [float(i % 7) + 1.0 + offset, float((i * 3) % 5) + 1.0 + offset])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_compact_removes_replayed_appends(spark, tmp_path):
+    """Round 8: the compaction the at-least-once append contract
+    defers — a replayed batch's byte-identical rows collapse, the
+    partitioned layout survives, and probe-all stays row-identical to
+    the exactly-once corpus."""
+    from open_data_pipelines_spark.operators.ivf import (
+        append_to_ivf_index,
+        compact_ivf_index,
+    )
+
+    base = _mk_vecs(spark, range(80))
+    cents = train_centroids(base, "embedding", "vec_id", k=4, iters=3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path)
+
+    batch = _mk_vecs(spark, range(80, 100))
+    append_to_ivf_index(batch, "embedding", "vec_id", cents, path)
+    append_to_ivf_index(batch, "embedding", "vec_id", cents, path)  # replay
+
+    assert spark.read.parquet(path).count() == 120
+    res = compact_ivf_index(spark, path, "vec_id")
+    assert res == {
+        "rows_before": 120,
+        "rows_after": 100,
+        "replay_rows": 20,
+        "conflict_ids": 0,
+    }
+    idx = spark.read.parquet(path)
+    assert idx.count() == 100
+    assert "list_id" in idx.columns  # partitioned layout rewritten
+
+    full = base.unionByName(batch)
+    queries = _mk_vecs(spark, [0, 85])
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {
+        tuple(r)
+        for r in brute_force_topk(full, queries, "embedding", "vec_id", k=5)
+        .select(cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_topk(idx, queries, "embedding", "vec_id", cents, k=5, nprobe=4)
+        .select(cols)
+        .collect()
+    }
+    assert got == bf
+
+
+def test_compact_conflicting_payloads(spark, tmp_path):
+    """Same id with two DIFFERENT payloads is not a replay: default
+    raises with a bounded sample; on_conflict='min' keeps the
+    lexicographically smallest payload, deterministically."""
+    from open_data_pipelines_spark.operators.ivf import (
+        append_to_ivf_index,
+        compact_ivf_index,
+    )
+
+    base = _mk_vecs(spark, range(40))
+    cents = train_centroids(base, "embedding", "vec_id", k=4, iters=3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path)
+    # id 7 re-sent with a different vector
+    conflict = spark.createDataFrame([(7, [99.0, 99.0])], ["vec_id", "embedding"])
+    append_to_ivf_index(conflict, "embedding", "vec_id", cents, path)
+
+    with pytest.raises(ValueError, match="multiple distinct payloads"):
+        compact_ivf_index(spark, path, "vec_id")
+
+    res = compact_ivf_index(spark, path, "vec_id", on_conflict="min")
+    assert res["conflict_ids"] == 1 and res["rows_after"] == 40
+    kept = (
+        spark.read.parquet(path).filter(F.col("vec_id") == 7).collect()
+    )
+    assert len(kept) == 1
+    # lexicographic min of the two payload vectors is the original
+    assert list(kept[0]["embedding"]) == [float(7 % 7) + 1.0, float((7 * 3) % 5) + 1.0]
