@@ -586,12 +586,59 @@ def quality_model_scenario() -> None:
     )
 
 
+
+def media_funnel_scale_scenario(sizes=(100_000, 1_000_000)) -> None:
+    """Does the composed media funnel scale linearly in rows? Same
+    synthetic bronze-signed frame shape as bench.py's media_funnel
+    entry (groups of 16 ids = 4 exact copies x 4 low-bit near-dup
+    variants, 1/97 undecodable), generated at each size from
+    spark.range — exercises exact (kind,signature) dedup, per-kind
+    Hamming banding, connected components, quarantine re-union."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.plans.media_prep import prepare_media_corpus
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-media-funnel")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for n in sizes:
+        grp = (F.col("id") / 16).cast("long")
+        base = F.xxhash64(grp)
+        frame = spark.range(n).select(
+            F.col("id").alias("media_id"),
+            F.lit(None).cast("binary").alias("content"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.pmod(grp, F.lit(3)) + 1).cast("int"),
+            ).alias("kind"),
+            F.when(F.col("id") % 97 == 0, F.lit(None).cast("long"))
+            .otherwise(base.bitwiseXOR(F.pmod(F.col("id"), F.lit(4))))
+            .alias("signature"),
+        )
+        prepare_media_corpus(frame, max_hamming=2).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm
+        t0 = time.perf_counter()
+        out = prepare_media_corpus(frame, max_hamming=2)
+        out.write.format("noop").mode("overwrite").save()
+        results[n] = {"wall_sec": round(time.perf_counter() - t0, 3)}
+    import json as _json
+
+    print(_json.dumps({"scenario": "media_funnel_scale", "sizes": results}))
+
+
 def main() -> None:
     if "--quality-model" in sys.argv:
         quality_model_scenario()
         return
     if "--cc-gate" in sys.argv:
         cc_gate_scenario()
+        return
+    if "--media-funnel" in sys.argv:
+        media_funnel_scale_scenario()
         return
     if "--media" in sys.argv:
         media_scenario()
