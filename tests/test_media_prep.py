@@ -141,3 +141,27 @@ def test_media_stats_via_validated(spark):
 
     with pytest.raises(ValueError, match="stats_via"):
         prepare_media_corpus(_corpus(spark), with_stats=True, stats_via="bogus")
+
+
+def test_media_takedown_reissues_manifest(spark, tmp_path):
+    """Takedowns are modality-agnostic: retract_and_reissue over the
+    media funnel's manifest projection removes the media_id and
+    re-signs the stored release record — the same evidence chain the
+    text corpus has (round 8)."""
+    from open_data_pipelines_spark.operators.retraction import retract_and_reissue
+
+    path = str(tmp_path / "media_manifest.json")
+    out = prepare_media_corpus(_corpus(spark), manifest_path=path)
+    signed = out.select("media_id", "kind", "signature")
+
+    tomb = spark.createDataFrame([(1,), (424242,)], ["media_id"])  # 1 hit, 1 absent
+    new_out, report = retract_and_reissue(signed, tomb, path, id_col="media_id")
+    assert report["changed"] is True
+    assert report["removed_ids"] == [1]
+    assert report["rows_after"] == report["rows_before"] - 1
+    kept = {r["media_id"] for r in new_out.collect()}
+    assert 1 not in kept
+    m = json.load(open(path))
+    assert m["signature"]["rows"] == report["rows_after"]
+    assert m["retractions"][-1]["removed_ids"] == [1]
+    new_out.unpersist()
