@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 from .text_analysis import whitespace_tokens
 
 BOS = "<s>"
+# train_ngram_lm defaults — module-level so SQL mirrors (the
+# corpus_funnel oracle, tests) IMPORT them rather than retype the
+# literals; retuning here retunes both engines together
+DEFAULT_ALPHA = 0.1
+DEFAULT_LAM = 0.7
 
 
 @dataclass(frozen=True)
@@ -71,8 +76,8 @@ def _token_pairs(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
 def train_ngram_lm(
     reference: DataFrame,
     text_col: str,
-    alpha: float = 0.1,
-    lam: float = 0.7,
+    alpha: float = DEFAULT_ALPHA,
+    lam: float = DEFAULT_LAM,
 ) -> NgramLM:
     """Fit the interpolated bigram model on a trusted corpus: two
     hash aggregations; only two scalars (N, V) reach the driver."""

@@ -162,15 +162,15 @@ def prepare_corpus(
         # find), and the strip is row-preserving by construction (left
         # join back to every input id; all-boilerplate docs come back
         # with empty text), so input count == stripped count exactly.
-        docs = note(
-            "boilerplate_stripped",
-            note(
-                "input",
-                strip_boilerplate_lines(
-                    docs, "text", "doc_id", min_docs=boilerplate_min_docs
-                ),
-            ),
+        stripped = strip_boilerplate_lines(
+            docs, "text", "doc_id", min_docs=boilerplate_min_docs
         )
+        if with_stats and stats_via == "count":
+            # equal by construction — one count() serves both keys
+            stats["input"] = stats["boilerplate_stripped"] = stripped.count()
+            docs = stripped
+        else:
+            docs = note("boilerplate_stripped", note("input", stripped))
 
     # redact BEFORE normalizing so the replacement tokens lowercase
     # with the rest of the text (and whitespace variants of redacted

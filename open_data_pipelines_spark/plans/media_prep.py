@@ -118,7 +118,7 @@ def prepare_media_corpus(
                 F.when(F.col("signature").isNull(), 1).otherwise(0)
             ).alias("rows"),
         ).filter(F.col("signature").isNotNull())
-        quarantine = quarantine_raw
+        quarantine = None  # drop policy: the branch never reaches the output
     else:
         quarantine = note("quarantined", quarantine_raw)
 
@@ -162,6 +162,14 @@ def prepare_media_corpus(
 
     if manifest_path is not None:
         from .manifest import write_corpus_manifest
+
+        # the signature aggregation is an extra action: persist first
+        # (when the observe harvest hasn't already) so it doesn't
+        # re-run the banding joins + CC endgame, and the caller's own
+        # action reuses this execution — corpus_prep's discipline;
+        # caller unpersists when done
+        if not out.is_cached:
+            out = out.persist()
 
         # sign metadata + signatures, NOT the raw bytes: re-hashing
         # every blob would re-shuffle content; (id, kind, signature)

@@ -617,15 +617,18 @@ _FUNNEL_STRIDE = _FUNNEL_CHUNK - _FUNNEL_OVERLAP
 # agrees (same contract as tests/test_boilerplate.py parity).
 _BL_NORM = "trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))"
 # LM-stage mirrors (operators/lm_score): tokenization == Spark's
-# whitespace_tokens(lower(text)) with empties filtered; constants are
-# the train_ngram_lm defaults. The same SQL passed the standalone
-# parity test (tests/test_lm_duckdb_parity.py) at 1e-9 relative.
+# whitespace_tokens(lower(text)) with empties filtered; the BOS
+# sentinel and smoothing constants are IMPORTED from the operator —
+# not retyped — so the engines can't drift (same discipline as
+# _PII_PATTERNS below). The same SQL passed the standalone parity
+# test (tests/test_lm_duckdb_parity.py) at 1e-9 relative.
+from ..operators.lm_score import BOS as _PPL_BOS  # noqa: E402
+from ..operators.lm_score import DEFAULT_ALPHA as _PPL_ALPHA  # noqa: E402
+from ..operators.lm_score import DEFAULT_LAM as _PPL_LAM  # noqa: E402
+
 _PPL_TOKS = (
     "list_filter(string_split_regex(trim(lower({t})), '\\s+'), t -> t <> '')"
 )
-_PPL_BOS = "<s>"
-_PPL_ALPHA = 0.1
-_PPL_LAM = 0.7
 ORACLE_CORPUS_FUNNEL = f"""
 WITH RECURSIVE
 planted_raw AS ({_FUNNEL_PLANTED_SQL}),
