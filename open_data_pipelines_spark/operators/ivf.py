@@ -35,6 +35,9 @@ are built-in expressions — no UDFs anywhere.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -159,8 +162,9 @@ def append_to_ivf_index(
 
     At-least-once ingestion note: parquet append cannot dedup retries
     by itself — dedup the batch on ``id_col`` upstream (the corpus
-    funnel's exact-dedup discipline) or compact with
-    ``drop_duplicates`` at retrain time.
+    funnel's exact-dedup discipline), rely on the retrain-time
+    compaction (:func:`maintain_ivf_index` ``compact_on_retrain``,
+    on by default), or run :func:`compact_ivf_index` between retrains.
     """
     new_vectors.withColumn("list_id", assign_list_id(vec_col, centroids)).write.mode(
         "append"
@@ -179,11 +183,21 @@ def compact_ivf_index(
     :func:`append_to_ivf_index` (and the streaming wrapper replaying a
     micro-batch after a crash) re-appends byte-identical rows; this is
     the compaction the append contract defers to retrain time, as its
-    own maintenance operator. One ``dropDuplicates`` over the index
-    collapses replay copies (identical rows — one keyed shuffle), then
-    the layout is rewritten ``partitionBy(list_col)``; the compacted
-    frame is eagerly checkpointed before the same-path overwrite (the
-    :func:`maintain_ivf_index` discipline).
+    own maintenance operator (:func:`maintain_ivf_index` also invokes
+    the same dedup inside its retrain rewrite by default —
+    ``compact_on_retrain``). One ``dropDuplicates`` over the index
+    collapses replay copies (identical rows — one keyed shuffle).
+
+    The rewrite is an atomic sibling swap, never an in-place
+    overwrite: the compacted layout is written to ``<path>.compact.tmp``
+    first, then swapped over ``path`` with two directory renames — at
+    every instant a complete durable copy of the index exists on disk
+    (the in-place overwrite it replaces deleted the only copy before
+    the new write committed; an executor loss mid-job lost the index).
+    If a crash lands between the two renames, ``path`` is briefly
+    absent but ``<path>.compact.tmp`` holds the full compacted copy —
+    rename it back to recover. POSIX-rename semantics (the local/HDFS
+    case); an object-store deployment swaps a manifest instead.
 
     An id surviving with MORE than one distinct row is not a replay —
     it is a genuine conflict (the upstream sent two payloads for one
@@ -197,8 +211,9 @@ def compact_ivf_index(
         raise ValueError(f"unknown on_conflict {on_conflict!r}")
     idx = spark.read.parquet(path)
     before = idx.count()
-    # localCheckpoint here serves BOTH reuse (3 consumers: conflict
-    # count, resolution, rewrite) and the same-path-overwrite hazard
+    # localCheckpoint for reuse across the 3 consumers (conflict
+    # count, resolution, rewrite) — the overwrite hazard itself is
+    # gone now that the rewrite targets a sibling path
     deduped = idx.dropDuplicates().localCheckpoint(eager=True)
     replay_rows = before - deduped.count()
     payload_cols = [c for c in deduped.columns if c != id_col]
@@ -223,12 +238,16 @@ def compact_ivf_index(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    if n_conflicts:
-        # the row_number consumes the checkpointed frame, then the
-        # result must itself be frozen before overwriting its source
-        deduped = deduped.localCheckpoint(eager=True)
     after = deduped.count()
-    deduped.write.mode("overwrite").partitionBy(list_col).parquet(path)
+    base = path.rstrip("/")
+    tmp, old = base + ".compact.tmp", base + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    deduped.write.mode("overwrite").partitionBy(list_col).parquet(tmp)
+    # swap: the new layout is fully committed before the old one moves
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(base, old)
+    os.replace(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
     return {
         "rows_before": before,
         "rows_after": after,
@@ -285,6 +304,7 @@ def maintain_ivf_index(
     retrain_factor: float = 2.0,
     k: int | None = None,
     iters: int = 3,
+    compact_on_retrain: bool = True,
 ) -> dict:
     """The retrain policy on top of :func:`index_drift_stats` /
     :func:`append_to_ivf_index` (round-6 gap: drift was measured but
@@ -297,6 +317,16 @@ def maintain_ivf_index(
     brute-force invariant holds across the retrain boundary (the index
     is always a complete single-bank assignment, never a mix of two
     banks).
+
+    ``compact_on_retrain`` (default on) honors the append contract's
+    "compact at retrain time": the retrain rewrite first collapses
+    byte-identical replay copies (at-least-once re-appends, including
+    a replayed batch that is ALREADY in the index) with one
+    ``dropDuplicates`` over existing+batch — the same dedup
+    :func:`compact_ivf_index` applies between retrains. Genuine
+    id-payload conflicts are out of scope here (two distinct rows both
+    survive); run :func:`compact_ivf_index` for the policy-controlled
+    resolution.
 
     Returns ``{"centroids", "baseline_mean_dist2", "retrained",
     "batch_mean_dist2"}`` — the caller's next-round state. Scale
@@ -316,14 +346,17 @@ def maintain_ivf_index(
     spark = new_vectors.sparkSession
     try:
         existing = spark.read.parquet(path).select(*new_vectors.columns)
-        # materialize before the overwrite below — the rebuilt index
-        # is written to the same path the union reads from
-        full = existing.unionByName(new_vectors).localCheckpoint(eager=True)
+        full = existing.unionByName(new_vectors)
     except AnalysisException:
         # no index at `path` yet: a drift-first maintenance call (the
         # streaming entry point makes this ordering reachable) retrains
         # on the batch alone instead of crashing inside foreachBatch
-        full = new_vectors.localCheckpoint(eager=True)
+        full = new_vectors
+    if compact_on_retrain:
+        full = full.dropDuplicates()
+    # materialize before the overwrite below — the rebuilt index is
+    # written to the same path the union reads from
+    full = full.localCheckpoint(eager=True)
     new_centroids = train_centroids(
         full, vec_col, id_col, k=k or len(centroids), iters=iters
     )

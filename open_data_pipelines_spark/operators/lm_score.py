@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from .text_analysis import whitespace_tokens
 
 BOS = "<s>"
@@ -83,13 +84,17 @@ def train_ngram_lm(
     hash aggregations; only two scalars (N, V) reach the driver."""
     pairs = _token_pairs(reference, text_col, None).persist()
     try:
-        uni = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("uni_n")).persist()
+        # model dims cached per the repo convention (caching.py): lazy
+        # localCheckpoint, reclaimed when the NgramLM is GC'd — not a
+        # bare persist whose handle outlives the model invisibly
+        uni = lazy_checkpoint(
+            pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("uni_n"))
+        )
         prev_totals = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("prev_n"))
-        bi = (
+        bi = lazy_checkpoint(
             pairs.groupBy("prev", "tok")
             .agg(F.count(F.lit(1)).alias("bi_n"))
             .join(prev_totals, "prev")
-            .persist()
         )
         totals = uni.agg(
             F.sum("uni_n").alias("n"), F.count(F.lit(1)).alias("v")

@@ -38,6 +38,8 @@ shortlist — candidates never ship raw vectors, only codes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -301,6 +303,7 @@ def maintain_ivf_pq_index(
     code_col: str = "pq_code",
     list_col: str = "list_id",
     nbits: int | None = None,
+    compact_on_retrain: bool = True,
 ) -> dict:
     """The PQ-layer extension of :func:`.ivf.maintain_ivf_index`: the
     drift gate covers BOTH models that age together — the cell bank
@@ -312,18 +315,25 @@ def maintain_ivf_pq_index(
     would silently degrade recall — the failure mode this guards).
 
     ``nbits`` pins the retrained code width explicitly; when omitted it
-    is inferred from the current codebook size, which silently SHRINKS
-    the width if a prior retrain produced fewer than ``2**nbits``
-    centroids (``train_pq`` seeds at most one centroid per training
-    row) — pass it whenever the configured width matters across
-    generations.
+    is inferred from the current codebook size — with a warning at
+    retrain time, because the inference silently SHRINKS the width if
+    a prior retrain produced fewer than ``2**nbits`` centroids
+    (``train_pq`` seeds at most one centroid per training row) — pass
+    it whenever the configured width matters across generations.
+
+    ``compact_on_retrain`` mirrors :func:`.ivf.maintain_ivf_index`:
+    the retrain rewrite collapses byte-identical replay copies from
+    at-least-once appends before re-encoding (codes and cell ids are
+    recomputed from the vectors, so the dedup runs on the raw
+    vector rows).
 
     Returns ``{"centroids", "codebooks", "baseline_mean_dist2",
     "retrained", "batch_mean_dist2", "nbits"}``.
     """
     from .ivf import global_mean_dist2, train_centroids
 
-    if nbits is None:
+    nbits_inferred = nbits is None
+    if nbits_inferred:
         nbits = (len(codebooks[0]) - 1).bit_length()
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
@@ -338,12 +348,26 @@ def maintain_ivf_pq_index(
             "batch_mean_dist2": batch_fit,
             "nbits": nbits,
         }
+    if nbits_inferred:
+        # the decay bites exactly here: a retrain seeded with an
+        # inferred width bakes it into the NEXT generation's codebooks
+        warnings.warn(
+            f"maintain_ivf_pq_index: retraining with nbits={nbits} inferred "
+            "from the current codebook size — if a prior retrain produced "
+            "fewer than 2**nbits centroids this silently narrows the code "
+            "width for every later generation; pass nbits explicitly to pin "
+            "the configured width (the streaming wrapper does)",
+            stacklevel=2,
+        )
     spark = new_vectors.sparkSession
     try:
         existing = spark.read.parquet(path).select(*new_vectors.columns)
-        full = existing.unionByName(new_vectors).localCheckpoint(eager=True)
+        full = existing.unionByName(new_vectors)
     except AnalysisException:
-        full = new_vectors.localCheckpoint(eager=True)
+        full = new_vectors
+    if compact_on_retrain:
+        full = full.dropDuplicates()
+    full = full.localCheckpoint(eager=True)
     new_centroids = train_centroids(
         full, vec_col, id_col, k=k or len(centroids), iters=iters
     )

@@ -58,11 +58,18 @@ def prepare_media_corpus(
     ``stats_via="observe"`` harvests every stage count from the ONE
     pipeline execution (the text funnel's observation pattern,
     ``corpus_prep``): observations ride the plan, the returned frame
-    is persisted and counted once, and ``Observation.get`` reads the
-    metrics without re-running the banding joins — the caller's own
-    action reuses the persisted result (call ``.unpersist()`` when
-    done). ``stats_via="count"`` is the debug mode: one action per
-    stage, each re-executing its upstream.
+    is counted once, and ``Observation.get`` reads the metrics without
+    re-running the banding joins. ``stats_via="count"`` is the debug
+    mode: one action per stage, each re-executing its upstream.
+
+    Lifetime contract (uniform across every flag combination): the
+    returned frame is ALWAYS persisted — lazily, so when no internal
+    action runs below the cache simply fills on the caller's first
+    action — and the caller owns exactly one ``.unpersist()`` when
+    done (the ContextCleaner reclaims the blocks anyway once the
+    frame is unreachable). At corpus scale callers that stream the
+    result straight to a sink should unpersist immediately after
+    their action: the cache holds raw ``content`` bytes.
 
     The signed frame and the exact-dedup survivors are lazily
     local-checkpointed (repo caching convention): both are consumed by
@@ -148,13 +155,15 @@ def prepare_media_corpus(
         out = out.unionByName(quarantine)
     out = note("output", out)
 
+    # the ONE persist of the lifetime contract above: internal actions
+    # (observe harvest, manifest signature) and the caller's own action
+    # all reuse this single execution of the banding joins + CC endgame
+    out = out.persist()
+
     if with_stats and stats_via == "observe":
         # ONE action fills every remaining observation (the earlier
         # kinds collect already executed — and reported — the ones
-        # upstream of the exact checkpoint). Persist first so the
-        # manifest signature and the caller's own action reuse this
-        # execution; caller unpersists when done.
-        out = out.persist()
+        # upstream of the exact checkpoint)
         out.count()
         stats.update(
             {name: int(obs.get["rows"] or 0) for name, obs in observations.items()}
@@ -162,14 +171,6 @@ def prepare_media_corpus(
 
     if manifest_path is not None:
         from .manifest import write_corpus_manifest
-
-        # the signature aggregation is an extra action: persist first
-        # (when the observe harvest hasn't already) so it doesn't
-        # re-run the banding joins + CC endgame, and the caller's own
-        # action reuses this execution — corpus_prep's discipline;
-        # caller unpersists when done
-        if not out.is_cached:
-            out = out.persist()
 
         # sign metadata + signatures, NOT the raw bytes: re-hashing
         # every blob would re-shuffle content; (id, kind, signature)

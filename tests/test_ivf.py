@@ -302,3 +302,102 @@ def test_compact_conflicting_payloads(spark, tmp_path):
     assert len(kept) == 1
     # lexicographic min of the two payload vectors is the original
     assert list(kept[0]["embedding"]) == [float(7 % 7) + 1.0, float((7 * 3) % 5) + 1.0]
+
+
+def test_retrain_compacts_replayed_appends(spark, tmp_path):
+    """VERDICT r8 task #2: the append contract defers replay-dedup to
+    retrain time — so the retrain rewrite itself must drop replay
+    copies (compact_on_retrain default), not just the standalone
+    compact operator. Replay a batch, then force a retrain: the
+    rebuilt index holds exactly-once contents."""
+    import os
+
+    from open_data_pipelines_spark.operators.ivf import (
+        append_to_ivf_index,
+        global_mean_dist2,
+        maintain_ivf_index,
+    )
+
+    base = _mk_vecs(spark, range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=4, iters=5)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path)
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    batch = _mk_vecs(spark, range(100, 120))
+    append_to_ivf_index(batch, "embedding", "vec_id", cents, path)
+    append_to_ivf_index(batch, "embedding", "vec_id", cents, path)  # replay
+    assert spark.read.parquet(path).count() == 140
+
+    drifted = _mk_vecs(spark, range(200, 240), offset=50.0)
+    st = maintain_ivf_index(
+        drifted, "embedding", "vec_id", cents, path, baseline, retrain_factor=2.0
+    )
+    assert st["retrained"] is True
+    idx = spark.read.parquet(path)
+    assert idx.count() == 160  # 100 + 20 (replay collapsed) + 40
+    assert idx.select("vec_id").distinct().count() == 160
+
+    # probe-all over the compacted, retrained index == brute force
+    full = base.unionByName(batch).unionByName(drifted)
+    queries = _mk_vecs(spark, [0, 101, 205])
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {
+        tuple(r)
+        for r in brute_force_topk(full, queries, "embedding", "vec_id", k=5)
+        .select(cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_topk(
+            idx, queries, "embedding", "vec_id", st["centroids"], k=5, nprobe=4
+        )
+        .select(cols)
+        .collect()
+    }
+    assert got == bf
+
+    # opt-out keeps the at-least-once rows (the caller's policy)
+    drifted2 = _mk_vecs(spark, range(300, 320), offset=-50.0)
+    st2 = maintain_ivf_index(
+        drifted2,
+        "embedding",
+        "vec_id",
+        st["centroids"],
+        path,
+        st["baseline_mean_dist2"],
+        retrain_factor=2.0,
+        compact_on_retrain=False,
+    )
+    assert st2["retrained"] is True
+    assert spark.read.parquet(path).count() == 180
+
+
+def test_compact_swaps_atomically_and_cleans_siblings(spark, tmp_path):
+    """ADVICE r8: the compaction rewrite must never overwrite the only
+    durable copy in place — it writes a sibling and swaps. After a
+    successful compact neither scratch sibling remains and the index
+    reads back complete."""
+    import os
+
+    from open_data_pipelines_spark.operators.ivf import (
+        append_to_ivf_index,
+        compact_ivf_index,
+    )
+
+    base = _mk_vecs(spark, range(60))
+    cents = train_centroids(base, "embedding", "vec_id", k=4, iters=3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path)
+    batch = _mk_vecs(spark, range(60, 70))
+    append_to_ivf_index(batch, "embedding", "vec_id", cents, path)
+    append_to_ivf_index(batch, "embedding", "vec_id", cents, path)  # replay
+
+    res = compact_ivf_index(spark, path, "vec_id")
+    assert res["replay_rows"] == 10
+    assert not os.path.exists(path + ".compact.tmp")
+    assert not os.path.exists(path + ".compact.old")
+    idx = spark.read.parquet(path)
+    assert idx.count() == 70
+    assert "list_id" in idx.columns
