@@ -83,7 +83,10 @@ def _bench_media_funnel(spark, sf_dir):
         .otherwise(base.bitwiseXOR(F.pmod(F.col("event_id"), F.lit(4))))
         .alias("signature"),
     )
-    return prepare_media_corpus(frame, max_hamming=2)
+    # exercise the documented lifetime contract: the frame streams
+    # straight to the noop sink once, so release the returned persist
+    # immediately — the bench measures the engine, not cache population
+    return prepare_media_corpus(frame, max_hamming=2).unpersist()
 
 
 def _bench_perplexity_filter(spark, sf_dir):

@@ -220,7 +220,15 @@ def prepare_corpus(
                              "the scored distribution's quantiles)")
         # CCNet-style LM filter: one explode + broadcast model joins +
         # per-doc agg — runs after the pure projections, before the
-        # shuffling dedup stages
+        # shuffling dedup stages. The filter consumes its input THREE
+        # times (the token-explode scoring side, the distinct-id base,
+        # and the left side of the keep semi-join): checkpoint the
+        # cleaned/annotated/filtered prefix so the regex-heavy
+        # annotate executes once per funnel run, not three times
+        # (round-9 trim; same layering discipline as `exact` below —
+        # lazy, GC-reclaimed, and upstream observations still fire
+        # because the one SQL action materializes it in-plan)
+        kept = lazy_checkpoint(kept)
         kept = note(
             "perplexity_kept",
             perplexity_filter(kept, "text", "doc_id", perplexity_lm, perplexity_max),

@@ -547,10 +547,14 @@ _FUNNEL_PPL_MAX = 40.0
 
 
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import lazy_checkpoint
     from ..operators.lm_score import train_ngram_lm
     from ..plans.corpus_prep import prepare_corpus
 
-    docs = _docs(spark, sf_dir)
+    # four consumers of the base table (the LM training slice and the
+    # three planted-union branches): one checkpointed scan feeds all
+    # of them instead of four parquet re-reads (round-9 trim)
+    docs = lazy_checkpoint(_docs(spark, sf_dir))
     lm = train_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), "text")
     exact_copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10000

@@ -618,11 +618,14 @@ def media_funnel_scale_scenario(sizes=(100_000, 1_000_000)) -> None:
             .otherwise(base.bitwiseXOR(F.pmod(F.col("id"), F.lit(4))))
             .alias("signature"),
         )
-        prepare_media_corpus(frame, max_hamming=2).write.format("noop").mode(
-            "overwrite"
-        ).save()  # warm
+        # .unpersist(): single pass straight to the sink — release the
+        # returned persist per the documented lifetime contract so the
+        # scenario measures the engine, not cache population
+        prepare_media_corpus(frame, max_hamming=2).unpersist().write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm
         t0 = time.perf_counter()
-        out = prepare_media_corpus(frame, max_hamming=2)
+        out = prepare_media_corpus(frame, max_hamming=2).unpersist()
         out.write.format("noop").mode("overwrite").save()
         results[n] = {"wall_sec": round(time.perf_counter() - t0, 3)}
     import json as _json
