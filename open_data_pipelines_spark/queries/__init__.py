@@ -19,6 +19,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
     from . import (
         advanced,
+        media,
         relational,
         scalar,
         scd2,
@@ -29,7 +30,17 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     merged: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (relational, scalar, scd2, spatial, text, similarity, streaming_q, advanced):
+    for mod in (
+        relational,
+        scalar,
+        scd2,
+        spatial,
+        text,
+        media,
+        similarity,
+        streaming_q,
+        advanced,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         merged.update(mod.QUERIES)

@@ -114,28 +114,6 @@ SELECT doc_id, lang, source, n_chars FROM (
 """
 
 
-# --- token_count --------------------------------------------------------------
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        # bigint: DuckDB len()/length() are BIGINT, Spark size/length INT
-        token_count_ws("text").cast("long").alias("ws_tokens"),
-        token_count_bpe("text").cast("long").alias("bpe_tokens"),
-        F.length("text").cast("long").alias("char_len"),
-    )
-
-
-ORACLE_TOKEN_COUNT = f"""
-SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len({_TOKENS.format(t='text')}) END AS ws_tokens,
-       len(regexp_extract_all(text, '({TOKEN_REGEX})', 1)) AS bpe_tokens,
-       length(text) AS char_len
-FROM documents
-"""
-
-
 # --- lang_id ------------------------------------------------------------------
 def _hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -169,12 +147,18 @@ FROM scored
 
 
 # --- quality_score ------------------------------------------------------------
+# round 9: the former standalone `token_count` row merged in (the
+# driver-window discipline — one row drive-checks both the quality
+# scorer and the ws/BPE token counters; its slot freed the
+# `media_funnel` oracle row in queries/media.py)
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
+        # bigint: DuckDB len()/length() are BIGINT, Spark size/length INT
         F.length("text").cast("long").alias("char_len"),
         token_count_ws("text").cast("long").alias("ws_tokens"),
+        token_count_bpe("text").cast("long").alias("bpe_tokens"),
         punct_ratio("text").alias("punct_ratio"),
         quality_score("text").alias("quality"),
     )
@@ -192,6 +176,7 @@ ORACLE_QUALITY_SCORE = f"""
 SELECT doc_id,
        length(text) AS char_len,
        {_Q_NT} AS ws_tokens,
+       len(regexp_extract_all(text, '({TOKEN_REGEX})', 1)) AS bpe_tokens,
        {_Q_PUNCT} AS punct_ratio,
        CAST(length(text) >= 100 AND length(text) <= 20000 AS DOUBLE) * 0.25
        + CAST({_Q_MEAN} >= 3.0 AND {_Q_MEAN} <= 12.0 AS DOUBLE) * 0.25
@@ -774,7 +759,6 @@ FROM windowed
 QUERIES = {
     "top_terms": (q_top_terms, ORACLE_TOP_TERMS),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),

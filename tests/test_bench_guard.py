@@ -66,6 +66,9 @@ def test_bench_emits_per_query_spread(monkeypatch, capsys):
 
     monkeypatch.setitem(_sys.modules, "__spark_entry__", fake_entry)
     monkeypatch.setitem(_sys.modules, "open_data_pipelines_spark.session", fake_session)
+    # bench prefers EXTRA (bench-local callables) over the registry;
+    # empty it so every headline name resolves to the stub above
+    monkeypatch.setattr(bench_mod, "EXTRA", {})
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "2")
     bench_mod.main()
 
