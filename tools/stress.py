@@ -633,7 +633,87 @@ def media_funnel_scale_scenario(sizes=(100_000, 1_000_000)) -> None:
     print(_json.dumps({"scenario": "media_funnel_scale", "sizes": results}))
 
 
+def ivf_compact_scenario(sizes=(100_000, 1_000_000)) -> None:
+    """Round 9: cost shape of the exactly-once maintenance paths.
+
+    For each size: build a dim-16 IVF index, replay-append a 10% batch
+    twice (the at-least-once posture), then measure (a)
+    ``compact_ivf_index`` — one dropDuplicates shuffle + conflict scan
+    + sibling-swap rewrite — and (b) a forced retrain with
+    ``compact_on_retrain`` on vs off (the delta IS the dropDuplicates
+    the retrain absorbs). Both should scale linearly in rows: the
+    compaction shuffles (id, vector) rows once, never anything
+    quadratic."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.ivf import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        global_mean_dist2,
+        maintain_ivf_index,
+        train_centroids,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-ivf-compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for n in sizes:
+        dim = 16
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.pmod(F.xxhash64(F.col("id") + F.lit(j)), F.lit(1000)) / 100.0)
+                    for j in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        cents = train_centroids(vecs.limit(10_000), "embedding", "vec_id", k=16, iters=2)
+        baseline = global_mean_dist2(vecs.limit(10_000), "embedding", cents)
+        batch = vecs.filter(F.col("vec_id") % 10 == 0)
+        with tempfile.TemporaryDirectory() as td:
+            path = td + "/ivf"
+            build_ivf_index(vecs, "embedding", "vec_id", cents, path=path)
+            append_to_ivf_index(batch, "embedding", "vec_id", cents, path)
+            append_to_ivf_index(batch, "embedding", "vec_id", cents, path)
+            t0 = time.perf_counter()
+            res = compact_ivf_index(spark, path, "vec_id")
+            compact_sec = round(time.perf_counter() - t0, 3)
+            # forced retrain (baseline scaled down so the gate trips)
+            timings = {}
+            for compact in (True, False):
+                append_to_ivf_index(batch, "embedding", "vec_id", cents, path)
+                t0 = time.perf_counter()
+                maintain_ivf_index(
+                    batch,
+                    "embedding",
+                    "vec_id",
+                    cents,
+                    path,
+                    baseline_mean_dist2=1e-12,
+                    retrain_factor=1.0,
+                    iters=1,
+                    compact_on_retrain=compact,
+                )
+                timings[compact] = round(time.perf_counter() - t0, 3)
+        results[n] = {
+            "compact_sec": compact_sec,
+            "replay_rows_dropped": res["replay_rows"],
+            "retrain_compact_on_sec": timings[True],
+            "retrain_compact_off_sec": timings[False],
+        }
+    print(json.dumps({"scenario": "ivf_compact", "sizes": results}))
+
+
 def main() -> None:
+    if "--ivf-compact" in sys.argv:
+        ivf_compact_scenario()
+        return
     if "--quality-model" in sys.argv:
         quality_model_scenario()
         return
