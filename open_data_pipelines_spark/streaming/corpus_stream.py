@@ -34,12 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.text_analysis import (
+    annotate_text,
     doc_fingerprint,
-    lang_id,
     normalize_text,
-    quality_score,
     redact_pii,
-    token_count_ws,
 )
 
 DOCUMENT_SCHEMA = T.StructType(
@@ -92,13 +90,12 @@ def streaming_corpus_bronze(
     cleaned = stream.select(
         "doc_id", normalize_text(redact_pii("text")).alias("text"), "source"
     )
-    annotated = cleaned.select(
-        "doc_id",
-        "text",
-        lang_id("text").alias("lang"),
-        quality_score("text").alias("quality"),
-        token_count_ws("text").alias("n_tokens"),
-        "source",
+    # fused annotate (shared tokenization + pushdown barrier) — the
+    # explode(array(struct)) it uses is stateless and streaming-safe;
+    # re-select to the documented bronze column order (annotate_text
+    # moves carry columns first)
+    annotated = annotate_text(cleaned, "text").select(
+        "doc_id", "text", "lang", "quality", "n_tokens", "source"
     )
     kept = annotated.filter(
         (F.col("quality") >= quality_min) & F.col("lang").isin(*keep_langs)
