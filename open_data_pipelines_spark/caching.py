@@ -44,9 +44,23 @@ import os
 from pyspark.sql import DataFrame
 
 
-def lazy_checkpoint(df: DataFrame) -> DataFrame:
-    """Lazy local checkpoint per the repo convention (no-op under
-    ``SPARK_GRAFT_NO_INTERNAL_CHECKPOINT=1``)."""
+def lazy_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Local checkpoint per the repo convention (no-op under
+    ``SPARK_GRAFT_NO_INTERNAL_CHECKPOINT=1``), lazy by default.
+
+    ``eager=True`` exists for ONE reason: ``df.observe`` metrics in
+    the checkpointed subtree. Measured rule (probed on this Spark
+    version, regression-pinned by
+    ``tests/test_corpus_prep.py::test_observe_audit_with_perplexity_stage``):
+    an observation UNDER a lazy checkpoint is fulfilled with 0 unless
+    a shuffle sits between the observed node and the checkpoint; an
+    EAGER checkpoint's own materialization action always fulfills it
+    with the true counts. Plans that attach observations below a reuse
+    checkpoint (the corpus funnel's observe-stats mode) must pass
+    ``eager=True`` — relying on an intervening shuffle is correct
+    today but silently breaks if the operator between them stops
+    shuffling. Everything else stays lazy: materialized on first use,
+    no extra job when the caller never executes the plan."""
     if os.environ.get("SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"):
         return df
-    return df.localCheckpoint(eager=False)
+    return df.localCheckpoint(eager=eager)

@@ -35,9 +35,6 @@ are built-in expressions — no UDFs anywhere.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -196,8 +193,14 @@ def compact_ivf_index(
     the new write committed; an executor loss mid-job lost the index).
     If a crash lands between the two renames, ``path`` is briefly
     absent but ``<path>.compact.tmp`` holds the full compacted copy —
-    rename it back to recover. POSIX-rename semantics (the local/HDFS
-    case); an object-store deployment swaps a manifest instead.
+    rename it back to recover. The renames go through the Hadoop
+    ``FileSystem`` API resolved from the path's own scheme (round-9
+    review fix: driver-local ``os.replace`` could not rename an HDFS
+    or any non-driver-local directory, crashing after the full rewrite
+    was already paid), so the swap works wherever Spark can write:
+    atomic directory rename on POSIX-local and HDFS; an object-store
+    deployment should still prefer a manifest swap, since its "rename"
+    is a copy.
 
     An id surviving with MORE than one distinct row is not a replay —
     it is a genuine conflict (the upstream sent two payloads for one
@@ -241,13 +244,25 @@ def compact_ivf_index(
     after = deduped.count()
     base = path.rstrip("/")
     tmp, old = base + ".compact.tmp", base + ".compact.old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    # filesystem ops through the Hadoop FS of the path's own scheme —
+    # local paths and HDFS alike (os.replace only works on the driver's
+    # local filesystem)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _rename(src: str, dst: str) -> None:
+        # Hadoop rename reports failure as False, not an exception
+        if not fs.rename(hpath(src), hpath(dst)):
+            raise IOError(f"compact_ivf_index: rename {src!r} -> {dst!r} failed")
+
+    fs.delete(hpath(tmp), True)
     deduped.write.mode("overwrite").partitionBy(list_col).parquet(tmp)
     # swap: the new layout is fully committed before the old one moves
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(base, old)
-    os.replace(tmp, base)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete(hpath(old), True)
+    _rename(base, old)
+    _rename(tmp, base)
+    fs.delete(hpath(old), True)
     return {
         "rows_before": before,
         "rows_after": after,
@@ -345,13 +360,18 @@ def maintain_ivf_index(
         }
     spark = new_vectors.sparkSession
     try:
-        existing = spark.read.parquet(path).select(*new_vectors.columns)
-        full = existing.unionByName(new_vectors)
+        existing = spark.read.parquet(path)
     except AnalysisException:
         # no index at `path` yet: a drift-first maintenance call (the
         # streaming entry point makes this ordering reachable) retrains
-        # on the batch alone instead of crashing inside foreachBatch
+        # on the batch alone instead of crashing inside foreachBatch.
+        # ONLY the read sits in the try: a missing/renamed column must
+        # raise from the select below, not fall through here — a broad
+        # catch would silently discard the whole on-disk index and
+        # rebuild it from one batch (round-9 review find)
         full = new_vectors
+    else:
+        full = existing.select(*new_vectors.columns).unionByName(new_vectors)
     if compact_on_retrain:
         full = full.dropDuplicates()
     # materialize before the overwrite below — the rebuilt index is

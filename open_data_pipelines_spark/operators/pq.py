@@ -361,10 +361,15 @@ def maintain_ivf_pq_index(
         )
     spark = new_vectors.sparkSession
     try:
-        existing = spark.read.parquet(path).select(*new_vectors.columns)
-        full = existing.unionByName(new_vectors)
+        existing = spark.read.parquet(path)
     except AnalysisException:
+        # no index at `path` yet (drift-first call). Only the read is
+        # guarded: a schema mismatch must raise from the select below,
+        # never silently rebuild the index from one batch (the
+        # maintain_ivf_index note)
         full = new_vectors
+    else:
+        full = existing.select(*new_vectors.columns).unionByName(new_vectors)
     if compact_on_retrain:
         full = full.dropDuplicates()
     full = full.localCheckpoint(eager=True)

@@ -102,7 +102,7 @@ def annotate_text(
     """:func:`lang_id` + :func:`quality_score` + :func:`token_count_ws`
     as ONE shared-work pass — the fused annotate stage for corpus
     pipelines, value-identical to selecting the three scalar functions
-    (parity-pinned by ``tests/test_text_analysis.py``) but ~3x faster
+    (parity-pinned by ``tests/test_annotate_fused.py``) but ~3x faster
     at the funnel's scale.
 
     Two costs the scalar forms pay that this avoids:

@@ -221,10 +221,13 @@ def prepare_corpus(
         # and the left side of the keep semi-join): checkpoint the
         # cleaned/annotated/filtered prefix so the regex-heavy
         # annotate executes once per funnel run, not three times
-        # (round-9 trim; same layering discipline as `exact` below —
-        # lazy, GC-reclaimed, and upstream observations still fire
-        # because the one SQL action materializes it in-plan)
-        kept = lazy_checkpoint(kept)
+        # (round-9 trim). In observe-stats mode the checkpoint must be
+        # EAGER: the input/quality observations sit below it with no
+        # shuffle in between, and an observation under a LAZY
+        # checkpoint without an intervening shuffle is fulfilled with
+        # 0 (measured rule, caching.lazy_checkpoint docstring;
+        # regression: test_observe_audit_with_perplexity_stage)
+        kept = lazy_checkpoint(kept, eager=with_stats and stats_via == "observe")
         kept = note(
             "perplexity_kept",
             perplexity_filter(kept, "text", "doc_id", perplexity_lm, perplexity_max),
@@ -259,8 +262,13 @@ def prepare_corpus(
         # are unreplicated, so executor loss fails the job fast.
         # Applied BELOW the observe node: the checkpoint materializes
         # as an RDD job that bypasses SQL observed-metrics, so an
-        # observation under it would silently read 0.
-        exact = lazy_checkpoint(exact)
+        # observation under it would silently read 0. Upstream
+        # observations (input/quality) survive TODAY because the dedup
+        # window shuffles between them and this checkpoint (the
+        # measured lazy-checkpoint rule, caching.py) — eager in observe
+        # mode anyway so that protection doesn't hinge on dedup's
+        # implementation shuffling.
+        exact = lazy_checkpoint(exact, eager=with_stats and stats_via == "observe")
     exact = note("exact_deduped", exact)
 
     # near-dup pair generation is pluggable; every backend is banded

@@ -66,10 +66,13 @@ def prepare_media_corpus(
     returned frame is ALWAYS persisted — lazily, so when no internal
     action runs below the cache simply fills on the caller's first
     action — and the caller owns exactly one ``.unpersist()`` when
-    done (the ContextCleaner reclaims the blocks anyway once the
-    frame is unreachable). At corpus scale callers that stream the
-    result straight to a sink should unpersist immediately after
-    their action: the cache holds raw ``content`` bytes.
+    done. That unpersist is MANDATORY, not hygiene: a SQL ``persist``
+    registers in the CacheManager, which holds a strong reference, so
+    a dropped handle pins the cached output (including raw ``content``
+    bytes) for the session lifetime — the ContextCleaner does NOT
+    reclaim it (unlike the GC-reclaimed localCheckpoint blocks of the
+    internal reuse caches). Callers that stream the result straight to
+    a sink should unpersist immediately after their action.
 
     The signed frame and the exact-dedup survivors are lazily
     local-checkpointed (repo caching convention): both are consumed by

@@ -192,6 +192,34 @@ def test_observe_audit_matches_eager_counts(spark):
     assert observed == eager
 
 
+def test_observe_audit_with_perplexity_stage(spark):
+    """Observe-mode stats must survive the perplexity path's internal
+    reuse checkpoint. Regression (round-9 review find): the checkpoint
+    of the cleaned/annotated prefix has NO shuffle between it and the
+    input/quality observations, and an observation under a LAZY local
+    checkpoint without an intervening shuffle is fulfilled with 0 —
+    observe mode silently reported input=0/quality_kept=0 while count
+    mode reported the true stage counts. The checkpoint is eager in
+    observe mode now (caching.lazy_checkpoint docstring has the
+    measured rule)."""
+    from open_data_pipelines_spark.operators.lm_score import train_ngram_lm
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    lm = train_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), "text")
+    kwargs = dict(
+        chunk_size=16,
+        overlap=0,
+        with_stats=True,
+        perplexity_lm=lm,
+        perplexity_max=5000.0,
+    )
+    out, observed = prepare_corpus(spark, SF_SMOKE, stats_via="observe", **kwargs)
+    out.unpersist()
+    _, eager = prepare_corpus(spark, SF_SMOKE, stats_via="count", **kwargs)
+    assert observed == eager
+    assert observed["input"] > 0 and observed["quality_kept"] > 0
+
+
 def test_observe_audit_matches_eager_counts_optin(spark):
     """Same equality through the branchy opt-in path (anti-join reuse,
     split/upsample filter-union) — the shapes where a naive metrics

@@ -401,3 +401,42 @@ def test_compact_swaps_atomically_and_cleans_siblings(spark, tmp_path):
     idx = spark.read.parquet(path)
     assert idx.count() == 70
     assert "list_id" in idx.columns
+
+
+def test_retrain_schema_mismatch_fails_loud_not_silent_rebuild(spark, tmp_path):
+    """Round-9 review find: the 'no index at path yet' AnalysisException
+    guard must NOT swallow column-resolution failures on an EXISTING
+    index — a drifted batch whose schema gained a column the on-disk
+    index lacks used to fall through the handler, silently replacing
+    the entire historical index with that one batch. Now only the read
+    is guarded: the mismatch raises and the index is untouched."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
+    from open_data_pipelines_spark.operators.ivf import (
+        global_mean_dist2,
+        maintain_ivf_index,
+    )
+
+    rows = [(i, [float(i % 7) + 1.0, float((i * 3) % 5) + 1.0]) for i in range(60)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_centroids(base, "embedding", "vec_id", k=3, iters=3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path)
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    drifted = (
+        spark.createDataFrame(
+            [(1000 + i, [90.0 + i, 95.0 - i]) for i in range(10)],
+            ["vec_id", "embedding"],
+        )
+        # the schema drift: a metadata column the index never had
+        .withColumn("ts", F.lit("2026-01-01"))
+    )
+    with pytest.raises(AnalysisException):
+        maintain_ivf_index(
+            drifted, "embedding", "vec_id", cents, path, baseline, retrain_factor=2.0
+        )
+    # the on-disk index is untouched — all 60 historical rows survive
+    assert spark.read.parquet(path).count() == 60

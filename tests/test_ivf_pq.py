@@ -250,3 +250,39 @@ def test_maintain_ivf_pq_retrains_both_models_on_drift(spark, tmp_path):
         .collect()
     }
     assert got == bf
+
+
+def test_pq_retrain_schema_mismatch_fails_loud(spark, tmp_path):
+    """PQ twin of the ivf schema-mismatch guard (round-9 review find):
+    a drifted batch with a column the on-disk index lacks must raise,
+    not silently rebuild the index from that one batch."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
+    from open_data_pipelines_spark.operators.ivf import global_mean_dist2
+    from open_data_pipelines_spark.operators.pq import (
+        build_ivf_pq_index,
+        maintain_ivf_pq_index,
+    )
+
+    rows = [
+        (i, [float(i % 7) + 1.0, float((i * 3) % 5) + 1.0]) for i in range(60)
+    ]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_centroids(base, "embedding", "vec_id", k=3, iters=3)
+    books = train_pq(base, "embedding", "vec_id", m=2, nbits=2, iters=2)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(base, "embedding", "vec_id", cents, books, path)
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    drifted = spark.createDataFrame(
+        [(1000 + i, [90.0 + i, 95.0 - i]) for i in range(10)],
+        ["vec_id", "embedding"],
+    ).withColumn("ts", F.lit("2026-01-01"))
+    with pytest.raises(AnalysisException):
+        maintain_ivf_pq_index(
+            drifted, "embedding", "vec_id", cents, books, path, baseline,
+            retrain_factor=2.0, nbits=2,
+        )
+    assert spark.read.parquet(path).count() == 60
