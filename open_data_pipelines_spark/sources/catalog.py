@@ -370,6 +370,7 @@ def resolve_url(
             fetch(cfg.base_url),
             href_pattern=cfg.discovery_args.get("href_pattern"),
             css_class=cfg.discovery_args.get("css_class"),
+            base_url=cfg.base_url,
         )
         if not links:
             raise LookupError(f"no matching links at {cfg.base_url}")
@@ -409,9 +410,18 @@ def run_source(
     """
     cfg = CATALOG[name]
     if fetch is None:
-        def fetch(u: str) -> str:  # pragma: no cover - network default
-            with opener(u) as resp:
-                return resp.read().decode("utf-8", "replace")
+        if cfg.discovery == "redirect":
+            # the redirect strategy's contract is "fetch returns the
+            # FINAL URL" (discovery.resolve_redirect) — a body-reading
+            # default would hand the downloaded payload to the landing
+            # step as if it were a URL (round-9 review find)
+            def fetch(u: str) -> str:  # pragma: no cover - network default
+                with opener(u) as resp:
+                    return resp.geturl()
+        else:
+            def fetch(u: str) -> str:  # pragma: no cover - network default
+                with opener(u) as resp:
+                    return resp.read().decode("utf-8", "replace")
 
     resolved = (
         url

@@ -49,16 +49,28 @@ def read_csv_bronze(
     ``strict=False`` reproduces the lenient variant (log + proceed,
     ``cadent_underground.py:165-169``).
     """
+    read_order = expected_columns
+    reorder = False
     if header_file or "*" not in path:
         actual = read_csv_header(header_file or path)
         missing, extra = validate_columns(actual, expected_columns, strict=strict)
         if not strict and (missing or extra):
             log.warning("column mismatch (lenient): missing=%s extra=%s", missing, extra)
+        if not missing and not extra:
+            # Spark maps an explicit schema to CSV fields POSITIONALLY
+            # (header names are ignored under enforceSchema), so a
+            # reordered header passing the set check would silently
+            # misalign every column (round-9 review find). Declare the
+            # schema in the FILE's order, then select back to the
+            # template order.
+            read_order = actual
+            reorder = actual != expected_columns
 
-    return (
-        spark.read.schema(all_string_template(expected_columns))
+    df = (
+        spark.read.schema(all_string_template(read_order))
         .option("header", True)
         .option("mode", "DROPMALFORMED" if drop_malformed else "PERMISSIVE")
         .option("encoding", "UTF-8")
         .csv(path)
     )
+    return df.select(*expected_columns) if reorder else df

@@ -114,10 +114,17 @@ def scrape_links(
     html: str,
     href_pattern: str | None = None,
     css_class: str | None = None,
+    base_url: str | None = None,
 ) -> list[str]:
     """All <a href> values, optionally filtered by regex and/or class
     (the reference selects ``a.download-item__download-link`` and
-    gov.uk ``.ods``/ZIP attachment links)."""
+    gov.uk ``.ods``/ZIP attachment links). ``base_url`` resolves
+    site-relative hrefs (``/documents/x.xls``) against the scraped
+    page — absolute hrefs pass through unchanged — so a scraped link
+    is always downloadable (round-9 review find: a relative href fed
+    straight to urlopen raises 'unknown url type')."""
+    from urllib.parse import urljoin
+
     p = _LinkCollector()
     p.feed(html)
     out = []
@@ -126,7 +133,7 @@ def scrape_links(
             continue
         if href_pattern and not re.search(href_pattern, href):
             continue
-        out.append(href)
+        out.append(urljoin(base_url, href) if base_url else href)
     return out
 
 

@@ -38,8 +38,25 @@ def read_with_quarantine(
     ``clean`` carries ``schema`` exactly; ``quarantine`` is
     (corrupt_record, source_file, quarantined_at). The scan is cached:
     both frames are filters over it, and Spark refuses corrupt-only
-    projections on an uncached raw scan.
+    projections on an uncached raw scan. The cache is NOT
+    self-releasing (the CacheManager pins it — ``caching.py``): run
+    your actions on both frames then release via
+    ``spark.catalog.clearCache()``, or use :func:`quarantined_ingest`,
+    which owns the lifecycle and unpersists when done.
     """
+    clean, quarantine, _ = _read_with_quarantine(spark, path, schema, fmt, options)
+    return clean, quarantine
+
+
+def _read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "csv",
+    options: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(clean, quarantine, cached-scan) — the third element is the
+    handle an owning caller must ``unpersist()``."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
@@ -67,7 +84,7 @@ def read_with_quarantine(
         F.col("__source_file").alias("source_file"),
         F.col("__quarantined_at").alias("quarantined_at"),
     )
-    return clean, quarantine
+    return clean, quarantine, df
 
 
 def quarantined_ingest(
@@ -85,10 +102,25 @@ def quarantined_ingest(
     ``log_path`` is given, the count lands in the K7 run-metadata log
     (one ``processor_type='quarantine'`` row with the reject count as
     ``rows_processed``)."""
-    clean, quarantine = read_with_quarantine(spark, path, schema, fmt, options)
-    n_bad = quarantine.count()
-    if n_bad:
-        quarantine.write.mode("append").parquet(quarantine_path)
+    _, quarantine, cached = _read_with_quarantine(spark, path, schema, fmt, options)
+    try:
+        n_bad = quarantine.count()
+        if n_bad:
+            quarantine.write.mode("append").parquet(quarantine_path)
+    finally:
+        # the corrupt side is fully consumed above, so release the
+        # cached PERMISSIVE scan instead of pinning one per ingested
+        # feed for the session lifetime (round-9 review find)
+        cached.unpersist()
+    # the RETURNED clean frame is its own DROPMALFORMED scan — same
+    # row set (corrupt-NULL rows == rows DROPMALFORMED keeps), but
+    # with no corrupt column in the plan it cannot trip Spark's
+    # corrupt-records-only restriction (a count() over the PERMISSIVE
+    # clean filter prunes down to exactly that) and needs no cache
+    reader = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    clean = reader.format(fmt).load(path)
     if log_path is not None:
         from ..sinks.metadata import MetadataLogger
 

@@ -175,9 +175,20 @@ def read_encrypted_xls(
 
 def from_pandas_bronze(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     """pandas -> all-string Spark bronze (P5: ``df.astype(str)`` with
-    NaN -> NULL, ``bduk_premises.py:261``). Arrow-batched transfer."""
+    NaN -> NULL, ``bduk_premises.py:261``). Arrow-batched transfer.
+
+    The schema is declared explicitly (every column StringType —
+    that IS the bronze contract) rather than inferred: a sparse
+    spreadsheet column with a header but no data is all-None after the
+    NaN mapping, and schema inference fails on it ('Some of types
+    cannot be determined') — round-9 review find."""
+    from pyspark.sql import types as T
+
     str_pdf = pdf.astype(str).where(pdf.notna(), None)
-    return spark.createDataFrame(str_pdf)
+    schema = T.StructType(
+        [T.StructField(str(c), T.StringType()) for c in str_pdf.columns]
+    )
+    return spark.createDataFrame(str_pdf, schema=schema)
 
 
 def load_ods_bundle(

@@ -243,6 +243,21 @@ def stream_embeddings_to_ivf_pq(
     force a fresh model from the seeds."""
     if nbits is None:
         nbits = (len(codebooks[0]) - 1).bit_length()
+        if len(codebooks[0]) != 1 << nbits:
+            # seed books are not exactly full (train_pq seeds at most
+            # one centroid per training row), so the inferred width is
+            # SMALLER than the configured one and gets pinned in the
+            # sidecar for every future generation — plus a later
+            # restart passing the true nbits explicitly would fail
+            # sidecar validation on a healthy index. Pass nbits.
+            warnings.warn(
+                f"stream_embeddings_to_ivf_pq: inferring nbits={nbits} from "
+                f"seed codebooks holding {len(codebooks[0])} centroids "
+                f"(not a full 2**nbits) — the inferred width is pinned in "
+                "the sidecar; pass nbits explicitly to pin the configured "
+                "width",
+                stacklevel=2,
+            )
     state = {
         "centroids": centroids,
         "codebooks": codebooks,

@@ -96,10 +96,22 @@ def streaming_media_bronze(
     # subtree once per branch — doubling the dominant per-row cost):
     # decodable rows key on (kind, signature); undecodable rows get a
     # per-row unique key so null signatures never collapse together
+    # the undecodable branch must stay per-row-unique even when the id
+    # itself is NULL: F.concat is null-propagating, so a NULL id made
+    # the whole key NULL and dropDuplicatesWithinWatermark collapsed
+    # every null-id undecodable row into one (round-9 review find) —
+    # null ids fall back to a per-row uuid (nondeterministic, so a
+    # replayed null-id row is not deduped: at-least-once into the
+    # quarantine, the honest posture for rows with no identity)
     dedup_key = F.when(
         F.col("signature").isNotNull(),
         F.concat_ws(":", F.col("kind"), F.col("signature").cast("string")),
-    ).otherwise(F.concat(F.lit("undecodable:"), F.col(id_col).cast("string")))
+    ).otherwise(
+        F.concat(
+            F.lit("undecodable:"),
+            F.coalesce(F.col(id_col).cast("string"), F.expr("uuid()")),
+        )
+    )
     return (
         signed.withColumn("__dk", dedup_key)
         .withWatermark("ingest_ts", dedup_watermark)

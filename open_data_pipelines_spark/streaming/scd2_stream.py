@@ -44,17 +44,32 @@ from ..operators.scd2 import scd2_initial_load, scd2_merge
 _VDIR = re.compile(r"^v(\d{8,})$")
 
 
-def _versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
-    import os
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    return hpath(path).getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
-    if not os.path.isdir(root):
+
+def _versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    # Hadoop FS of the root's own scheme, NOT os.listdir: Spark writes
+    # the snapshots, so the log must be listable wherever Spark can
+    # write — a driver-local listing on an HDFS root silently saw zero
+    # committed snapshots and re-ran initial_load per batch (round-9
+    # review find)
+    fs, hpath = _fs(spark, root)
+    rpath = hpath(root)
+    if not fs.exists(rpath):
         return []
     out = []
-    for name in os.listdir(root):
+    for status in fs.listStatus(rpath):
+        name = status.getPath().getName()
         m = _VDIR.match(name)
-        path = os.path.join(root, name)
-        if m and os.path.exists(os.path.join(path, "_SUCCESS")):
-            out.append((int(m.group(1)), path))
+        if (
+            m
+            and status.isDirectory()
+            and fs.exists(hpath(status.getPath(), "_SUCCESS"))
+        ):
+            out.append((int(m.group(1)), status.getPath().toString()))
     return sorted(out)
 
 
@@ -73,12 +88,11 @@ def latest_snapshot(
 def prune_snapshots(spark: SparkSession, root: str, keep: int = 3) -> int:
     """Drop all but the newest ``keep`` committed versions (time-travel
     retention); returns how many were removed."""
-    import shutil
-
+    fs, hpath = _fs(spark, root)
     vs = _versions(spark, root)
     drop = vs[:-keep] if keep > 0 else vs
     for _, path in drop:
-        shutil.rmtree(path)
+        fs.delete(hpath(path), True)
     return len(drop)
 
 
@@ -91,6 +105,7 @@ def stream_scd2(
     attr_cols: list[str],
     hash_cols: list[str],
     tiebreakers: tuple[str, ...] = (),
+    on_log_ahead: str = "error",
 ):
     """availableNow drain of ``stream`` into the versioned SCD2
     snapshot log at ``root``. Returns the finished query handle.
@@ -98,15 +113,42 @@ def stream_scd2(
     First-ever batch runs the initial load; every later batch the
     incremental merge — exactly the reference's backfill-then-monthly
     lifecycle, with the stream deciding batch boundaries.
+
+    ``on_log_ahead`` governs batches whose id is BELOW the log's
+    newest committed version — only reachable when the checkpoint was
+    reset (batch ids restart at 0) while ``root`` kept a prior run's
+    snapshots. ``"error"`` (default) refuses: by batch id alone such a
+    batch is indistinguishable from NEW data that would be silently
+    dropped (round-9 review find). ``"skip"`` is the opt-in recovery
+    mode for the deliberate replay storm — same source, same batch
+    boundaries — where every replayed batch's snapshot is already
+    committed and skipping is the idempotent continue. The single
+    crash-replay case (batch id == newest version: a crash between
+    snapshot publish and checkpoint commit) is always skipped — no
+    ambiguity there, only the newest version can be in that state.
     """
+    if on_log_ahead not in ("error", "skip"):
+        raise ValueError(f"unknown on_log_ahead {on_log_ahead!r}")
     spark = stream.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         vs = _versions(spark, root)
+        if vs and vs[-1][0] > batch_id and on_log_ahead == "error":
+            raise RuntimeError(
+                f"scd2 snapshot log at {root!r} is at "
+                f"v{vs[-1][0]:08d} but this stream is delivering batch "
+                f"{batch_id} — checkpoint/log generation mismatch; pass "
+                "on_log_ahead='skip' only for a deliberate replay of the "
+                "same source through a fresh checkpoint"
+            )
         if any(v == batch_id for v, _ in vs):
             # Crash landed between snapshot publish and checkpoint
             # commit: this batch's snapshot is already committed.
             # Re-merging would read v{batch_id} while overwriting it.
+            # (A fresh checkpoint against a root holding EXACTLY
+            # v{batch_id} is indistinguishable from that crash replay
+            # without a run identity — the guard above catches every
+            # multi-version case.)
             return
         prior = [(v, p) for v, p in vs if v < batch_id]
         dim = spark.read.parquet(prior[-1][1]) if prior else None

@@ -73,8 +73,10 @@ def test_resolve_url_strategies():
     assert resolve_url(CATALOG["os_usrn_uprn"], catalogue=products) == "lids.zip"
 
     html = '<a href="/files/road_stats.ods">ods</a><a href="/files/notes.pdf">pdf</a>'
+    # site-relative hrefs resolve against the scraped page (round-9
+    # fix: the raw '/files/...' was fed to urlopen and crashed)
     assert resolve_url(CATALOG["dft_road_stats"], fetch=lambda u: html) == (
-        "/files/road_stats.ods"
+        "https://www.gov.uk/files/road_stats.ods"
     )
 
     assert (

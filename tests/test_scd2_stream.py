@@ -123,12 +123,48 @@ def test_replay_after_lost_checkpoint_is_noop(spark, tmp_path):
     before = _canon(latest_snapshot(spark, root)[0])
 
     # losing the checkpoint replays EVERY batch against already-
-    # committed snapshots — the worst-case replay storm
+    # committed snapshots — the worst-case replay storm. This is the
+    # operator-asserted recovery (same source, same boundaries), so it
+    # opts into on_log_ahead="skip"; the default errors (next test).
     shutil.rmtree(ckpt)
-    stream_scd2(mkstream(), root, str(tmp_path / "ckpt2"), **ARGS)
+    stream_scd2(
+        mkstream(), root, str(tmp_path / "ckpt2"), on_log_ahead="skip", **ARGS
+    )
     after, v = latest_snapshot(spark, root)
     assert v >= 1
     assert _canon(after) == before
+
+
+def test_log_ahead_of_checkpoint_errors_by_default(spark, tmp_path):
+    """Fresh checkpoint against a root holding a PRIOR run's versions:
+    by batch id alone the stream cannot tell a deliberate replay from
+    new data that the old silent-skip guard would drop (round-9 review
+    find) — the default must refuse with a generation-mismatch error."""
+    import pytest
+    import shutil
+
+    landing = str(tmp_path / "landing")
+    b1 = spark.createDataFrame(BATCH1, COLS)
+    b2 = spark.createDataFrame(BATCH2, COLS)
+    b1.coalesce(1).write.parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    def mkstream():
+        return (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+
+    root = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    stream_scd2(mkstream(), root, ckpt, **ARGS)
+    assert latest_snapshot(spark, root)[1] >= 1
+
+    shutil.rmtree(ckpt)
+    with pytest.raises(Exception, match="generation mismatch"):
+        stream_scd2(mkstream(), root, str(tmp_path / "ckpt2"), **ARGS)
 
 
 def test_version_dirs_grow_past_eight_digits(spark, tmp_path):

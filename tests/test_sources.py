@@ -189,3 +189,41 @@ def test_flatten_struct_nested(spark):
     )
     flat = flatten_struct_columns(df, sep="_")
     assert set(flat.columns) == {"id", "s_x", "s_inner_p", "s_inner_q"}
+
+
+def test_read_csv_bronze_reordered_header_aligns_by_name(spark, tmp_path):
+    """Round-9 review find: Spark maps an explicit schema to CSV
+    fields POSITIONALLY, so a file whose header carries the expected
+    columns in a different order passed set validation and silently
+    misaligned every column (stop_lat landing in stop_lon). The read
+    must align by the file's own header and return template order."""
+    p = tmp_path / "reordered.csv"
+    p.write_text("B,C,A\nx,9,1\ny,8,2\n")
+    df = read_csv_bronze(spark, str(p), ["A", "B", "C"])
+    assert df.columns == ["A", "B", "C"]
+    rows = sorted((r["A"], r["B"], r["C"]) for r in df.collect())
+    assert rows == [("1", "x", "9"), ("2", "y", "8")]
+
+
+def test_scrape_links_resolves_relative_hrefs():
+    """Relative hrefs must resolve against the scraped page before the
+    download step (urlopen('/x.xls') is 'unknown url type')."""
+    html = '<a href="/files/swa.xls">SWA</a><a href="https://cdn.example/a.zip">z</a>'
+    assert scrape_links(html, base_url="https://host.example/page") == [
+        "https://host.example/files/swa.xls",
+        "https://cdn.example/a.zip",
+    ]
+    # without base_url the raw hrefs pass through (back-compat)
+    assert scrape_links(html)[0] == "/files/swa.xls"
+
+
+def test_from_pandas_bronze_all_null_column(spark):
+    """A sparse spreadsheet column with a header but no data is
+    all-None after the NaN mapping; inference crashed on it — the
+    explicit all-string schema must carry it as a NULL string column."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": ["x", "y"], "empty": [None, None]})
+    df = from_pandas_bronze(spark, pdf)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    assert [r["empty"] for r in df.collect()] == [None, None]

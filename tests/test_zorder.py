@@ -133,3 +133,42 @@ def test_compaction_with_zorder(spark, tmp_path):
 
     for part in g.glob(f"{dest}/year=*/month=*"):
         assert len(g.glob(f"{part}/*.parquet")) == 1
+
+
+def test_compact_partitions_file_count_knob(spark, tmp_path):
+    """target_files_per_partition must actually control files PER
+    PARTITION DIRECTORY. The old repartition(N, part_cols) made N the
+    TOTAL task count (each directory wholly inside one task -> always
+    ~1 file, and N=1 funnelled the whole dataset through one task);
+    the salted key spreads each directory over ~N tasks (round-9
+    review find)."""
+    import glob as g
+
+    from open_data_pipelines_spark.sinks.writers import compact_partitions
+
+    ev = (
+        load_tables(spark, SF_T2, register_views=False)["events"]
+        .select("event_id", "ts", "user_id", "value")
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+    )
+    src = str(tmp_path / "src")
+    ev.write.partitionBy("year", "month").parquet(src)
+
+    dest1 = str(tmp_path / "dest1")
+    compact_partitions(spark, src, dest1, target_files_per_partition=1)
+    for part in g.glob(f"{dest1}/year=*/month=*"):
+        assert len(g.glob(f"{part}/*.parquet")) == 1
+
+    dest4 = str(tmp_path / "dest4")
+    compact_partitions(spark, src, dest4, target_files_per_partition=4)
+    back = spark.read.parquet(dest4)
+    assert back.count() == ev.count()
+    counts = [
+        len(g.glob(f"{part}/*.parquet"))
+        for part in g.glob(f"{dest4}/year=*/month=*")
+    ]
+    # hash collisions can merge salt groups, but most directories must
+    # split into more than one file, and none beyond the target
+    assert max(counts) > 1
+    assert all(c <= 4 for c in counts)
