@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_NUM = r"[-+]?\d+(?:\.\d+)?"
+# exponent support matters because wkt_point renders via cast-to-
+# string, which Spark formats as scientific notation for |x| >= 1e7
+# (or < 1e-3) — without it the module's own parsers returned NULL on
+# round-trips of large planar coordinates (round-9 review find). The
+# DuckDB oracle mirrors keep the plain form: the harness WKT never
+# carries exponents, so cross-engine parity is unaffected.
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
 
 
 def wkt_point(x: Column, y: Column) -> Column:

@@ -51,7 +51,12 @@ def asof_join(
     lt = left.withColumn("__tag", F.lit(1)).withColumn(
         "__r", F.lit(None).cast(struct_type)
     )
-    rt = right.select(
+    # a NULL-ts right row can never be an as-of match (DuckDB ASOF
+    # l.ts >= r.ts never matches NULL) — but Spark sorts NULLS FIRST
+    # ascending, so an unfiltered null-ts row would sort to the head
+    # of every key's window and be carried forward into every probe
+    # (round-9 review find)
+    rt = right.filter(F.col(ts).isNotNull()).select(
         key,
         ts,
         F.struct(*[F.col(v) for v in value_cols]).alias("__r"),

@@ -54,8 +54,18 @@ def ngram_contamination(
     bench_id_col: str = "bench_id",
     n: int = 8,
     broadcast_bench: bool = True,
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """Per-document contamination report against a benchmark set.
+
+    ``broadcast_hits=False`` is the escape hatch for adversarial
+    contamination rates: ``hits`` holds one row per CONTAMINATED
+    corpus doc, so while it is usually tiny, a benchmark sharing
+    common n-grams with a large corpus fraction (or a small ``n``)
+    makes it corpus-scale — forcing the broadcast would OOM the
+    driver at exactly the scale ``broadcast_bench=False`` exists for
+    (round-9 review find). Shuffle-join fallback costs one extra
+    exchange of the id-keyed report.
 
     Returns one row per corpus doc:
     ``(id, n_shingles, n_hit_shingles, n_bench_docs_hit,
@@ -88,7 +98,9 @@ def ngram_contamination(
         )
     )
     base = doc_sh.select(F.col(id_col), F.size("__sh").alias("n_shingles"))
-    return base.join(F.broadcast(hits), id_col, "left").select(
+    if broadcast_hits:
+        hits = F.broadcast(hits)
+    return base.join(hits, id_col, "left").select(
         id_col,
         "n_shingles",
         F.coalesce("n_hit_shingles", F.lit(0)).alias("n_hit_shingles"),
@@ -108,16 +120,31 @@ def decontaminate(
     bench_id_col: str = "bench_id",
     n: int = 8,
     max_rate: float = 0.0,
+    broadcast_bench: bool = True,
+    broadcast_bad: bool = True,
 ) -> DataFrame:
     """Drop contaminated docs (rate > ``max_rate``; the default 0.0
     drops on ANY shared n-gram — the conservative pre-training
     default). Anti-join form of :func:`ngram_contamination`: only the
-    contaminated id set (small) is computed and broadcast."""
+    contaminated id set (usually small) is computed and broadcast —
+    ``broadcast_bad=False`` for the adversarial case where most of
+    the corpus is contaminated and the id set is corpus-scale (same
+    escape as ``broadcast_hits`` on the report)."""
     bad = (
         ngram_contamination(
-            docs, bench, text_col, id_col, bench_text_col, bench_id_col, n
+            docs,
+            bench,
+            text_col,
+            id_col,
+            bench_text_col,
+            bench_id_col,
+            n,
+            broadcast_bench=broadcast_bench,
+            broadcast_hits=broadcast_bad,
         )
         .filter(F.col("contamination_rate") > F.lit(max_rate))
         .select(id_col)
     )
-    return docs.join(F.broadcast(bad), id_col, "left_anti")
+    if broadcast_bad:
+        bad = F.broadcast(bad)
+    return docs.join(bad, id_col, "left_anti")

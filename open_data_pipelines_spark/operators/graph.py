@@ -202,8 +202,17 @@ def _connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # single-node components never appear in `edges` (caller contract),
-    # so every node survives in the star edges until fixpoint.
+    # the contraction works on non-self edges, but a node appearing
+    # ONLY in self-loop rows must still label itself — propagation and
+    # the driver union-find both keep such nodes by design, and the
+    # three paths' outputs are contract-identical (round-9 review
+    # find: star silently dropped them, making auto's result shape
+    # depend on which path ran). Re-seed them at the end.
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     sig_prev: tuple[int, int] | None = None
     for _ in range(max_rounds):
         # large-star: symmetric neighborhoods, m = min(N(u) + {u})
@@ -242,9 +251,15 @@ def _connected_components_star(
             roots = e.select(F.col("v").alias("node")).distinct().withColumn(
                 "component", F.col("node")
             )
-            return e.select(
+            labeled = e.select(
                 F.col("u").alias("node"), F.col("v").alias("component")
             ).unionByName(roots)
+            # self-loop-only nodes never entered the contraction —
+            # they label themselves, exactly as the other paths do
+            singletons = all_nodes.join(labeled, "node", "left_anti").withColumn(
+                "component", F.col("node")
+            )
+            return labeled.unionByName(singletons)
         sig_prev = sig
     raise ConvergenceError(f"star contraction: no fixpoint after {max_rounds} rounds")
 

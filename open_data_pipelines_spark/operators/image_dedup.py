@@ -70,6 +70,12 @@ def with_image_ahash(
     """(id, ahash) — decode + hash in one Arrow-batched pass; rows
     that fail to decode get NULL (quarantine them by policy). Only the
     8-byte signature leaves the scan."""
+    if hash_size * hash_size > 64:
+        # same guard as video_signature: a wider hash is an unbounded
+        # Python int that clears the per-row try/except but overflows
+        # int64 at Arrow conversion, failing the whole task instead of
+        # quarantining rows (round-9 review find)
+        raise ValueError(f"hash_size {hash_size} exceeds the 64-bit signature (max 8)")
     dec = decoder or sniff_and_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

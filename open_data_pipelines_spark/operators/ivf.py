@@ -168,6 +168,36 @@ def append_to_ivf_index(
     ).partitionBy("list_id").parquet(path)
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-constructor) for the path's own scheme —
+    local and HDFS alike (driver-local ``os`` calls only work on the
+    driver's filesystem)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    return hpath(path).getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _swap_directory(spark, tmp: str, base: str, old: str) -> None:
+    """Commit a fully-written sibling ``tmp`` over ``base`` with two
+    directory renames: at every instant a complete durable copy exists
+    on disk. If a crash lands between the renames, ``base`` is briefly
+    absent but ``tmp`` holds the full new copy — rename it back to
+    recover. Shared by :func:`compact_ivf_index` and the retrain
+    rewrites of ``maintain_ivf_index`` / ``maintain_ivf_pq_index``."""
+    fs, hpath = _hadoop_fs(spark, base)
+
+    def _rename(src: str, dst: str) -> None:
+        # Hadoop rename reports failure as False, not an exception
+        if not fs.rename(hpath(src), hpath(dst)):
+            raise IOError(f"atomic swap: rename {src!r} -> {dst!r} failed")
+
+    fs.delete(hpath(old), True)
+    if fs.exists(hpath(base)):
+        _rename(base, old)
+    _rename(tmp, base)
+    fs.delete(hpath(old), True)
+
+
 def compact_ivf_index(
     spark,
     path: str,
@@ -243,26 +273,11 @@ def compact_ivf_index(
         )
     after = deduped.count()
     base = path.rstrip("/")
-    tmp, old = base + ".compact.tmp", base + ".compact.old"
-    # filesystem ops through the Hadoop FS of the path's own scheme —
-    # local paths and HDFS alike (os.replace only works on the driver's
-    # local filesystem)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def _rename(src: str, dst: str) -> None:
-        # Hadoop rename reports failure as False, not an exception
-        if not fs.rename(hpath(src), hpath(dst)):
-            raise IOError(f"compact_ivf_index: rename {src!r} -> {dst!r} failed")
-
+    tmp = base + ".compact.tmp"
+    fs, hpath = _hadoop_fs(spark, base)
     fs.delete(hpath(tmp), True)
     deduped.write.mode("overwrite").partitionBy(list_col).parquet(tmp)
-    # swap: the new layout is fully committed before the old one moves
-    fs.delete(hpath(old), True)
-    _rename(base, old)
-    _rename(tmp, base)
-    fs.delete(hpath(old), True)
+    _swap_directory(spark, tmp, base, base + ".compact.old")
     return {
         "rows_before": before,
         "rows_after": after,
@@ -374,13 +389,22 @@ def maintain_ivf_index(
         full = existing.select(*new_vectors.columns).unionByName(new_vectors)
     if compact_on_retrain:
         full = full.dropDuplicates()
-    # materialize before the overwrite below — the rebuilt index is
-    # written to the same path the union reads from
+    # materialize before the rewrite — the rebuilt index derives from
+    # the path being replaced
     full = full.localCheckpoint(eager=True)
     new_centroids = train_centroids(
         full, vec_col, id_col, k=k or len(centroids), iters=iters
     )
-    build_ivf_index(full, vec_col, id_col, new_centroids, path)
+    # sibling write + atomic swap, never an in-place overwrite: the
+    # checkpoint blocks above are unreplicated, so an executor loss
+    # mid-overwrite would have destroyed the only durable copy of the
+    # index (round-9 review find — the hazard compact_ivf_index's
+    # swap already eliminated)
+    tmp = path.rstrip("/") + ".retrain.tmp"
+    fs, hpath = _hadoop_fs(full.sparkSession, path)
+    fs.delete(hpath(tmp), True)
+    build_ivf_index(full, vec_col, id_col, new_centroids, tmp)
+    _swap_directory(full.sparkSession, tmp, path.rstrip("/"), path.rstrip("/") + ".retrain.old")
     return {
         "centroids": new_centroids,
         "baseline_mean_dist2": global_mean_dist2(full, vec_col, new_centroids),

@@ -385,8 +385,20 @@ def maintain_ivf_pq_index(
         iters=iters,
         train_fraction=train_fraction,
     )
+    # sibling write + atomic swap (shared with maintain_ivf_index /
+    # compact_ivf_index): an in-place overwrite deleted the only
+    # durable index copy before the rewrite from unreplicated
+    # checkpoint blocks committed
+    from .ivf import _hadoop_fs, _swap_directory
+
+    tmp = path.rstrip("/") + ".retrain.tmp"
+    fs, hpath = _hadoop_fs(full.sparkSession, path)
+    fs.delete(hpath(tmp), True)
     build_ivf_pq_index(
-        full, vec_col, id_col, new_centroids, new_books, path, code_col, list_col
+        full, vec_col, id_col, new_centroids, new_books, tmp, code_col, list_col
+    )
+    _swap_directory(
+        full.sparkSession, tmp, path.rstrip("/"), path.rstrip("/") + ".retrain.old"
     )
     return {
         "centroids": new_centroids,

@@ -76,7 +76,13 @@ def retract_from_packed(
     before ``/``; untouched domains pass through unchanged (pack ids
     stable), affected domains re-pack greedily in the same key order.
     """
-    dom = F.split(F.col(pack_col), "/").getItem(0)
+    # domain = everything before the LAST '/': pack_id is
+    # "<domain>/<seq>" and the domain itself may contain '/' (the
+    # corpus packer nests shard domains inside splits, "train/17").
+    # Taking the FIRST segment collapsed every such domain into its
+    # split — one tombstone re-packed the whole split and rewrote
+    # every surviving pack id in it (round-9 review find)
+    dom = F.regexp_replace(F.col(pack_col), "/[^/]*$", "")
     with_dom = packed.withColumn("__dom", dom)
     survivors = _tombstone_join(with_dom, tombstones, id_col, broadcast_tombstones)
 
@@ -213,7 +219,7 @@ def retraction_audit(
     return hit.agg(
         F.count(F.lit(1)).alias("rows_removed"),
         F.count_distinct(F.col(id_col)).alias("docs_removed"),
-        F.count_distinct(F.split(F.col(pack_col), "/").getItem(0)).alias(
+        F.count_distinct(F.regexp_replace(F.col(pack_col), "/[^/]*$", "")).alias(
             "domains_touched"
         ),
     )

@@ -36,8 +36,19 @@ _TWO_60 = float(1 << 60)
 def unit_hash(col: Column | str, seed: str = "") -> Column:
     """Deterministic uniform-ish value in [0, 1): the 60-bit stable
     hash scaled by 2^60. Same value computable in DuckDB (module
-    docstring), so sampled sets are cross-engine comparable."""
-    return stable_long_hash(col, salt=seed) / F.lit(_TWO_60)
+    docstring), so sampled sets are cross-engine comparable.
+
+    NULL keys hash as one fixed sentinel instead of propagating NULL:
+    a NULL hash made every sampler misbehave silently — upsample
+    dropped the row entirely (even its guaranteed floor copies),
+    assign_split routed it to the LAST split (eval contamination by
+    junk rows), deterministic_sample dropped it at any fraction
+    (round-9 review find). With the sentinel, NULL-key rows are
+    deterministic and travel together — degenerate but visible.
+    DuckDB mirror: wrap the key in COALESCE(x::VARCHAR, '<null-key>')."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.coalesce(c.cast("string"), F.lit("<null-key>"))
+    return stable_long_hash(keyed, salt=seed) / F.lit(_TWO_60)
 
 
 def assign_split(

@@ -30,7 +30,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import lazy_checkpoint
-from pyspark.storagelevel import StorageLevel
 
 from .text_analysis import doc_fingerprint, whitespace_tokens
 
@@ -130,13 +129,18 @@ def dedup_exact_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_corpus(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingles) corpus, persisted — the shared input of candidate
-    generation and Jaccard verification. Caller (or session teardown /
-    ``spark.catalog.clearCache``) owns the cache lifecycle."""
-    return (
-        scale_out(df, id_col)
-        .select(F.col(id_col), word_shingles(text_col, n).alias("__sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    """(id, shingles) corpus, cached for reuse — the shared input of
+    candidate generation and Jaccard verification, via the repo's
+    lazy-localCheckpoint convention (``caching.py``): materialized on
+    first use, blocks reclaimed by the ContextCleaner when the result
+    frames are garbage-collected. The previous bare internal
+    ``persist`` registered in the CacheManager with a handle no
+    caller ever received — one pinned corpus-scale cache per funnel
+    run for the session lifetime (round-9 review find)."""
+    return lazy_checkpoint(
+        scale_out(df, id_col).select(
+            F.col(id_col), word_shingles(text_col, n).alias("__sh")
+        )
     )
 
 

@@ -164,7 +164,16 @@ class Dag:
                 # no Delta dependency). The db-qualified name bypasses
                 # any same-named TEMP VIEW (which unqualified
                 # spark.table/tableExists would silently resolve to).
-                qualified = f"{spark.catalog.currentDatabase()}.{name}"
+                db = spark.catalog.currentDatabase()
+                qualified = f"{db}.{name}"
+                staging = f"{name}__staging"
+                qstaging = f"{db}.{staging}"
+                if not spark.catalog.tableExists(qualified) and spark.catalog.tableExists(qstaging):
+                    # crash recovery: a prior run committed the staging
+                    # table but died between DROP and RENAME — adopt it
+                    # instead of rebuilding from one batch (losing the
+                    # accumulated history)
+                    spark.sql(f"ALTER TABLE {qstaging} RENAME TO {name}")
                 if spark.catalog.tableExists(qualified):
                     existing = spark.table(qualified)
                     if m.unique_key:
@@ -177,14 +186,21 @@ class Dag:
                     # allowMissingColumns: later batches may add
                     # columns (schema evolution — old rows get NULLs)
                     merged = existing.unionByName(df, allowMissingColumns=True)
-                    # localCheckpoint truncates lineage so the plan no
-                    # longer references the table we're about to
-                    # overwrite (cache() is not enough — the analyzer
-                    # still sees the self-read)
-                    merged = merged.localCheckpoint(eager=True)
+                    # staging-table swap, not an in-place overwrite: a
+                    # direct overwrite drops the accumulated table
+                    # before the rewrite commits, so a mid-write
+                    # failure destroyed months of incremental history
+                    # (round-9 review find). Writing to a sibling
+                    # table also removes the self-read that previously
+                    # forced an eager localCheckpoint of the whole
+                    # merge. The only non-durable instant is between
+                    # DROP and RENAME, and the recovery branch above
+                    # heals exactly that window.
                     merged.write.mode("overwrite").option(
                         "overwriteSchema", "true"
-                    ).saveAsTable(qualified)
+                    ).saveAsTable(qstaging)
+                    spark.sql(f"DROP TABLE {qualified}")
+                    spark.sql(f"ALTER TABLE {qstaging} RENAME TO {name}")
                 else:
                     # fresh catalog: survive an orphaned location left
                     # by an interrupted previous run

@@ -44,3 +44,22 @@ def test_asof_join_keeps_left_columns(spark):
     row = asof_join(probe, state, "k", "ts", ["st"]).collect()[0]
     assert row["metric"] == 42.0 and row["st_asof"] == "X"
     assert set(asof_join(probe, state, "k", "ts", ["st"]).columns) == {"k", "ts", "metric", "st_asof"}
+
+
+def test_asof_null_ts_state_never_matches(spark):
+    """Round-9 review find: Spark sorts NULLS FIRST ascending, so an
+    unfiltered NULL-ts right row sat at the head of every key's window
+    and was carried forward as the as-of match for every probe. DuckDB
+    ASOF (l.ts >= r.ts) never matches NULL — neither may we."""
+    probe = spark.createDataFrame(
+        [(1, _ts(5), "early"), (1, _ts(12), "late")], ["k", "ts", "name"]
+    )
+    state = spark.createDataFrame(
+        [(1, None, "GHOST"), (1, _ts(10), "real")], ["k", "ts", "st"]
+    )
+    out = {
+        r["name"]: r["st_asof"]
+        for r in asof_join(probe, state, "k", "ts", ["st"]).collect()
+    }
+    assert out["early"] is None  # no state at t<=5; the NULL-ts row must not leak
+    assert out["late"] == "real"

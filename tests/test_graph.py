@@ -176,3 +176,24 @@ def test_union_find_equals_distributed_on_random_graphs(spark):
             ).collect()
         }
         assert driver == dist, (trial, pairs)
+
+
+def test_star_keeps_self_loop_only_nodes(spark):
+    """Round-9 review find: the star contraction filtered u != v up
+    front and silently dropped nodes appearing only in self-loops,
+    while propagation and the driver union-find keep them — the output
+    contract is identical labels on EVERY path, including auto's
+    escalation target."""
+    e = _edges(spark, [(7, 7), (1, 2), (2, 3)])
+    want = {1: 1, 2: 1, 3: 1, 7: 7}
+    for algo, kwargs in (
+        ("star", {}),
+        ("propagation", {}),
+        ("auto", {"driver_max_edges": 0}),
+        ("auto", {}),
+    ):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(e, algorithm=algo, **kwargs).collect()
+        }
+        assert got == want, algo

@@ -90,3 +90,16 @@ def test_injectable_decoder_for_gated_formats(spark):
     hashed = with_image_ahash(df, decoder=fake)
     got = {r["media_id"]: r["ahash"] for r in hashed.collect()}
     assert got[1] == got[2] and got[1] is not None
+
+
+def test_ahash_hash_size_guard(spark):
+    """hash_size > 8 would overflow int64 at Arrow conversion OUTSIDE
+    the per-row try/except, failing the whole task — guard up front
+    like video_signature does (round-9 review find)."""
+    import pytest
+
+    from open_data_pipelines_spark.operators.image_dedup import with_image_ahash
+
+    df = spark.createDataFrame([(1, b"")], ["media_id", "content"])
+    with pytest.raises(ValueError, match="hash_size"):
+        with_image_ahash(df, hash_size=16)

@@ -115,3 +115,41 @@ def test_table_model_survives_orphaned_location(spark):
         assert out == {1: "a"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_incremental_adopts_orphaned_staging_table(spark):
+    """Round-9 review find: the incremental merge used to overwrite
+    the accumulated table in place — a mid-write failure destroyed the
+    history. It now commits to <name>__staging then DROP+RENAME; the
+    only non-durable instant is between those two statements, and a
+    run that finds the main table gone but a committed staging table
+    present must ADOPT the staging copy instead of rebuilding from
+    one batch."""
+    name = "inc_staging_model"
+    batches = [
+        [(1, "a1"), (2, "b1")],
+        [(2, "b2"), (3, "c1")],
+    ]
+
+    def run_batch(i):
+        dag = Dag()
+
+        @dag.model(name, materialize="incremental", unique_key="k")
+        def inc_staging_model(s):
+            return s.createDataFrame(batches[i], ["k", "v"])
+
+        return dag.run(spark)[name]
+
+    try:
+        run_batch(0)
+        run_batch(1)
+        # simulate the crash window: the merged result is committed in
+        # staging, the main table already dropped
+        spark.sql(f"ALTER TABLE {name} RENAME TO {name}__staging")
+        out = {r["k"]: r["v"] for r in run_batch(1).collect()}
+        # history survived: key 1 comes from batch 0, which only the
+        # adopted staging copy carries
+        assert out == {1: "a1", 2: "b2", 3: "c1"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__staging")

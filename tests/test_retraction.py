@@ -211,3 +211,62 @@ def test_retract_from_packed_property_random_tombstones(spark):
             .count()
         )
         assert bad == 0, trial
+
+
+def test_retract_from_packed_nested_split_domains(spark):
+    """Round-9 review find: the packing domain is everything before
+    the LAST '/' of pack_id — corpus_prep nests shard domains inside
+    splits ('train/17'), and the old first-segment parse collapsed
+    every such domain into its split: one tombstone re-packed the
+    whole split and rewrote every surviving train pack id."""
+    df = _chunks(spark).withColumn(
+        "__dom",
+        F.concat(
+            F.lit("train/"),
+            F.pmod(stable_long_hash("__ck", salt="pack"), F.lit(4)).cast("string"),
+        ),
+    )
+    packed = pack_chunks(df, "__ck", "__ct", max_tokens=128, group_col="__dom").drop(
+        "__dom"
+    ).persist()
+    victim = 5
+    victim_doms = {
+        r["d"]
+        for r in packed.filter(F.col("doc_id") == victim)
+        .select(F.regexp_replace("pack_id", "/[^/]*$", "").alias("d"))
+        .distinct()
+        .collect()
+    }
+    assert victim_doms and all(d.startswith("train/") for d in victim_doms)
+    # with 4 shards under one split, at least one shard must be
+    # untouched for the assertion below to bite
+    all_doms = {
+        r["d"]
+        for r in packed.select(
+            F.regexp_replace("pack_id", "/[^/]*$", "").alias("d")
+        ).distinct().collect()
+    }
+    untouched_doms = all_doms - victim_doms
+    assert untouched_doms
+
+    tomb = spark.createDataFrame([(victim,)], ["doc_id"])
+    out = retract_from_packed(packed, tomb, max_tokens=128).persist()
+    assert out.filter(F.col("doc_id") == victim).count() == 0
+
+    before = {
+        (r["__ck"], r["pack_id"], r["pack_tokens"])
+        for r in packed.filter(
+            F.regexp_replace("pack_id", "/[^/]*$", "").isin(*untouched_doms)
+        ).collect()
+    }
+    after = {
+        (r["__ck"], r["pack_id"], r["pack_tokens"])
+        for r in out.filter(
+            F.regexp_replace("pack_id", "/[^/]*$", "").isin(*untouched_doms)
+        ).collect()
+    }
+    # sibling shards under the same split prefix are byte-for-byte
+    # untouched — the blast radius is the exact nested domain
+    assert before == after
+    packed.unpersist()
+    out.unpersist()

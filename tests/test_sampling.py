@@ -217,3 +217,37 @@ def test_temperature_weights_limits_and_composition(spark):
 
     with pytest.raises(ValueError):
         temperature_weights(df, "source", 0.0)
+
+
+def test_null_keys_are_deterministic_not_dropped(spark):
+    """Round-9 review find: unit_hash(NULL) propagated NULL, so
+    upsample dropped NULL-key rows entirely (even guaranteed floor
+    copies) and assign_split routed them to the LAST split (eval
+    contamination by junk rows). NULL keys now hash as one sentinel:
+    deterministic, and with a 100%-train split they must land in
+    train."""
+    from open_data_pipelines_spark.operators.sampling import upsample_to_mix
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (2, "b"), (None, "b")],
+        "doc_id long, source string",
+    )
+    up = upsample_to_mix(df, "source", {"a": 0.75, "b": 0.25}, "doc_id")
+    # every input row keeps at least its floor copies — the NULL-key
+    # rows included (factor >= 1 for both strata here)
+    assert up.filter(F.col("doc_id").isNull()).count() >= 2
+
+    labeled = assign_split(
+        df, "doc_id", (("train", 0.9999999999), ("test", 1 - 0.9999999999))
+    )
+    null_splits = {
+        r["split"] for r in labeled.filter(F.col("doc_id").isNull()).collect()
+    }
+    assert null_splits == {"train"}
+    # and the label is stable across invocations (pure hash function)
+    again = assign_split(
+        df, "doc_id", (("train", 0.9999999999), ("test", 1 - 0.9999999999))
+    )
+    assert sorted(r["split"] for r in labeled.collect()) == sorted(
+        r["split"] for r in again.collect()
+    )

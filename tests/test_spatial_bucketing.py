@@ -125,3 +125,24 @@ def test_range_join_auto_strategy_choice(spark):
     assert key(auto_small) == expected
     assert key(auto_big) == expected
     assert key(range_join_within_gridded(a, b, "ax", "ay", "bx", "by", 10.0)) == expected
+
+
+def test_wkt_round_trip_survives_scientific_notation(spark):
+    """wkt_point renders via cast-to-string, which Spark formats as
+    E-notation for |x| >= 1e7 — the module's own parsers must read it
+    back (round-9 review find: the round trip returned NULL for large
+    planar coordinates)."""
+    from open_data_pipelines_spark.functions.spatial import (
+        wkt_point,
+        wkt_point_x,
+        wkt_point_y,
+    )
+
+    df = spark.createDataFrame(
+        [(12345678.0, 0.0005), (51.5, -0.12)], ["x", "y"]
+    ).withColumn("wkt", wkt_point(F.col("x"), F.col("y")))
+    rows = df.select(
+        "x", "y", wkt_point_x("wkt").alias("rx"), wkt_point_y("wkt").alias("ry")
+    ).collect()
+    for r in rows:
+        assert r["rx"] == r["x"] and r["ry"] == r["y"], r
