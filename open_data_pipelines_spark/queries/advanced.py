@@ -183,6 +183,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
     probe = events.filter(F.col("event_id") % 2 == 1)
     state = events.filter(F.col("event_id") % 2 == 0)
+    # tie-break the state side to one row per (user_id, ts) BEFORE the
+    # as-of: DuckDB's ASOF picks an ARBITRARY row among equal
+    # timestamps while our operator picks deterministically, so oracle
+    # parity on tied state rows would be luck, not contract (round-9
+    # review find) — the dedup makes both engines' inputs tie-free
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").asc())
+    state = (
+        state.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     out = asof_join(probe, state, "user_id", "ts", ["event_type"])
     return out.select(
         "event_id",
@@ -197,7 +208,12 @@ ORACLE_ASOF_JOIN = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.event_type,
        r.event_type AS event_type_asof
 FROM (SELECT * FROM events WHERE event_id % 2 = 1) l
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 0) r
+ASOF LEFT JOIN (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+    FROM events WHERE event_id % 2 = 0
+  ) WHERE rn = 1
+) r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 

@@ -27,12 +27,12 @@ from ..operators.dedup import top1_per_key
 from ..operators.joins import anti_join, cast_key_join, overlap_count
 from ..plans.impact import IMPACT_ORACLE_SQL, impact_scores
 from ..plans.wellbeing import WELLBEING_ORACLE_SQL, wellbeing_impact
-from ..session import load_tables
+from ..functions.numeric import round_half_up
+from ..session import pick_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    tables = load_tables(spark, sf_dir, register_views=False)
-    return [tables[n] for n in names]
+    return pick_tables(spark, sf_dir, *names)
 
 
 # --- W1 distinct_on: one row per order, latest line (total order) ----------
@@ -333,9 +333,14 @@ def q_wellbeing_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
         decimal_sum("l_quantity", 2, "sum_qty")
     )
+    # round_half_up, not F.round: the engines' native rounds disagree
+    # on .xx5 boundaries (functions/numeric.py). Safe today only
+    # because harness quantities are integer-valued — the explicit
+    # floor-based form stays exact if that ever changes (round-9
+    # review find); the oracle mirrors the same formula.
     out = grouped.withColumn(
         "wellbeing_impact",
-        F.round(F.lit(2.10) * F.lit(7) * F.col("sum_qty"), 2),
+        round_half_up(F.lit(2.10) * F.lit(7) * F.col("sum_qty"), 2),
     )
     return out.select("l_returnflag", "l_linestatus", "sum_qty", "wellbeing_impact")
 
@@ -343,7 +348,7 @@ def q_wellbeing_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WELLBEING = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       round(2.10 * 7 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+       (floor(2.10 * 7 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0)
          AS wellbeing_impact
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """

@@ -17,13 +17,12 @@ from ..functions.cleaning import (
 )
 from ..functions.hashing import record_hash
 from ..functions.numeric import round_half_up
-from ..session import load_tables
+from ..session import pick_tables
 from ..sources.json_source import parse_json_column
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    tables = load_tables(spark, sf_dir, register_views=False)
-    return [tables[n] for n in names]
+    return pick_tables(spark, sf_dir, *names)
 
 
 # --- P4/P5/X5 safe_cast: TRY_CAST null-on-failure coercion ------------------

@@ -21,12 +21,11 @@ from ..functions.spatial import (
     wkt_point_y,
 )
 from ..operators.joins import range_join_within_auto
-from ..session import load_tables
+from ..session import pick_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    tables = load_tables(spark, sf_dir, register_views=False)
-    return [tables[n] for n in names]
+    return pick_tables(spark, sf_dir, *names)
 
 
 # --- X8/X10 centroid_xy: WKT construct -> parse -> centroids (both families) -

@@ -26,6 +26,7 @@ from ..operators.text_analysis import (
     token_count_bpe,
     token_count_ws,
 )
+from ..functions.numeric import round_half_up
 from ..operators.text_dedup import (
     dedup_exact_text,
     jaccard_pairs,
@@ -86,14 +87,13 @@ _SHINGLES = (
 _NORM = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
 _LONG_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 # minhash/simhash base hash: ONE md5 per token/shingle, 52-bit; k
-# permutations derive via affine maps mod the Mersenne prime
-# (operators/text_dedup.py:_base_hash/_affine_params)
+# permutations derive via affine maps mod the Mersenne prime —
+# IMPORTED from the operator, not retyped, so re-tuning the hash
+# family cannot silently desynchronize the two engines (the same
+# discipline as _PII_PATTERNS / the LM constants below)
 _BASE_HASH = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
-_M31 = 2147483647
-
-
-def _affine_params(perm: int) -> tuple[int, int]:
-    return 2 * perm + 1, 1000003 * perm + 12345
+from ..operators.text_dedup import _MERSENNE_31 as _M31  # noqa: E402
+from ..operators.text_dedup import _affine_params  # noqa: E402
 
 
 # --- dedup_exact --------------------------------------------------------------
@@ -459,12 +459,18 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "term",
         "tf",
-        F.round("idf", 6).alias("idf"),
-        F.round("tfidf", 6).alias("tfidf"),
+        # round_half_up, not F.round: the engines' native rounds
+        # disagree on half-boundaries (functions/numeric.py) — the
+        # floor-based form evaluates identically in both engines for
+        # these non-negative values (round-9 review find)
+        round_half_up(F.col("idf"), 6).alias("idf"),
+        round_half_up(F.col("tfidf"), 6).alias("tfidf"),
         "rank",
     )
     ent = char_entropy(docs, "text", "doc_id").select(
-        "doc_id", "n_chars", F.round("char_entropy", 6).alias("char_entropy")
+        "doc_id",
+        "n_chars",
+        round_half_up(F.col("char_entropy"), 6).alias("char_entropy"),
     )
     return tfidf.join(ent, "doc_id")
 
@@ -483,8 +489,8 @@ WITH terms AS (
          ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0 AS idf
   FROM tf JOIN df USING (term) CROSS JOIN n
 ), ranked AS (
-  SELECT doc_id, term, tf, round(idf, 6) AS idf,
-         round(tf * idf, 6) AS tfidf, rank
+  SELECT doc_id, term, tf, (floor(idf * 1000000.0 + 0.5) / 1000000.0) AS idf,
+         (floor(tf * idf * 1000000.0 + 0.5) / 1000000.0) AS tfidf, rank
   FROM (
     SELECT *, row_number() OVER (
       PARTITION BY doc_id ORDER BY tf * idf DESC, term ASC
@@ -497,7 +503,7 @@ WITH terms AS (
   SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c
 ), per_doc AS (
   SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
-         round(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS char_entropy
+         (floor((log2(SUM(n)) - SUM(n * log2(n)) / SUM(n)) * 1000000.0 + 0.5) / 1000000.0) AS char_entropy
   FROM counts GROUP BY doc_id
 )
 SELECT r.doc_id, r.term, r.tf, r.idf, r.tfidf, r.rank, p.n_chars, p.char_entropy

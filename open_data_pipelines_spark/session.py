@@ -163,3 +163,11 @@ def load_tables(
 # of how the harness encoded the parquet (TIMESTAMP(NANOS)-as-long,
 # naive micros/NTZ, or UTC-adjusted micros — all normalized above)
 _EVENT_TIME_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def pick_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """The named harness tables, in order — the one shared helper the
+    query modules use (previously three byte-identical private copies:
+    round-9 review find)."""
+    tables = load_tables(spark, sf_dir, register_views=False)
+    return [tables[n] for n in names]

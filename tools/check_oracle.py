@@ -78,6 +78,12 @@ def check_sf(spark, qs, oracles, sf_dir: str, only: set[str]) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    unknown = set(only or ()) - set(qs)
+    if unknown:
+        # a misspelled name silently matching nothing printed
+        # '0 failures' — a false green from the correctness-gate
+        # replica (round-9 review find)
+        sys.exit(f"unknown query name(s): {sorted(unknown)} — not in the registry")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -37,7 +37,11 @@ def summarize(plan: str) -> dict:
         "shuffles": plan.count("Exchange") - plan.count("BroadcastExchange"),
         "pushed_filters": sum(1 for p in pushed if p.strip()),
         "scan_widths": [len(s.split(",")) for s in schemas],
-        "global_sorts": plan.count("Sort [") - plan.count("Sort [__"),
+        # SortExec prints "Sort [keys], <global>, 0" — only global=true
+        # is a whole-dataset sort (SMJ/window sorts are partition-local
+        # and print false); previously computed but never emitted, and
+        # the old heuristic also counted local sorts (round-9 review)
+        "global_sorts": len(re.findall(r"Sort \[[^\]]*\], true,", plan)),
     }
 
 
@@ -69,8 +73,8 @@ def main() -> None:
         "shuffle column is an upper bound on executed shuffles, exact",
         "for queries without internal reuse.",
         "",
-        "| query | broadcast | sort-merge | shuffle-hash | shuffles | pushed filters | scan widths |",
-        "|---|---|---|---|---|---|---|",
+        "| query | broadcast | sort-merge | shuffle-hash | shuffles | global sorts | pushed filters | scan widths |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, fn in e.queries().items():
         try:
@@ -79,11 +83,11 @@ def main() -> None:
             s = summarize(plan)
             lines.append(
                 f"| {name} | {s['broadcast_joins']} | {s['sortmerge_joins']} | "
-                f"{s['shuffle_hash_joins']} | {s['shuffles']} | {s['pushed_filters']} | "
-                f"{s['scan_widths']} |"
+                f"{s['shuffle_hash_joins']} | {s['shuffles']} | {s['global_sorts']} | "
+                f"{s['pushed_filters']} | {s['scan_widths']} |"
             )
         except Exception as ex:  # noqa: BLE001
-            lines.append(f"| {name} | ERROR: {str(ex)[:60]} | | | | | |")
+            lines.append(f"| {name} | ERROR: {str(ex)[:60]} | | | | | | |")
 
     out = "EXPLAIN_AUDIT.md"
     with open(out, "w") as fh:

@@ -157,7 +157,7 @@ ODS_STYLES = """<?xml version="1.0" encoding="UTF-8"?>
 """
 
 
-def make_ods(path: Path) -> None:
+def make_ods(path: Path, content: str | None = None) -> None:
     path.unlink(missing_ok=True)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         # the mimetype member must be FIRST and STORED per the ODF spec
@@ -166,7 +166,10 @@ def make_ods(path: Path) -> None:
             "application/vnd.oasis.opendocument.spreadsheet",
             compress_type=zipfile.ZIP_STORED,
         )
-        z.writestr(zipfile.ZipInfo("content.xml", (2024, 1, 1, 0, 0, 0)), ODS_CONTENT)
+        z.writestr(
+            zipfile.ZipInfo("content.xml", (2024, 1, 1, 0, 0, 0)),
+            ODS_CONTENT if content is None else content,
+        )
         z.writestr(zipfile.ZipInfo("styles.xml", (2024, 1, 1, 0, 0, 0)), ODS_STYLES)
         z.writestr(
             zipfile.ZipInfo("META-INF/manifest.xml", (2024, 1, 1, 0, 0, 0)), ODS_MANIFEST
@@ -199,13 +202,10 @@ ODS_DFT_CONTENT = ODS_CONTENT.replace(
 
 
 def make_dft_ods(path: Path) -> None:
-    global ODS_CONTENT
-    original = ODS_CONTENT
-    ODS_CONTENT = ODS_DFT_CONTENT
-    try:
-        make_ods(path)
-    finally:
-        ODS_CONTENT = original
+    # parametrized, not a module-global swap: the old try/finally
+    # restore was non-reentrant and left the module poisoned for later
+    # make_ods calls if the restore ever mishappened (round-9 review)
+    make_ods(path, content=ODS_DFT_CONTENT)
 
 
 def main() -> None:

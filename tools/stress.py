@@ -27,10 +27,22 @@ import time
 sys.path.insert(0, ".")
 
 BASE = "/root/testdata/sf0.1"
+# columns shifted per scaled copy. Keys that JOIN across tables share
+# one offset family so copy i of orders still joins copy i of
+# lineitem BY CONSTRUCTION (round-9 review find: independent
+# max+1 offsets aligned only because the max orderkey happened to
+# have lineitems). o_custkey is deliberately NOT shifted: customer is
+# a dim and stays unscaled, so copies reuse the same customers (more
+# orders per customer) instead of pointing past the dim and measuring
+# empty joins.
 FACT_KEYS = {
-    "orders": ["o_orderkey", "o_custkey"],
+    "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey"],
     "events": ["event_id", "user_id"],
+}
+KEY_FAMILIES = {
+    "o_orderkey": "orderkey",
+    "l_orderkey": "orderkey",
 }
 QUERIES = ["impact_score", "distinct_on", "group_sum", "agg_battery", "scd2_merge", "window_tumbling"]
 
@@ -42,12 +54,26 @@ def build(spark, factor: int, dest: str) -> None:
 
     tables = load_tables(spark, BASE, register_views=False)
     os.makedirs(dest, exist_ok=True)
+    # one offset per key FAMILY, maxed across every member column, so
+    # cross-table joins of the scaled copies align by construction
+    family_max: dict[str, int] = {}
+    for name, cols in FACT_KEYS.items():
+        for c in cols:
+            fam = KEY_FAMILIES.get(c)
+            if fam is not None:
+                m = tables[name].agg(F.max(c)).first()[0] + 1
+                family_max[fam] = max(family_max.get(fam, 0), m)
     for name in TESTDATA_TABLES:
         df = tables[name]
         out_path = os.path.join(dest, f"{name}.parquet")
         if name in FACT_KEYS:
             shift_cols = FACT_KEYS[name]
-            maxes = {c: df.agg(F.max(c)).first()[0] + 1 for c in shift_cols}
+            maxes = {
+                c: family_max.get(
+                    KEY_FAMILIES.get(c, ""), 0
+                ) or (df.agg(F.max(c)).first()[0] + 1)
+                for c in shift_cols
+            }
             copies = []
             for i in range(factor):
                 c = df
@@ -740,7 +766,10 @@ def main() -> None:
         n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 20_000)
         ivf_skew_scenario(n)
         return
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # flags filtered before the positional parse: `--keep` alone is a
+    # documented invocation and must not hit int("--keep")
+    positionals = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = int(positionals[0]) if positionals else 10
     keep = "--keep" in sys.argv
     dest = f"/tmp/stress_x{factor}"
 
