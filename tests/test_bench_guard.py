@@ -78,3 +78,7 @@ def test_bench_emits_per_query_spread(monkeypatch, capsys):
     for name in bench_mod.HEADLINE:
         s = result["spread"][name]
         assert s["min"] <= result["queries"][name] <= s["max"]
+    # every headline query actually EXECUTED (warmup + measured
+    # passes) — without this, a bench that emitted spreads while
+    # skipping execution entirely would pass (round-9 test-review)
+    assert calls["n"] == len(bench_mod.HEADLINE) * 3  # 1 warmup + 2 passes

@@ -97,7 +97,15 @@ def test_streaming_funnel_matches_batch_stages(spark, doc_landing):
 def test_streaming_funnel_is_incremental(spark, doc_landing):
     """A second drain with a new file only appends the NEW novel docs
     (checkpointed progress + watermark dedup state)."""
-    landing, docs = doc_landing
+    import shutil
+
+    shared_landing, docs = doc_landing
+    # private COPY of the landing dir: this test appends files, and
+    # mutating the module-scoped fixture couples it to the parity test
+    # reading the same directory (order/xdist flake — round-9
+    # test-review find)
+    landing = tempfile.mkdtemp(prefix="doc_landing_inc_") + "/drop"
+    shutil.copytree(shared_landing, landing)
     bronze_dir = tempfile.mkdtemp(prefix="bronze2_")
     ckpt = tempfile.mkdtemp(prefix="ckpt2_")
 

@@ -127,16 +127,24 @@ def test_append_to_ivf_index_and_drift(spark, tmp_path):
     build_ivf_index(base, "embedding", "vec_id", cents, path=path)
     n0 = spark.read.parquet(path).count()
 
-    batch = vecs(range(100, 120))
+    # offset 0.25 keeps the batch in-distribution but gives id 100 the
+    # direction [3.25, 1.25] (ratio 13/5), which NO base grid vector
+    # [1..7, 1..5] is colinear with — so under cosine ranking the
+    # appended vector is the unique exact match, not a tie the
+    # neighbor_id tie-break hands to a base id (the old assertion
+    # ended in `or True`, which passed even with append broken —
+    # round-9 test-review find)
+    batch = vecs(range(100, 120), offset=0.25)
     append_to_ivf_index(batch, "embedding", "vec_id", cents, path)
     index = spark.read.parquet(path)
     assert index.count() == n0 + 20
 
     # an appended vector is findable via probes on the refreshed index
-    q = vecs([200])  # same grid as vec 102 etc.
+    q = spark.createDataFrame([(200, [3.25, 1.25])], ["vec_id", "embedding"])
     hits = ivf_topk(index, q, "embedding", "vec_id", cents, k=5, nprobe=4)
     assert hits.count() == 5
-    assert {r["neighbor_id"] for r in hits.collect()} & set(range(100, 120)) or True
+    top1 = hits.filter(F.col("rank") == 1).first()["neighbor_id"]
+    assert top1 == 100  # the appended vector itself, via the probes
 
     # drift: a far-shifted batch shows much larger mean_dist2
     ok = index_drift_stats(batch, "embedding", cents).agg(F.avg("mean_dist2")).first()[0]

@@ -120,21 +120,39 @@ def test_hot_cell_cap_bounds_candidates(spark, ivfpq):
         if n <= cap:
             assert capped_stats.get(lid) == n
 
-    # end-to-end: candidate volume per query == sum of probed capped cells
+    # end-to-end: ivf_topk(max_cell_size=cap) must SEARCH the capped
+    # index — row-identical to searching cap_hot_cells' output, and
+    # the cap must be load-bearing on the hot-cell query (the old
+    # block only re-derived the bound from test-side arithmetic, which
+    # could not fail even if the parameter were ignored — round-9
+    # test-review find)
     nprobe = 2
     queries = skewed.filter(F.col("vec_id") < 3)
     res = ivf_topk(
         idx, queries, "embedding", "vec_id", cents,
         k=TOP_K, nprobe=nprobe, max_cell_size=cap,
     )
-    assert res.count() <= 3 * TOP_K
-    probed = queries.select(
-        F.explode(probe_list_ids("embedding", cents, nprobe)).alias("list_id")
-    ).groupBy("list_id").count().collect()
-    worst = sum(
-        sorted((min(stats.get(r["list_id"], 0), cap) for r in probed), reverse=True)[:nprobe]
+    res_precapped = ivf_topk(
+        capped, queries, "embedding", "vec_id", cents, k=TOP_K, nprobe=nprobe
     )
-    assert worst <= nprobe * cap
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, res_precapped.collect())
+    )
+    # and the cap genuinely bounds the candidate pool: at a k larger
+    # than the capped cells can supply, the uncapped search fills k
+    # from the 200 hot duplicates while the capped search cannot
+    # return more than nprobe * cap candidates
+    big_k = 60
+    q0 = queries.filter(F.col("vec_id") == 0)
+    n_uncapped = ivf_topk(
+        idx, q0, "embedding", "vec_id", cents, k=big_k, nprobe=nprobe
+    ).count()
+    n_capped = ivf_topk(
+        idx, q0, "embedding", "vec_id", cents,
+        k=big_k, nprobe=nprobe, max_cell_size=cap,
+    ).count()
+    assert n_uncapped == big_k
+    assert n_capped <= nprobe * cap < big_k
 
 
 def test_path_built_index_probe_gets_dynamic_partition_pruning(spark, ivfpq, tmp_path):

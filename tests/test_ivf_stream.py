@@ -5,6 +5,8 @@ drain."""
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import functions as F
 
 from open_data_pipelines_spark.operators.ivf import (
@@ -40,6 +42,11 @@ def test_stream_maintains_index_and_retrains_on_drift(spark, tmp_path):
     calm = _vecs(spark, range(100, 120))
     drifted = _vecs(spark, range(200, 240), offset=50.0)
     calm.repartition(1).write.parquet(landing)
+    # 1.1s gap: FileStreamSource orders files by modification time,
+    # and equal ms-resolution stamps can process the drifted file
+    # FIRST, retraining before the calm batch arrives (round-9
+    # test-review find; same guard as test_scd2_stream)
+    time.sleep(1.1)
     drifted.repartition(1).write.mode("append").parquet(landing)
 
     stream = (

@@ -54,7 +54,10 @@ def test_jdbc_parallel_partitioned_write(spark):
 
 def test_jdbc_bad_url_raises_through_retry(spark):
     df = spark.createDataFrame([(1,)], ["id"])
-    with pytest.raises(Exception):
+    # match pins the CONNECTION failure (Derby can't open the db at
+    # that path) — a bare Exception also passed on any unrelated crash
+    # before the write was attempted (round-9 test-review find)
+    with pytest.raises(Exception, match=r"(?i)database|derby|not found"):
         write_jdbc(
             df,
             "jdbc:derby:/nonexistent/dir/x;create=false",

@@ -79,8 +79,34 @@ def test_stream_media_dedup_across_drops(spark):
     from open_data_pipelines_spark.operators.image_dedup import image_near_dup_pairs
 
     images = out.filter(F.col("kind") == "image")
-    pairs = image_near_dup_pairs(images, "media_id", hash_col="signature", max_hamming=6)
-    assert pairs.count() >= 0  # runs on bronze as-is
+    sig_by_id = {r["media_id"]: r["signature"] for r in images.collect()}
+    assert len(sig_by_id) >= 2
+
+    def _expected(max_hamming: int) -> set:
+        ids = sorted(sig_by_id)
+        return {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((sig_by_id[a] ^ sig_by_id[b]) & ((1 << 64) - 1)).count("1")
+            <= max_hamming
+        }
+
+    # banding+verify must return EXACTLY the pairs an independent
+    # in-test Hamming computation predicts (the old assertion was
+    # `count() >= 0`, which passes with the operator fully broken —
+    # round-9 test-review find); band_bits=1 makes the pigeonhole
+    # lossless up to hamming 63, so the second case's expectation
+    # provably contains every image pair (non-vacuous)
+    for mh, bb in ((6, 8), (63, 1)):
+        pairs = image_near_dup_pairs(
+            images, "media_id", hash_col="signature", max_hamming=mh, band_bits=bb
+        )
+        got = {
+            tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs.collect()
+        }
+        assert got == _expected(mh), (mh, bb)
+    assert _expected(63)
 
 
 def test_stream_media_dedup_survives_checkpoint_restart(spark):
