@@ -27,10 +27,60 @@ from .media_codecs import sniff_and_decode
 
 
 def audio_fingerprint(decoded: dict, n_bits: int = 64) -> int | None:
-    """Energy-delta fingerprint of a decoded audio dict — pure-python
-    over one clip's samples, signed-long two's-complement output (the
-    same Arrow/LongType posture as :func:`.image_dedup.average_hash`).
-    Returns None for sample widths the decoder can't interpret."""
+    """Energy-delta fingerprint of a decoded audio dict — signed-long
+    two's-complement output (the same Arrow/LongType posture as
+    :func:`.image_dedup.average_hash`). Returns None for sample widths
+    the decoder can't interpret.
+
+    Dispatches to a numpy fast path for the common shape — mono 8/16
+    bit PCM with frames short enough that int64 energy sums stay
+    exact (s^2 <= 2^30, frame < 2^23 samples ⇒ sums < 2^53, so the
+    int→float64 division is bit-identical to the scalar big-int
+    path). Everything else (multi-channel float mixing, 24/32-bit)
+    keeps the scalar reference, whose Python big-int sums have no
+    overflow to guard. Parity pinned by ``tests/test_audio_dedup.py``."""
+    bits_per = decoded.get("bits_per_sample", 16)
+    channels = max(decoded.get("channels", 1), 1)
+    payload = decoded.get("payload", b"")
+    if bits_per in (8, 16) and channels == 1:
+        try:
+            import numpy as np
+        except ImportError:
+            return _audio_fingerprint_py(decoded, n_bits)
+        if bits_per == 16:
+            samples = np.frombuffer(
+                payload[: len(payload) // 2 * 2], dtype="<i2"
+            ).astype(np.int64)
+        else:
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+        if samples.size == 0:
+            return 0
+        frame = max(samples.size // n_bits, 1)
+        if frame >= 1 << 23:
+            return _audio_fingerprint_py(decoded, n_bits)
+        sq = samples * samples
+        energies = []
+        for i in range(n_bits):
+            chunk = sq[i * frame : (i + 1) * frame]
+            if chunk.size == 0:
+                energies.append(0.0)
+            else:
+                # int64 sum is exact (< 2^53 by the frame guard), so
+                # the division matches the scalar exact-int path
+                energies.append(int(chunk.sum()) / chunk.size)
+        mean_e = sum(energies) / len(energies)
+        bits = 0
+        for i, e in enumerate(energies):
+            prev = mean_e if i == 0 else energies[i - 1]
+            if e > prev:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+    return _audio_fingerprint_py(decoded, n_bits)
+
+
+def _audio_fingerprint_py(decoded: dict, n_bits: int = 64) -> int | None:
+    """The scalar reference implementation (and the fallback for
+    shapes the fast path's exactness guard excludes)."""
     bits_per = decoded.get("bits_per_sample", 16)
     channels = max(decoded.get("channels", 1), 1)
     payload = decoded.get("payload", b"")

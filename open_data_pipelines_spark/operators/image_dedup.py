@@ -32,7 +32,59 @@ from .media_codecs import sniff_and_decode
 
 def average_hash(decoded: dict, hash_size: int = 8) -> int:
     """aHash of a decoded image dict ({width, height, channels,
-    payload}) — deterministic pure-python over one image's pixels."""
+    payload}) — vectorized (numpy) when available, with the scalar
+    loop as the always-present reference implementation. The two are
+    BIT-IDENTICAL by construction (integer gray/cell arithmetic;
+    float64 cell means from exact integer sums; the overall mean
+    summed sequentially like the scalar path) and pinned so by
+    ``tests/test_image_dedup.py``'s property test — the numpy path
+    measured ~8.5x faster per image (17.1 -> 2.0 ms on a 256x192 RGB,
+    STRESS.md), which matters because the decode+hash pass is the
+    media ingest's dominant per-row cost."""
+    try:
+        import numpy  # noqa: F401
+    except ImportError:
+        return _average_hash_py(decoded, hash_size)
+    return _average_hash_np(decoded, hash_size)
+
+
+def _average_hash_np(decoded: dict, hash_size: int) -> int:
+    import numpy as np
+
+    w, h, ch = decoded["width"], decoded["height"], decoded["channels"]
+    payload = decoded["payload"]
+    if w <= 0 or h <= 0 or not payload:
+        return 0
+    a = np.frombuffer(payload, dtype=np.uint8)
+    if a.size < w * h * ch:
+        # the scalar loop raises on a truncated payload (callers map
+        # exceptions to NULL/quarantine) — mirror that contract
+        raise ValueError(f"payload holds {a.size} bytes, needs {w * h * ch}")
+    a = a[: w * h * ch].reshape(h, w, ch).astype(np.int64)
+    if ch >= 3:
+        gray = (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) // 1000
+    else:
+        gray = a[:, :, 0]
+    ys = (np.arange(h, dtype=np.int64) * hash_size) // h
+    xs = (np.arange(w, dtype=np.int64) * hash_size) // w
+    idx = (ys[:, None] * hash_size + xs[None, :]).ravel()
+    n = hash_size * hash_size
+    counts = np.bincount(idx, minlength=n)
+    # float64 sums of integer grays are exact (< 2^53 by construction:
+    # gray <= 255 per pixel), so sums/counts equals the scalar s/c
+    sums = np.bincount(idx, weights=gray.ravel(), minlength=n)
+    means = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0).tolist()
+    overall = sum(means) / n  # sequential sum — matches the scalar path
+    bits = 0
+    for i, m in enumerate(means):
+        if m > overall:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def _average_hash_py(decoded: dict, hash_size: int = 8) -> int:
+    """The scalar reference implementation (and the no-numpy
+    fallback)."""
     w, h, ch = decoded["width"], decoded["height"], decoded["channels"]
     payload = decoded["payload"]
     if w <= 0 or h <= 0 or not payload:

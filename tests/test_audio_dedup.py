@@ -61,3 +61,33 @@ def test_dedup_audio_end_to_end(spark):
     assert fps[4] is None and fps[1] is not None
     kept = {r["media_id"] for r in dedup_audio(df).select("media_id").collect()}
     assert kept == {1, 3, 4}
+
+
+def test_audio_fingerprint_numpy_path_bit_identical_to_scalar():
+    """The mono-8/16-bit numpy fast path must be BIT-identical to the
+    scalar reference (exact-int energy sums under the frame guard)."""
+    import random
+    import struct as _struct
+
+    from open_data_pipelines_spark.operators.audio_dedup import (
+        _audio_fingerprint_py,
+        audio_fingerprint,
+    )
+
+    rnd = random.Random(20260815)
+    for bits_per in (8, 16):
+        for n in (0, 1, 63, 64, 65, 1000, 5000):
+            if bits_per == 16:
+                vals = [rnd.randint(-32768, 32767) for _ in range(n)]
+                payload = _struct.pack(f"<{n}h", *vals)
+            else:
+                payload = bytes(rnd.randrange(256) for _ in range(n))
+            d = {"bits_per_sample": bits_per, "channels": 1, "payload": payload}
+            assert audio_fingerprint(d) == _audio_fingerprint_py(d), (bits_per, n)
+    # non-fast-path shapes still work (scalar route)
+    stereo = {
+        "bits_per_sample": 16,
+        "channels": 2,
+        "payload": _struct.pack("<8h", *[100, -100, 2000, -2000, 5, 5, 0, 1]),
+    }
+    assert audio_fingerprint(stereo) == _audio_fingerprint_py(stereo)

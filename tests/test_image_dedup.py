@@ -103,3 +103,40 @@ def test_ahash_hash_size_guard(spark):
     df = spark.createDataFrame([(1, b"")], ["media_id", "content"])
     with pytest.raises(ValueError, match="hash_size"):
         with_image_ahash(df, hash_size=16)
+
+
+def test_ahash_numpy_path_bit_identical_to_scalar():
+    """The numpy fast path must be BIT-identical to the scalar
+    reference on arbitrary shapes — odd dims, grids smaller than the
+    hash, 1/3/4 channels, constant and extreme payloads."""
+    import random
+
+    from open_data_pipelines_spark.operators.image_dedup import (
+        _average_hash_np,
+        _average_hash_py,
+    )
+
+    rnd = random.Random(20260815)
+    cases = []
+    for _ in range(40):
+        w = rnd.randint(1, 37)
+        h = rnd.randint(1, 29)
+        ch = rnd.choice([1, 3, 4])
+        payload = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        cases.append({"width": w, "height": h, "channels": ch, "payload": payload})
+    cases.append({"width": 5, "height": 4, "channels": 3, "payload": bytes(60)})
+    cases.append(
+        {"width": 6, "height": 3, "channels": 3, "payload": bytes([255]) * 54}
+    )
+    for hs in (4, 8):
+        for c in cases:
+            assert _average_hash_np(c, hs) == _average_hash_py(c, hs), (c["width"], c["height"], c["channels"], hs)
+
+    # truncated payloads raise on BOTH paths (callers map to NULL)
+    import pytest
+
+    bad = {"width": 8, "height": 8, "channels": 3, "payload": bytes(100)}
+    with pytest.raises(Exception):
+        _average_hash_np(bad, 8)
+    with pytest.raises(Exception):
+        _average_hash_py(bad, 8)
