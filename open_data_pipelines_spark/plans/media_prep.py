@@ -99,7 +99,11 @@ def prepare_media_corpus(
 
     have = {"signature", "kind"} & set(df.columns)
     if not have:
+        # raw content: the checkpoint below guarantees the
+        # Arrow-batched decode executes ONCE across the funnel's
+        # consumers — the whole reason it exists
         df = with_media_signature(df, content_col, decoder=decoder)
+        df = lazy_checkpoint(df)
     elif have != {"signature", "kind"}:
         # exactly one of the pair: re-signing would append a duplicate
         # column and every downstream reference would be ambiguous —
@@ -109,9 +113,13 @@ def prepare_media_corpus(
             f"media frame has {have.pop()!r} but not {missing!r} — "
             "drop the partial column or provide both"
         )
-    # observe ABOVE the checkpoint: the checkpoint materializes as an
-    # RDD job that bypasses SQL observed-metrics (corpus_prep note)
-    df = note("input", lazy_checkpoint(df))
+    # else: bronze-signed input (streaming-bronze form) — no decode to
+    # protect, and a full-frame checkpoint write costs more than the
+    # two cheap pruned re-scans its consumers would otherwise pay
+    # (~30% of the sf0.1 funnel wall, round-9 measurement)
+    # observe ABOVE any checkpoint: checkpoint materialization runs as
+    # an RDD job that bypasses SQL observed-metrics (corpus_prep note)
+    df = note("input", df)
 
     decodable = df.filter(F.col("signature").isNotNull())
     quarantine_raw = df.filter(F.col("signature").isNull())
