@@ -35,10 +35,16 @@ are built-in expressions — no UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .index_commit import (
+    _hadoop_fs,
+    commit_generation,
+    load_existing_index,
+    read_index,
+    resolve_index_path,
+)
 from .similarity import as_double_array, dot_int, quantize
 
 
@@ -131,15 +137,31 @@ def build_ivf_index(
     id_col: str,
     centroids: list[list[float]],
     path: str | None = None,
+    commit: str = "rename",
 ) -> DataFrame:
     """Corpus + ``list_id`` cell assignment; written
     ``partitionBy("list_id")`` when ``path`` is given so probes become
-    partition-pruned scans."""
+    partition-pruned scans. ``commit="manifest"`` writes the layout as
+    generation 1 of a manifest-committed index (see
+    :mod:`.index_commit`) — the object-store-safe protocol every later
+    retrain/compaction of the index then follows."""
     indexed = corpus.withColumn("list_id", assign_list_id(vec_col, centroids))
-    if path is not None:
-        indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
-        return corpus.sparkSession.read.parquet(path)
-    return indexed
+    if path is None:
+        return indexed
+    spark = corpus.sparkSession
+    if commit == "manifest":
+        commit_generation(
+            spark,
+            path,
+            lambda gen_dir: indexed.write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(gen_dir),
+        )
+        return read_index(spark, path)
+    if commit != "rename":
+        raise ValueError(f"unknown commit mode {commit!r}")
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    return spark.read.parquet(path)
 
 
 def append_to_ivf_index(
@@ -162,19 +184,18 @@ def append_to_ivf_index(
     funnel's exact-dedup discipline), rely on the retrain-time
     compaction (:func:`maintain_ivf_index` ``compact_on_retrain``,
     on by default), or run :func:`compact_ivf_index` between retrains.
+
+    The append resolves the index's commit layout first
+    (:func:`.index_commit.resolve_index_path`): on a
+    manifest-committed index the batch lands inside the CURRENT
+    generation directory, so both commit modes share this one entry
+    point. (An append is never a commit — replayed appends are the
+    at-least-once duplicates compaction collapses.)
     """
+    data_path = resolve_index_path(new_vectors.sparkSession, path)
     new_vectors.withColumn("list_id", assign_list_id(vec_col, centroids)).write.mode(
         "append"
-    ).partitionBy("list_id").parquet(path)
-
-
-def _hadoop_fs(spark, path: str):
-    """(FileSystem, Path-constructor) for the path's own scheme —
-    local and HDFS alike (driver-local ``os`` calls only work on the
-    driver's filesystem)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    return hpath(path).getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+    ).partitionBy("list_id").parquet(data_path)
 
 
 def _swap_directory(spark, tmp: str, base: str, old: str) -> None:
@@ -204,6 +225,7 @@ def compact_ivf_index(
     id_col: str,
     on_conflict: str = "error",
     list_col: str = "list_id",
+    commit: str = "rename",
 ) -> dict:
     """Restore exactly-once contents after at-least-once appends.
 
@@ -239,10 +261,17 @@ def compact_ivf_index(
     payload per id — deterministic, but a policy the caller must opt
     into. Returns ``{"rows_before", "rows_after", "replay_rows",
     "conflict_ids"}``.
+
+    ``commit="manifest"`` publishes the compacted layout as a new
+    generation of a manifest-committed index instead
+    (:mod:`.index_commit` — the object-store-safe protocol, since the
+    directory-rename swap below is only atomic on POSIX/HDFS).
     """
     if on_conflict not in ("error", "min"):
         raise ValueError(f"unknown on_conflict {on_conflict!r}")
-    idx = spark.read.parquet(path)
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit mode {commit!r}")
+    idx = read_index(spark, path)
     before = idx.count()
     # localCheckpoint for reuse across the 3 consumers (conflict
     # count, resolution, rewrite) — the overwrite hazard itself is
@@ -273,11 +302,20 @@ def compact_ivf_index(
         )
     after = deduped.count()
     base = path.rstrip("/")
-    tmp = base + ".compact.tmp"
-    fs, hpath = _hadoop_fs(spark, base)
-    fs.delete(hpath(tmp), True)
-    deduped.write.mode("overwrite").partitionBy(list_col).parquet(tmp)
-    _swap_directory(spark, tmp, base, base + ".compact.old")
+    if commit == "manifest":
+        commit_generation(
+            spark,
+            base,
+            lambda gen_dir: deduped.write.mode("overwrite")
+            .partitionBy(list_col)
+            .parquet(gen_dir),
+        )
+    else:
+        tmp = base + ".compact.tmp"
+        fs, hpath = _hadoop_fs(spark, base)
+        fs.delete(hpath(tmp), True)
+        deduped.write.mode("overwrite").partitionBy(list_col).parquet(tmp)
+        _swap_directory(spark, tmp, base, base + ".compact.old")
     return {
         "rows_before": before,
         "rows_after": after,
@@ -335,6 +373,7 @@ def maintain_ivf_index(
     k: int | None = None,
     iters: int = 3,
     compact_on_retrain: bool = True,
+    commit: str = "rename",
 ) -> dict:
     """The retrain policy on top of :func:`index_drift_stats` /
     :func:`append_to_ivf_index` (round-6 gap: drift was measured but
@@ -358,6 +397,19 @@ def maintain_ivf_index(
     survive); run :func:`compact_ivf_index` for the policy-controlled
     resolution.
 
+    ``commit`` selects the rewrite protocol: ``"rename"`` (sibling
+    write + atomic directory swap — POSIX/HDFS) or ``"manifest"``
+    (generation directory + immutable pointer — object stores; see
+    :mod:`.index_commit`). Missing-index handling is explicit in both
+    modes: a missing path with COMPLETE swap siblings on disk (a crash
+    inside the rename window) adopts the sibling instead of silently
+    rebuilding the index from one batch, and incomplete siblings
+    raise; only a genuinely fresh path retrains on the batch alone
+    (the streaming entry point makes a drift-first call reachable). A
+    missing/renamed column still raises from the select — existence is
+    probed, not caught broadly (round-9 review find, hardened further
+    here).
+
     Returns ``{"centroids", "baseline_mean_dist2", "retrained",
     "batch_mean_dist2"}`` — the caller's next-round state. Scale
     shape: the no-retrain path touches only the batch (one agg + a
@@ -374,16 +426,8 @@ def maintain_ivf_index(
             "batch_mean_dist2": batch_fit,
         }
     spark = new_vectors.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except AnalysisException:
-        # no index at `path` yet: a drift-first maintenance call (the
-        # streaming entry point makes this ordering reachable) retrains
-        # on the batch alone instead of crashing inside foreachBatch.
-        # ONLY the read sits in the try: a missing/renamed column must
-        # raise from the select below, not fall through here — a broad
-        # catch would silently discard the whole on-disk index and
-        # rebuild it from one batch (round-9 review find)
+    existing = load_existing_index(spark, path, commit)
+    if existing is None:
         full = new_vectors
     else:
         full = existing.select(*new_vectors.columns).unionByName(new_vectors)
@@ -395,11 +439,25 @@ def maintain_ivf_index(
     new_centroids = train_centroids(
         full, vec_col, id_col, k=k or len(centroids), iters=iters
     )
-    # sibling write + atomic swap, never an in-place overwrite: the
-    # checkpoint blocks above are unreplicated, so an executor loss
-    # mid-overwrite would have destroyed the only durable copy of the
-    # index (round-9 review find — the hazard compact_ivf_index's
-    # swap already eliminated)
+    if commit == "manifest":
+        commit_generation(
+            spark,
+            path,
+            lambda gen_dir: build_ivf_index(
+                full, vec_col, id_col, new_centroids, gen_dir
+            ),
+        )
+        return {
+            "centroids": new_centroids,
+            "baseline_mean_dist2": global_mean_dist2(full, vec_col, new_centroids),
+            "retrained": True,
+            "batch_mean_dist2": batch_fit,
+        }
+    # rename mode: sibling write + atomic swap, never an in-place
+    # overwrite — the checkpoint blocks above are unreplicated, so an
+    # executor loss mid-overwrite would have destroyed the only
+    # durable copy of the index (round-9 review find — the hazard
+    # compact_ivf_index's swap already eliminated)
     tmp = path.rstrip("/") + ".retrain.tmp"
     fs, hpath = _hadoop_fs(full.sparkSession, path)
     fs.delete(hpath(tmp), True)

@@ -43,8 +43,7 @@ import warnings
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark.errors import AnalysisException
-
+from .index_commit import commit_generation, load_existing_index, read_index
 from .ivf import _cell_dists, assign_list_id, probe_list_ids, train_centroids
 from .similarity import as_double_array, dot_int, quantize
 
@@ -275,17 +274,33 @@ def build_ivf_pq_index(
     path: str | None = None,
     code_col: str = "pq_code",
     list_col: str = "list_id",
+    commit: str = "rename",
 ) -> DataFrame:
     """Corpus + cell assignment + PQ codes in ONE projection pass,
     written ``partitionBy(list_col)`` when ``path`` is given — the
-    persisted form :func:`ivf_pq_topk` searches."""
+    persisted form :func:`ivf_pq_topk` searches. ``commit="manifest"``
+    initializes an object-store-safe manifest-committed index
+    (:mod:`.index_commit`) that later retrains/compactions publish new
+    generations of."""
     encoded = corpus.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
         list_col, assign_list_id(vec_col, centroids)
     )
-    if path is not None:
-        encoded.write.mode("overwrite").partitionBy(list_col).parquet(path)
-        return corpus.sparkSession.read.parquet(path)
-    return encoded
+    if path is None:
+        return encoded
+    spark = corpus.sparkSession
+    if commit == "manifest":
+        commit_generation(
+            spark,
+            path,
+            lambda gen_dir: encoded.write.mode("overwrite")
+            .partitionBy(list_col)
+            .parquet(gen_dir),
+        )
+        return read_index(spark, path)
+    if commit != "rename":
+        raise ValueError(f"unknown commit mode {commit!r}")
+    encoded.write.mode("overwrite").partitionBy(list_col).parquet(path)
+    return spark.read.parquet(path)
 
 
 def maintain_ivf_pq_index(
@@ -304,6 +319,7 @@ def maintain_ivf_pq_index(
     list_col: str = "list_id",
     nbits: int | None = None,
     compact_on_retrain: bool = True,
+    commit: str = "rename",
 ) -> dict:
     """The PQ-layer extension of :func:`.ivf.maintain_ivf_index`: the
     drift gate covers BOTH models that age together — the cell bank
@@ -327,6 +343,12 @@ def maintain_ivf_pq_index(
     recomputed from the vectors, so the dedup runs on the raw
     vector rows).
 
+    ``commit`` selects the rewrite protocol — ``"rename"`` (sibling
+    directory swap; POSIX/HDFS) or ``"manifest"`` (generation +
+    immutable pointer; object stores) — with the same crash-adoption
+    semantics as :func:`.ivf.maintain_ivf_index` (see
+    :mod:`.index_commit`).
+
     Returns ``{"centroids", "codebooks", "baseline_mean_dist2",
     "retrained", "batch_mean_dist2", "nbits"}``.
     """
@@ -337,9 +359,14 @@ def maintain_ivf_pq_index(
         nbits = (len(codebooks[0]) - 1).bit_length()
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
+        # resolve the commit layout (manifest-mode appends land inside
+        # the current generation directory), like append_to_ivf_index
+        from .index_commit import resolve_index_path
+
+        data_path = resolve_index_path(new_vectors.sparkSession, path)
         new_vectors.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
             list_col, assign_list_id(vec_col, centroids)
-        ).write.mode("append").partitionBy(list_col).parquet(path)
+        ).write.mode("append").partitionBy(list_col).parquet(data_path)
         return {
             "centroids": centroids,
             "codebooks": codebooks,
@@ -360,13 +387,12 @@ def maintain_ivf_pq_index(
             stacklevel=2,
         )
     spark = new_vectors.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except AnalysisException:
-        # no index at `path` yet (drift-first call). Only the read is
-        # guarded: a schema mismatch must raise from the select below,
-        # never silently rebuild the index from one batch (the
-        # maintain_ivf_index note)
+    # explicit existence probe + crash-sibling adoption, never a broad
+    # exception catch: a schema mismatch must raise from the select
+    # below, and a swap-window crash must adopt the recoverable
+    # sibling copy instead of silently retraining from one batch
+    existing = load_existing_index(spark, path, commit)
+    if existing is None:
         full = new_vectors
     else:
         full = existing.select(*new_vectors.columns).unionByName(new_vectors)
@@ -385,10 +411,33 @@ def maintain_ivf_pq_index(
         iters=iters,
         train_fraction=train_fraction,
     )
-    # sibling write + atomic swap (shared with maintain_ivf_index /
-    # compact_ivf_index): an in-place overwrite deleted the only
-    # durable index copy before the rewrite from unreplicated
-    # checkpoint blocks committed
+    if commit == "manifest":
+        commit_generation(
+            spark,
+            path,
+            lambda gen_dir: build_ivf_pq_index(
+                full,
+                vec_col,
+                id_col,
+                new_centroids,
+                new_books,
+                gen_dir,
+                code_col,
+                list_col,
+            ),
+        )
+        return {
+            "centroids": new_centroids,
+            "codebooks": new_books,
+            "baseline_mean_dist2": global_mean_dist2(full, vec_col, new_centroids),
+            "retrained": True,
+            "batch_mean_dist2": batch_fit,
+            "nbits": nbits,
+        }
+    # rename mode: sibling write + atomic swap (shared with
+    # maintain_ivf_index / compact_ivf_index): an in-place overwrite
+    # deleted the only durable index copy before the rewrite from
+    # unreplicated checkpoint blocks committed
     from .ivf import _hadoop_fs, _swap_directory
 
     tmp = path.rstrip("/") + ".retrain.tmp"

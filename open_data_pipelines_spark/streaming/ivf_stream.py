@@ -148,6 +148,7 @@ def stream_embeddings_to_ivf(
     iters: int = 3,
     state_path: str | None = None,
     compact_on_retrain: bool = True,
+    commit: str = "rename",
 ):
     """availableNow drain of an embedding stream into a maintained IVF
     index. Returns ``(query, state)``; ``state`` is updated per batch:
@@ -186,6 +187,7 @@ def stream_embeddings_to_ivf(
             k=k,
             iters=iters,
             compact_on_retrain=compact_on_retrain,
+            commit=commit,
         )
         state["centroids"] = res["centroids"]
         state["baseline_mean_dist2"] = res["baseline_mean_dist2"]
@@ -219,6 +221,7 @@ def stream_embeddings_to_ivf_pq(
     nbits: int | None = None,
     state_path: str | None = None,
     compact_on_retrain: bool = True,
+    commit: str = "rename",
 ):
     """The PQ twin of :func:`stream_embeddings_to_ivf` (VERDICT r8
     task #1): each micro-batch flows through
@@ -294,6 +297,7 @@ def stream_embeddings_to_ivf_pq(
             train_fraction=train_fraction,
             nbits=state["nbits"],
             compact_on_retrain=compact_on_retrain,
+            commit=commit,
         )
         state["centroids"] = res["centroids"]
         state["codebooks"] = res["codebooks"]
