@@ -49,6 +49,7 @@ def prepare_media_corpus(
     manifest_path: str | None = None,
     with_stats: bool = False,
     stats_via: str = "observe",
+    checkpoint_input: bool | None = None,
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """media frame -> perceptually deduplicated corpus (one
     representative per near-dup cluster per kind), with the funnel
@@ -81,6 +82,20 @@ def prepare_media_corpus(
     raw-content input the checkpoint guarantees the Arrow-batched
     decode runs ONCE — blocks are reclaimed when the result frame is
     GC'd, no ``clearCache()`` obligation leaks to the caller.
+
+    ``checkpoint_input`` controls the INPUT-frame checkpoint.
+    ``None`` (default) is the auto policy: checkpoint raw-content
+    input (protects the decode), skip it for bronze-signed input
+    (nothing to protect; the full-frame write cost ~30% of the sf0.1
+    funnel wall). **The bronze skip assumes deterministic input
+    lineage**: the decodable/quarantine split evaluates the input in
+    two separate jobs, and only identical re-evaluations guarantee
+    ``output ∪ quarantine == input`` — a bronze frame whose lineage
+    contains ``rand()``/``uuid()``/``current_timestamp`` or
+    shuffle-order-dependent values must pass ``True`` to freeze one
+    materialization. ``False`` force-skips even for raw content (the
+    caller accepts a double decode AND takes over the determinism
+    guarantee).
     """
     if stats_via not in ("count", "observe"):
         raise ValueError(f"unknown stats_via {stats_via!r}")
@@ -103,7 +118,8 @@ def prepare_media_corpus(
         # Arrow-batched decode executes ONCE across the funnel's
         # consumers — the whole reason it exists
         df = with_media_signature(df, content_col, decoder=decoder)
-        df = lazy_checkpoint(df)
+        if checkpoint_input is not False:
+            df = lazy_checkpoint(df)
     elif have != {"signature", "kind"}:
         # exactly one of the pair: re-signing would append a duplicate
         # column and every downstream reference would be ambiguous —
@@ -113,10 +129,23 @@ def prepare_media_corpus(
             f"media frame has {have.pop()!r} but not {missing!r} — "
             "drop the partial column or provide both"
         )
-    # else: bronze-signed input (streaming-bronze form) — no decode to
-    # protect, and a full-frame checkpoint write costs more than the
-    # two cheap pruned re-scans its consumers would otherwise pay
-    # (~30% of the sf0.1 funnel wall, round-9 measurement)
+    elif checkpoint_input:
+        # bronze-signed input with NONDETERMINISTIC lineage: the
+        # decodable/quarantine split below filters the input TWICE in
+        # two separate jobs (exact-dedup materialization at the kinds
+        # collect vs the quarantine branch at the caller's first
+        # action); without freezing one materialization a row could
+        # land in both or neither branch. Pass checkpoint_input=True to
+        # restore the frozen split for such input.
+        df = lazy_checkpoint(df)
+    # else: bronze-signed deterministic input (the streaming-bronze
+    # parquet form) — no decode to protect, and a full-frame checkpoint
+    # write costs more than the two cheap pruned re-scans its consumers
+    # would otherwise pay (~30% of the sf0.1 funnel wall, round-9
+    # measurement). The skip REQUIRES deterministic input lineage: the
+    # split invariant (output ∪ quarantine == input) is only guaranteed
+    # when both filter evaluations see identical rows — see the
+    # docstring and checkpoint_input above.
     # observe ABOVE any checkpoint: checkpoint materialization runs as
     # an RDD job that bypasses SQL observed-metrics (corpus_prep note)
     df = note("input", df)
@@ -143,7 +172,11 @@ def prepare_media_corpus(
     exact = top1_per_key(
         decodable, ["kind", "signature"], [F.col(id_col).asc()]
     )
-    exact = lazy_checkpoint(exact)
+    # eager in observe mode (caching.lazy_checkpoint's measured rule):
+    # the input/quarantined observations sit below this checkpoint and
+    # are fulfilled by a LAZY one only because top1_per_key happens to
+    # shuffle — an eager materialization always fulfills them
+    exact = lazy_checkpoint(exact, eager=with_stats and stats_via == "observe")
     exact = note("exact_deduped", exact)
 
     # bounded collect: the distinct media kinds (a handful by nature)

@@ -133,14 +133,24 @@ def stream_scd2(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         vs = _versions(spark, root)
-        if vs and vs[-1][0] > batch_id and on_log_ahead == "error":
-            raise RuntimeError(
-                f"scd2 snapshot log at {root!r} is at "
-                f"v{vs[-1][0]:08d} but this stream is delivering batch "
-                f"{batch_id} — checkpoint/log generation mismatch; pass "
-                "on_log_ahead='skip' only for a deliberate replay of the "
-                "same source through a fresh checkpoint"
-            )
+        if vs and vs[-1][0] > batch_id:
+            if on_log_ahead == "error":
+                raise RuntimeError(
+                    f"scd2 snapshot log at {root!r} is at "
+                    f"v{vs[-1][0]:08d} but this stream is delivering batch "
+                    f"{batch_id} — checkpoint/log generation mismatch; pass "
+                    "on_log_ahead='skip' only for a deliberate replay of the "
+                    "same source through a fresh checkpoint"
+                )
+            # skip mode: EVERY batch strictly below the newest committed
+            # version is already applied under the mode's same-source /
+            # same-boundaries precondition (committed, or committed and
+            # since pruned). Falling through to the merge here would
+            # write an out-of-order v{batch_id} BENEATH the newest
+            # snapshot — rows latest_snapshot would never surface, i.e.
+            # a silent drop when a replay's batch boundaries differ
+            # from the original run's (round-9 ADVICE find).
+            return
         if any(v == batch_id for v, _ in vs):
             # Crash landed between snapshot publish and checkpoint
             # commit: this batch's snapshot is already committed.

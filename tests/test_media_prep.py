@@ -143,6 +143,77 @@ def test_media_stats_via_validated(spark):
         prepare_media_corpus(_corpus(spark), with_stats=True, stats_via="bogus")
 
 
+def test_bronze_nondeterministic_input_checkpoint_optin(spark):
+    """ADVICE r9: a bronze-signed frame with NONDETERMINISTIC lineage
+    must be able to opt back into the input checkpoint — the
+    decodable/quarantine split evaluates the input in two separate
+    jobs, and without one frozen materialization a rand()-gated
+    signature could land a row in both or neither branch. With
+    checkpoint_input=True the split invariant output ∪ quarantine ==
+    input holds exactly."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    rows = [(i, "image") for i in range(200)]
+    # nondeterministic bronze lineage: ~half the signatures NULL per
+    # rand() draw. Signatures are xxhash64-spread so Hamming banding
+    # never collapses two distinct ids (expected pairwise distance ~32
+    # >> max_hamming) — every dropped row would be a SPLIT bug, not a
+    # legitimate near-dup.
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "signature",
+        F.when(F.rand() < 0.5, F.xxhash64("media_id")).otherwise(F.lit(None)),
+    )
+    out, stats = prepare_media_corpus(
+        df, with_stats=True, checkpoint_input=True
+    )
+    kept = [r["media_id"] for r in out.collect()]
+    # every input row lands in exactly one branch: unique ids, exact
+    # input partition (all signatures here are unique, so dedup keeps
+    # every decodable row and quarantine carries the rest)
+    assert sorted(kept) == list(range(200))
+    assert stats["input"] == 200
+    assert stats["quarantined"] + stats["exact_deduped"] == 200
+    assert stats["output"] == 200
+    out.unpersist()
+
+
+def test_media_observe_mode_checkpoints_eagerly(monkeypatch, spark):
+    """ADVICE r9: in observe-stats mode the input/quarantined
+    observations sit below the exact-dedup checkpoint and a LAZY one
+    fulfills them only because top1_per_key happens to shuffle —
+    media_prep must pass eager=True exactly like corpus_prep (the
+    caching.lazy_checkpoint measured rule)."""
+    from open_data_pipelines_spark.plans import media_prep as mp
+
+    calls: list[bool] = []
+    real = mp.lazy_checkpoint
+
+    def spy(df, eager=False):
+        calls.append(eager)
+        return real(df, eager=eager)
+
+    monkeypatch.setattr(mp, "lazy_checkpoint", spy)
+    out, stats = prepare_media_corpus(
+        _corpus(spark), with_stats=True, stats_via="observe"
+    )
+    out.unpersist()
+    # raw-content path: [input decode checkpoint (lazy), exact (eager)]
+    assert calls[-1] is True, "exact checkpoint must be eager in observe mode"
+    assert stats["input"] == 7  # the observation the eager flag protects
+
+    calls.clear()
+    out2, stats2 = prepare_media_corpus(
+        _corpus(spark), with_stats=True, stats_via="count"
+    )
+    out2.unpersist()
+    assert calls[-1] is False, "count mode keeps the checkpoint lazy"
+    assert stats2["input"] == 7
+
+
 def test_media_takedown_reissues_manifest(spark, tmp_path):
     """Takedowns are modality-agnostic: retract_and_reissue over the
     media funnel's manifest projection removes the media_id and

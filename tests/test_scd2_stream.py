@@ -135,6 +135,45 @@ def test_replay_after_lost_checkpoint_is_noop(spark, tmp_path):
     assert _canon(after) == before
 
 
+def test_skip_mode_never_writes_out_of_order_versions(spark, tmp_path):
+    """ADVICE r9: in skip mode a batch id strictly below the newest
+    committed version that matches NO committed version (the replay's
+    boundaries differ from the original run's, or the matching version
+    was pruned) must be SKIPPED — merging it would publish an
+    out-of-order v{batch_id} beneath the newest snapshot whose rows
+    latest_snapshot never surfaces (a silent drop)."""
+    b1 = spark.createDataFrame(BATCH1, COLS)
+    b2 = spark.createDataFrame(BATCH2, COLS)
+    root = str(tmp_path / "dim")
+    # a prior run committed v0 and v5 (v1-v4 pruned or differently
+    # bounded); the replay will deliver batches 0 and 1
+    dim0 = scd2_initial_load(b1, *ARGS.values())
+    dim0.write.parquet(f"{root}/v00000000")
+    scd2_merge(dim0, b2, *ARGS.values()).write.parquet(f"{root}/v00000005")
+    before, v_before = latest_snapshot(spark, root)
+    before_rows = _canon(before)
+    assert v_before == 5
+
+    landing = str(tmp_path / "landing")
+    b1.coalesce(1).write.parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    stream_scd2(
+        stream, root, str(tmp_path / "ckpt"), on_log_ahead="skip", **ARGS
+    )
+    # batch 0 matched committed v0 (idempotent skip); batch 1 is below
+    # newest v5 with no committed v1 — it must NOT have written one
+    assert not os.path.exists(os.path.join(root, "v00000001"))
+    after, v_after = latest_snapshot(spark, root)
+    assert v_after == 5
+    assert _canon(after) == before_rows
+
+
 def test_log_ahead_of_checkpoint_errors_by_default(spark, tmp_path):
     """Fresh checkpoint against a root holding a PRIOR run's versions:
     by batch id alone the stream cannot tell a deliberate replay from
