@@ -1,0 +1,59 @@
+"""Executed-shuffle column of the explain audit (VERDICT r9 task #3).
+
+The audit's plan-text shuffle bracket (`expanded/ckpt`) was too wide
+to audit regressions (minhash 30/2). The `executed` reading counts
+shuffle-map stages that actually ran, from the status store: the run
+scope must lie INSIDE the bracket, and the total scope (build + run)
+captures the shuffles that internal materializations execute outside
+either plan text.
+
+Runs the tool as a subprocess because the executed counter needs
+`spark.ui.enabled=true` (a static conf the shared test session pins
+off) — one JVM start on the tiny sf0.001 data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_executed_shuffles_lie_inside_bracket():
+    # scd2_merge is the canonical checkpoint-reusing query: its
+    # staging windows + change join execute once under lazy_checkpoint
+    # while the expanded plan text re-counts them per consumer (9/2
+    # bracket in the r9 verdict)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "explain_audit.py"),
+            "/root/testdata/sf0.001",
+            "--only=scd2_merge",
+            "--json",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(line) for line in proc.stdout.splitlines() if line.startswith("{")]
+    assert len(rows) == 1 and rows[0]["query"] == "scd2_merge"
+    r = rows[0]
+    assert "error" not in r, r
+    expanded, ckpt = r["shuffles"], r["ckpt_shuffles"]
+    run, total = r["executed_shuffles"], r["executed_total_shuffles"]
+    # the bracket actually brackets: lower <= executed(run) <= upper
+    assert ckpt <= run <= expanded, (ckpt, run, expanded)
+    # the bracket is non-trivial for this query (internal reuse), and
+    # the run number resolves it strictly below the inflated upper
+    # bound — the whole point of the executed column
+    assert ckpt < expanded
+    assert run < expanded
+    # build-phase materializations (the staging checkpoint) execute
+    # real shuffles on top of the final action's
+    assert total > run
