@@ -37,7 +37,14 @@ def decode_bmp(content: bytes) -> dict:
     """Parse an uncompressed 24-bit BMP into top-down RGB bytes.
 
     Handles the 4-byte row padding and the default bottom-up row
-    order; rejects compressed/paletted variants explicitly.
+    order; rejects compressed/paletted variants explicitly. The pixel
+    extraction (row de-padding + BGR->RGB) is numpy-vectorized when
+    available, with the per-row scalar loop as the always-present
+    reference — the two are BIT-IDENTICAL by construction (both are
+    pure byte permutations of the same source ranges; no arithmetic),
+    pinned by ``tests/test_multimodal.py``'s property test. This was
+    the last per-row Python loop in the media ingest hot path
+    (r9 vectorized the hash stage; the r10 task closes decode).
     """
     if len(content) < 54 or content[:2] != BMP_MAGIC:
         raise ValueError("not a BMP file")
@@ -61,7 +68,48 @@ def decode_bmp(content: bytes) -> dict:
     need = data_offset + stride * height
     if len(content) < need:
         raise ValueError(f"truncated BMP: {len(content)} < {need} bytes")
+    try:
+        import numpy  # noqa: F401
+    except ImportError:
+        payload = _bmp_pixels_py(content, data_offset, width, height, stride, top_down)
+    else:
+        payload = _bmp_pixels_np(content, data_offset, width, height, stride, top_down)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "payload": payload,
+    }
 
+
+def _bmp_pixels_np(
+    content: bytes, data_offset: int, width: int, height: int, stride: int, top_down: bool
+) -> bytes:
+    import numpy as np
+
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    px = rows[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        px = px[::-1]
+    # BGR -> RGB as three plane assigns into a contiguous buffer: a
+    # negative-stride `[:, :, ::-1].tobytes()` pays an element-wise
+    # strided copy (~4x slower than this, measured)
+    out = np.empty((height, width, 3), dtype=np.uint8)
+    out[..., 0] = px[..., 2]
+    out[..., 1] = px[..., 1]
+    out[..., 2] = px[..., 0]
+    return out.tobytes()
+
+
+def _bmp_pixels_py(
+    content: bytes, data_offset: int, width: int, height: int, stride: int, top_down: bool
+) -> bytes:
+    """The scalar reference implementation (and the no-numpy
+    fallback)."""
+    row_bytes = width * 3
     rows = []
     for r in range(height):
         src_row = r if top_down else height - 1 - r
@@ -73,51 +121,85 @@ def decode_bmp(content: bytes) -> dict:
         rgb[1::3] = bgr[1::3]
         rgb[2::3] = bgr[0::3]
         rows.append(bytes(rgb))
-    return {
-        "kind": "image",
-        "width": width,
-        "height": height,
-        "channels": 3,
-        "payload": b"".join(rows),
-    }
+    return b"".join(rows)
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
-    """Top-down RGB bytes -> standard bottom-up 24-bit BMP."""
+    """Top-down RGB bytes -> standard bottom-up 24-bit BMP.
+
+    Body construction is numpy-vectorized when available (same
+    byte-permutation bit-identity argument as :func:`decode_bmp`).
+    """
     if len(rgb) != width * height * 3:
         raise ValueError("payload size does not match width*height*3")
     row_bytes = width * 3
     stride = (row_bytes + 3) & ~3
-    pad = b"\x00" * (stride - row_bytes)
-    body = bytearray()
-    for r in range(height - 1, -1, -1):
-        row = rgb[r * row_bytes : (r + 1) * row_bytes]
-        bgr = bytearray(row_bytes)
-        bgr[0::3] = row[2::3]
-        bgr[1::3] = row[1::3]
-        bgr[2::3] = row[0::3]
-        body += bgr + pad
+    try:
+        import numpy as np
+    except ImportError:
+        pad = b"\x00" * (stride - row_bytes)
+        body = bytearray()
+        for r in range(height - 1, -1, -1):
+            row = rgb[r * row_bytes : (r + 1) * row_bytes]
+            bgr = bytearray(row_bytes)
+            bgr[0::3] = row[2::3]
+            bgr[1::3] = row[1::3]
+            bgr[2::3] = row[0::3]
+            body += bgr + pad
+        body = bytes(body)
+    else:
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)[::-1]
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        bgr = rows[:, :row_bytes].reshape(height, width, 3)
+        bgr[..., 0] = px[..., 2]  # plane assigns, not a [::-1] view copy
+        bgr[..., 1] = px[..., 1]
+        bgr[..., 2] = px[..., 0]
+        body = rows.tobytes()
     data_offset = 14 + 40
     file_size = data_offset + len(body)
     header = struct.pack("<2sIHHI", BMP_MAGIC, file_size, 0, 0, data_offset)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
-    return header + info + bytes(body)
+    return header + info + body
 
 
 def resize_image_nn(decoded: dict, max_dim: int) -> dict:
     """Nearest-neighbor downscale so max(width, height) <= max_dim.
 
-    Pure-python but O(pixels) with slice copies per row; never
-    upscales. Returns a new decoded dict.
+    Never upscales; returns a new decoded dict. numpy-vectorized when
+    available (fancy-index gather with the SAME integer source-index
+    arithmetic as the scalar loop, so the two are bit-identical —
+    property-pinned), with the per-pixel loop as the always-present
+    reference. This was the worst per-pixel Python cost in the decode
+    path (O(pixels) with a Python inner loop).
     """
     w, h = decoded["width"], decoded["height"]
     scale = min(1.0, max_dim / max(w, h, 1))
     new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
     if (new_w, new_h) == (w, h):
         return decoded
-    src = decoded["payload"]
+    try:
+        import numpy  # noqa: F401
+    except ImportError:
+        payload = _resize_nn_py(decoded["payload"], w, h, new_w, new_h)
+    else:
+        payload = _resize_nn_np(decoded["payload"], w, h, new_w, new_h)
+    return {**decoded, "width": new_w, "height": new_h, "payload": payload}
+
+
+def _resize_nn_np(src: bytes, w: int, h: int, new_w: int, new_h: int) -> bytes:
+    import numpy as np
+
+    arr = np.frombuffer(src, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    sy = np.minimum(h - 1, (np.arange(new_h, dtype=np.int64) * h) // new_h)
+    sx = np.minimum(w - 1, (np.arange(new_w, dtype=np.int64) * w) // new_w)
+    return arr[sy][:, sx].tobytes()
+
+
+def _resize_nn_py(src: bytes, w: int, h: int, new_w: int, new_h: int) -> bytes:
+    """The scalar reference implementation (and the no-numpy
+    fallback)."""
     out = bytearray(new_w * new_h * 3)
     for y in range(new_h):
         sy = min(h - 1, (y * h) // new_h)
@@ -128,7 +210,7 @@ def resize_image_nn(decoded: dict, max_dim: int) -> dict:
             s = row_off + sx * 3
             d = dst_off + x * 3
             out[d : d + 3] = src[s : s + 3]
-    return {**decoded, "width": new_w, "height": new_h, "payload": bytes(out)}
+    return bytes(out)
 
 
 # --- WAV ---------------------------------------------------------------------
