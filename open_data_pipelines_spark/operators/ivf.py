@@ -202,9 +202,14 @@ def _swap_directory(spark, tmp: str, base: str, old: str) -> None:
     """Commit a fully-written sibling ``tmp`` over ``base`` with two
     directory renames: at every instant a complete durable copy exists
     on disk. If a crash lands between the renames, ``base`` is briefly
-    absent but ``tmp`` holds the full new copy — rename it back to
-    recover. Shared by :func:`compact_ivf_index` and the retrain
-    rewrites of ``maintain_ivf_index`` / ``maintain_ivf_pq_index``."""
+    absent but ``tmp`` holds the full new copy — the maintenance entry
+    points adopt it automatically on the next call
+    (:func:`.index_commit.adopt_sibling`; round-10 ADVICE fix — the
+    old missing-path fallback silently retrained from one batch over
+    the recoverable copy). Shared by :func:`compact_ivf_index` and the
+    retrain rewrites of ``maintain_ivf_index`` /
+    ``maintain_ivf_pq_index``. Only atomic where directory rename is
+    (POSIX/HDFS); object stores use ``commit="manifest"``."""
     fs, hpath = _hadoop_fs(spark, base)
 
     def _rename(src: str, dst: str) -> None:
@@ -250,9 +255,9 @@ def compact_ivf_index(
     review fix: driver-local ``os.replace`` could not rename an HDFS
     or any non-driver-local directory, crashing after the full rewrite
     was already paid), so the swap works wherever Spark can write:
-    atomic directory rename on POSIX-local and HDFS; an object-store
-    deployment should still prefer a manifest swap, since its "rename"
-    is a copy.
+    atomic directory rename on POSIX-local and HDFS. An object-store
+    deployment — where "rename" is a per-object copy — should pass
+    ``commit="manifest"`` instead, which exists since round 10.
 
     An id surviving with MORE than one distinct row is not a replay —
     it is a genuine conflict (the upstream sent two payloads for one
