@@ -81,7 +81,17 @@ def train_ngram_lm(
     lam: float = DEFAULT_LAM,
 ) -> NgramLM:
     """Fit the interpolated bigram model on a trusted corpus: two
-    hash aggregations; only two scalars (N, V) reach the driver."""
+    hash aggregations over the token pairs; only two scalars (N, V)
+    reach the driver.
+
+    ``c(prev)`` is NOT a third full-pairs aggregation: it equals
+    ``sum_tok c(prev, tok)``, so it rides a window over the already
+    bigram-sized counts — one vocab-sized shuffle instead of a third
+    pass over every token pair (round-10: cut train from three
+    pair-sized shuffles to two).
+    """
+    from pyspark.sql import Window
+
     pairs = _token_pairs(reference, text_col, None).persist()
     try:
         # model dims cached per the repo convention (caching.py): lazy
@@ -90,11 +100,15 @@ def train_ngram_lm(
         uni = lazy_checkpoint(
             pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("uni_n"))
         )
-        prev_totals = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("prev_n"))
+        bi_counts = pairs.groupBy("prev", "tok").agg(
+            F.count(F.lit(1)).alias("bi_n")
+        )
+        # c(prev) == sum over tok of c(prev, tok) — integer-exact, so
+        # the window form is value-identical to the old third groupBy
         bi = lazy_checkpoint(
-            pairs.groupBy("prev", "tok")
-            .agg(F.count(F.lit(1)).alias("bi_n"))
-            .join(prev_totals, "prev")
+            bi_counts.withColumn(
+                "prev_n", F.sum("bi_n").over(Window.partitionBy("prev"))
+            )
         )
         totals = uni.agg(
             F.sum("uni_n").alias("n"), F.count(F.lit(1)).alias("v")
@@ -117,16 +131,16 @@ def _interp_logp(lm: NgramLM, bi_n: Column, prev_n: Column, uni_n: Column) -> Co
     return F.log(F.lit(lm.lam) * bi_p + F.lit(1.0 - lm.lam) * uni_p)
 
 
-def perplexity_score(
+def _per_doc_scores(
     df: DataFrame,
     text_col: str,
     id_col: str,
     lm: NgramLM,
-    broadcast_model: bool = True,
+    broadcast_model: bool,
 ) -> DataFrame:
-    """(id, n_tokens, avg_neg_logp, perplexity) per document. Empty
-    docs score NULL perplexity (nothing to model) — filter or coalesce
-    by policy downstream."""
+    """(id, n_tokens, avg_neg_logp) for every NON-empty document —
+    the shared core of score and filter. Empty docs simply have no
+    token pairs and no row here."""
     pairs = _token_pairs(df, text_col, id_col)
     uni = lm.unigrams
     bi = lm.bigrams.select("prev", "tok", "bi_n", "prev_n")
@@ -137,10 +151,23 @@ def perplexity_score(
         .join(bi, ["prev", "tok"], "left")
         .select(F.col(id_col), _interp_logp(lm, F.col("bi_n"), F.col("prev_n"), F.col("uni_n")).alias("__lp"))
     )
-    per_doc = scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (-F.avg("__lp")).alias("avg_neg_logp"),
     )
+
+
+def perplexity_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lm: NgramLM,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_logp, perplexity) per document. Empty
+    docs score NULL perplexity (nothing to model) — filter or coalesce
+    by policy downstream."""
+    per_doc = _per_doc_scores(df, text_col, id_col, lm, broadcast_model)
     base = df.select(F.col(id_col)).distinct()
     return base.join(per_doc, id_col, "left").select(
         id_col,
@@ -161,9 +188,19 @@ def perplexity_filter(
     """Keep documents at or below ``max_perplexity`` (schema
     unchanged); empty docs drop (no evidence of quality). The CCNet
     head/middle/tail practice: pick the threshold from the scored
-    distribution's quantiles, then filter."""
-    scores = perplexity_score(df, text_col, id_col, lm, broadcast_model)
-    keep = scores.filter(
-        F.col("perplexity").isNotNull() & (F.col("perplexity") <= max_perplexity)
+    distribution's quantiles, then filter.
+
+    Built on the per-doc core directly — NOT on
+    :func:`perplexity_score` — because the score contract's
+    empty-doc-preserving base join (a distinct over every document id
+    plus a left join) exists only to emit NULL-perplexity rows this
+    filter would immediately drop (round-10: one shuffle + one join
+    less on the funnel's hot path; same kept set by construction,
+    since a doc with no token pairs has no score row and cannot pass
+    the threshold).
+    """
+    per_doc = _per_doc_scores(df, text_col, id_col, lm, broadcast_model)
+    keep = per_doc.filter(
+        F.exp("avg_neg_logp") <= max_perplexity
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
