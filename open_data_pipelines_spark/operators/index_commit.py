@@ -29,6 +29,19 @@ pointer rename leaves an orphan generation directory that the next
 commit's GC removes — readers keep resolving the previous generation
 throughout (the crash-injection tests pin this).
 
+Writer concurrency: the protocol assumes a SINGLE writer per index —
+the standard posture for maintenance jobs (Iceberg/Delta get
+multi-writer safety from a catalog/log CAS this plain-FS layout does
+not have). Two concurrent committers would race on the same
+generation number and could interleave writes inside one generation
+directory before either pointer lands. The pointer publish is a
+last-line collision detector, not a substitute: it renames to a
+never-pre-existing name, and Hadoop rename to an existing destination
+fails, so the losing committer raises instead of silently
+double-publishing — but the winning generation may already hold the
+loser's partial files. Serialize retrain/compaction per index
+(the streaming wrappers already do: one foreachBatch at a time).
+
 Crash adoption for ``rename`` mode (:func:`adopt_sibling`): if the
 live path is missing, a crash inside the swap window left the full
 index in a sibling (``.retrain.tmp`` / ``.compact.tmp`` holds the NEW
@@ -196,6 +209,51 @@ def _gc_generations(spark, base: str, committed_gen: int, keep: int) -> None:
             fs.delete(status.getPath(), True)
 
 
+def unmanifested_content(spark, path: str) -> list[str]:
+    """Names under ``path`` that belong to NEITHER the manifest
+    protocol's layout (``_manifests/``, ``gen-<digits>/``) nor to it
+    being absent — i.e. data a manifest-mode operation would silently
+    strand or discard. Empty for a missing or protocol-clean path."""
+    base = path.rstrip("/")
+    fs, hpath = _hadoop_fs(spark, base)
+    if not fs.exists(hpath(base)):
+        return []
+    foreign = []
+    for status in fs.listStatus(hpath(base)):
+        name = status.getPath().getName()
+        if name == MANIFEST_DIR:
+            continue
+        if name.startswith("gen-") and name[len("gen-") :].isdigit():
+            continue
+        foreign.append(name)
+    return sorted(foreign)
+
+
+def require_manifest_target(spark, path: str) -> dict | None:
+    """The committed manifest for ``path``, or None when the path is
+    genuinely virgin (missing, or holding only unpublished orphan
+    generations, which were never reader-visible). Raises when the
+    path holds un-manifested data — a rename-mode layout, or rows a
+    bare-path append stranded — because every manifest-mode code path
+    that treated that state as 'fresh' silently abandoned the on-disk
+    index (review find). Initialize such a path deliberately with
+    ``build_ivf_index(..., commit="manifest")`` or keep using
+    ``commit="rename"``."""
+    manifest = latest_manifest(spark, path)
+    if manifest is not None:
+        return manifest
+    foreign = unmanifested_content(spark, path)
+    if foreign:
+        raise IOError(
+            f"index path {path!r} holds data outside the manifest layout "
+            f"({foreign[:5]}{'...' if len(foreign) > 5 else ''}) but no "
+            "committed manifest — refusing to treat it as fresh (that "
+            "would abandon the existing index); initialize it with "
+            "build_ivf_index(commit='manifest') or use commit='rename'"
+        )
+    return None
+
+
 def adopt_sibling(spark, path: str) -> str | None:
     """Rename-mode crash recovery: when the live ``path`` is missing,
     probe the swap siblings and rename the newest COMPLETE copy back
@@ -237,7 +295,10 @@ def load_existing_index(spark, path: str, commit: str) -> DataFrame | None:
         raise ValueError(f"unknown commit mode {commit!r}")
     base = path.rstrip("/")
     if commit == "manifest":
-        if latest_manifest(spark, base) is None:
+        # require_manifest_target raises on un-manifested data at the
+        # path (rename-mode layout or stranded bare appends) instead
+        # of returning None — None here feeds a batch-only rebuild
+        if require_manifest_target(spark, base) is None:
             return None
         return read_index(spark, base)
     fs, hpath = _hadoop_fs(spark, base)

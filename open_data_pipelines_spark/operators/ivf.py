@@ -145,6 +145,10 @@ def build_ivf_index(
     generation 1 of a manifest-committed index (see
     :mod:`.index_commit`) — the object-store-safe protocol every later
     retrain/compaction of the index then follows."""
+    if commit not in ("rename", "manifest"):
+        # validated before the path=None early return so a typo'd mode
+        # fails in the in-memory call too, not only once a path lands
+        raise ValueError(f"unknown commit mode {commit!r}")
     indexed = corpus.withColumn("list_id", assign_list_id(vec_col, centroids))
     if path is None:
         return indexed
@@ -158,8 +162,6 @@ def build_ivf_index(
             .parquet(gen_dir),
         )
         return read_index(spark, path)
-    if commit != "rename":
-        raise ValueError(f"unknown commit mode {commit!r}")
     indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
     return spark.read.parquet(path)
 
@@ -421,16 +423,30 @@ def maintain_ivf_index(
     partition-local append); the retrain path pays one full index
     read + k-means + rewrite, which is the point of thresholding it.
     """
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit mode {commit!r}")
+    spark = new_vectors.sparkSession
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
-        append_to_ivf_index(new_vectors, vec_col, id_col, centroids, path)
+        from .index_commit import require_manifest_target
+
+        if commit == "manifest" and require_manifest_target(spark, path) is None:
+            # virgin path: initialize generation 1 from the batch — a
+            # bare-path append would strand rows OUTSIDE the manifest
+            # layout, and the next retrain's load would then refuse
+            # (or, before the round-10 review fix, silently discard
+            # them in a batch-only rebuild)
+            build_ivf_index(
+                new_vectors, vec_col, id_col, centroids, path, commit="manifest"
+            )
+        else:
+            append_to_ivf_index(new_vectors, vec_col, id_col, centroids, path)
         return {
             "centroids": centroids,
             "baseline_mean_dist2": baseline_mean_dist2,
             "retrained": False,
             "batch_mean_dist2": batch_fit,
         }
-    spark = new_vectors.sparkSession
     existing = load_existing_index(spark, path, commit)
     if existing is None:
         full = new_vectors

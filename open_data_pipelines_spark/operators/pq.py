@@ -282,6 +282,9 @@ def build_ivf_pq_index(
     initializes an object-store-safe manifest-committed index
     (:mod:`.index_commit`) that later retrains/compactions publish new
     generations of."""
+    if commit not in ("rename", "manifest"):
+        # validated before the path=None early return (the ivf.py note)
+        raise ValueError(f"unknown commit mode {commit!r}")
     encoded = corpus.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
         list_col, assign_list_id(vec_col, centroids)
     )
@@ -297,8 +300,6 @@ def build_ivf_pq_index(
             .parquet(gen_dir),
         )
         return read_index(spark, path)
-    if commit != "rename":
-        raise ValueError(f"unknown commit mode {commit!r}")
     encoded.write.mode("overwrite").partitionBy(list_col).parquet(path)
     return spark.read.parquet(path)
 
@@ -354,19 +355,30 @@ def maintain_ivf_pq_index(
     """
     from .ivf import global_mean_dist2, train_centroids
 
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit mode {commit!r}")
     nbits_inferred = nbits is None
     if nbits_inferred:
         nbits = (len(codebooks[0]) - 1).bit_length()
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
         # resolve the commit layout (manifest-mode appends land inside
-        # the current generation directory), like append_to_ivf_index
-        from .index_commit import resolve_index_path
+        # the current generation directory), like append_to_ivf_index;
+        # a VIRGIN manifest path initializes generation 1 instead — a
+        # bare-path append would strand rows outside the layout
+        from .index_commit import require_manifest_target, resolve_index_path
 
-        data_path = resolve_index_path(new_vectors.sparkSession, path)
-        new_vectors.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
-            list_col, assign_list_id(vec_col, centroids)
-        ).write.mode("append").partitionBy(list_col).parquet(data_path)
+        spark = new_vectors.sparkSession
+        if commit == "manifest" and require_manifest_target(spark, path) is None:
+            build_ivf_pq_index(
+                new_vectors, vec_col, id_col, centroids, codebooks, path,
+                code_col, list_col, commit="manifest",
+            )
+        else:
+            data_path = resolve_index_path(spark, path)
+            new_vectors.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
+                list_col, assign_list_id(vec_col, centroids)
+            ).write.mode("append").partitionBy(list_col).parquet(data_path)
         return {
             "centroids": centroids,
             "codebooks": codebooks,

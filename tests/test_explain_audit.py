@@ -2,10 +2,15 @@
 
 The audit's plan-text shuffle bracket (`expanded/ckpt`) was too wide
 to audit regressions (minhash 30/2). The `executed` reading counts
-shuffle-map stages that actually ran, from the status store: the run
-scope must lie INSIDE the bracket, and the total scope (build + run)
-captures the shuffles that internal materializations execute outside
-either plan text.
+shuffle-map stages that actually ran, from the status store: run <=
+expanded always (an exchange executes at most once per appearance),
+and for scd2_merge — the canonical checkpoint-reusing query, where
+AQE does not elide exchanges — it lies inside the full bracket; the
+total scope (build + run) captures the shuffles that internal
+materializations execute outside either plan text. (Queries where
+AQE elides a planned exchange at runtime legitimately land run BELOW
+ckpt — minmax_norm/impact_score in the committed audit — which is
+the measurement replacing plan-text guesses, not a bug.)
 
 Runs the tool as a subprocess because the executed counter needs
 `spark.ui.enabled=true` (a static conf the shared test session pins

@@ -352,3 +352,89 @@ def test_unknown_commit_mode_raises(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="unknown commit mode"):
         load_existing_index(spark, str(tmp_path / "x"), "nope")
+
+
+def test_manifest_fit_batches_on_virgin_path_initialize_generation(spark, tmp_path):
+    """Round-10 review find (the silent-discard hazard, end to end):
+    in the streaming maintenance order, FIT batches can arrive before
+    any index exists. With commit="manifest" they must initialize
+    generation 1 — a bare-path append would strand rows outside the
+    manifest layout, and the eventual drift retrain would either
+    refuse or (pre-fix) silently rebuild from the drifting batch
+    alone, discarding every appended vector."""
+    base = _vecs(spark, range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=4, iters=3)
+    baseline = global_mean_dist2(base, "embedding", cents)
+    path = str(tmp_path / "ivf")
+
+    # fit batch on a VIRGIN path: initializes gen-1, never a bare append
+    st = maintain_ivf_index(
+        base, "embedding", "vec_id", cents, path, baseline,
+        retrain_factor=2.0, commit="manifest",
+    )
+    assert st["retrained"] is False
+    assert latest_manifest(spark, path)["generation"] == 1
+    assert read_index(spark, path).count() == 100
+
+    # second fit batch appends INSIDE the committed generation
+    calm = _vecs(spark, range(100, 120))
+    maintain_ivf_index(
+        calm, "embedding", "vec_id", cents, path, baseline,
+        retrain_factor=2.0, commit="manifest",
+    )
+    assert latest_manifest(spark, path)["generation"] == 1
+    assert read_index(spark, path).count() == 120
+
+    # the drift retrain sees ALL prior rows — the original bug dropped
+    # them and rebuilt from the 40-row batch
+    drifted = _vecs(spark, range(200, 240), offset=50.0)
+    st2 = maintain_ivf_index(
+        drifted, "embedding", "vec_id", cents, path, baseline,
+        retrain_factor=2.0, commit="manifest",
+    )
+    assert st2["retrained"] is True
+    assert read_index(spark, path).count() == 160
+
+
+def test_manifest_mode_refuses_unmanifested_data(spark, tmp_path):
+    """A rename-mode layout (or stranded bare appends) at the path
+    must make manifest-mode maintenance raise, never treat the index
+    as fresh and abandon it."""
+    base = _vecs(spark, range(60))
+    cents = train_centroids(base, "embedding", "vec_id", k=4, iters=2)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path)  # rename layout
+
+    with pytest.raises(IOError, match="no\n?.*committed manifest|committed manifest"):
+        load_existing_index(spark, path, "manifest")
+
+    drifted = _vecs(spark, range(200, 240), offset=50.0)
+    with pytest.raises(IOError, match="committed manifest"):
+        maintain_ivf_index(
+            drifted, "embedding", "vec_id", cents, path,
+            global_mean_dist2(base, "embedding", cents),
+            retrain_factor=2.0, commit="manifest",
+        )
+    # the fit path refuses too (it would strand MORE rows)
+    with pytest.raises(IOError, match="committed manifest"):
+        maintain_ivf_index(
+            base, "embedding", "vec_id", cents, path,
+            global_mean_dist2(base, "embedding", cents),
+            retrain_factor=2.0, commit="manifest",
+        )
+    # the rename-mode index is untouched by the refusals
+    assert spark.read.parquet(path).count() == 60
+
+
+def test_invalid_commit_mode_fails_without_path_too(spark):
+    """Round-10 review find: build_ivf_index validated the commit mode
+    only on the path-writing branch, so a typo'd mode passed silently
+    through in-memory tests and first failed in production."""
+    base = _vecs(spark, range(10))
+    cents = train_centroids(base, "embedding", "vec_id", k=2, iters=1)
+    with pytest.raises(ValueError, match="unknown commit mode"):
+        build_ivf_index(base, "embedding", "vec_id", cents, commit="manifets")
+    with pytest.raises(ValueError, match="unknown commit mode"):
+        maintain_ivf_index(
+            base, "embedding", "vec_id", cents, "/tmp/nowhere", 1.0, commit="x"
+        )

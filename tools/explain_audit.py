@@ -19,12 +19,14 @@ executed count the r9 verdict asked for):
   production-shape query executed to a noop sink, measured from the
   Spark status store via the REST API (stages belonging to the
   query's job group with completed tasks AND shuffle-write output).
-  This is the real number the bracket brackets: each exchange
-  executes its shuffle write exactly once regardless of how many plan
-  subtrees reference it. Stages that write zero shuffle rows AND zero
-  bytes are indistinguishable from result stages and would be
-  undercounted — irrelevant at the audit SF, where every exchange
-  carries rows.
+  Each exchange executes its shuffle write at most once regardless of
+  how many plan subtrees reference it, so ``executed <= expanded``;
+  it can fall BELOW the ``ckpt`` lower bound when AQE elides a
+  planned exchange at runtime (minmax_norm, impact_score in the
+  committed audit) or when a shuffle write is entirely empty (then
+  indistinguishable from a result stage). Executed-below-planned is
+  the measurement working as intended — plan text counts intentions,
+  this column counts what ran.
 
 Usage::
 
@@ -107,13 +109,20 @@ def executed_shuffles(spark, fn, sf_dir: str, group: str) -> tuple[int, int]:
     """(run, total) executed shuffle counts for one query.
 
     ``run`` covers the final noop-sink action only — the shuffles the
-    production-shape plan itself executes, which by construction lies
-    inside the plan-text bracket (ckpt <= run <= expanded). ``total``
-    adds the query's BUILD phase: operators that internally
-    materialize (eager checkpoints, model-training collects like the
-    corpus funnel's LM fit) execute real shuffles before the final
-    action that neither plan text can show — ``total`` is the number
-    a regression audit should watch."""
+    production-shape plan actually executes. ``run <= expanded``
+    always (an exchange executes at most once per appearance); it
+    usually also sits at or above ``ckpt``, but AQE can land it BELOW
+    the plan-text lower bound by eliding a planned exchange at
+    runtime (empty-relation/broadcast replans — the committed audit
+    shows minmax_norm 3/3 -> 2 and impact_score 5/5 -> 4), and a
+    stage whose shuffle write is entirely empty is indistinguishable
+    from a result stage and goes uncounted. Executed-below-planned is
+    the truth, not an error — the column exists to replace plan-text
+    guesses with what ran. ``total`` adds the query's BUILD phase:
+    operators that internally materialize (eager checkpoints,
+    model-training collects like the corpus funnel's LM fit) execute
+    real shuffles before the final action that neither plan text can
+    show — ``total`` is the number a regression audit should watch."""
     sc = spark.sparkContext
     sc.setJobGroup(f"{group}.build", group)
     try:
@@ -159,16 +168,31 @@ def audit_query(spark, fn, sf_dir: str, name: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only: set[str] | None = None
-    for a in sys.argv[1:]:
-        if a.startswith("--only"):
-            only = set(a.split("=", 1)[1].split(",")) if "=" in a else None
-    as_json = "--json" in sys.argv
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query-name subset (both --only=a,b and --only a,b work)",
+    )
+    ap.add_argument("--json", action="store_true", dest="as_json")
+    ns = ap.parse_args()
+    sf_dir = ns.sf_dir
+    only: set[str] | None = set(ns.only.split(",")) if ns.only else None
+    as_json = ns.as_json
+    if not os.path.isdir(sf_dir):
+        ap.error(f"sf_dir {sf_dir!r} is not a directory")
 
     import __spark_entry__ as e
     from open_data_pipelines_spark.session import get_spark
+
+    registry = e.queries()
+    if only is not None:
+        unknown = only - set(registry)
+        if unknown:
+            ap.error(f"--only names not in the query registry: {sorted(unknown)}")
 
     # UI on: the executed-shuffle counter reads the status store REST
     # API (stage shuffle-write metrics are not exposed to PySpark's
@@ -190,16 +214,18 @@ def main() -> None:
         "consumers is counted N times) and checkpointed (production",
         "shape — shared subtrees truncate to `Scan ExistingRDD`, so",
         "their internal shuffles are hidden). The shuffles column",
-        "shows `expanded/ckpt`: the pair BRACKETS the executed count",
-        "(expanded is the upper bound, ckpt the lower; they coincide",
-        "for queries without internal reuse). The `executed` column is",
-        "the REAL count inside that bracket: shuffle-map stages that",
-        "ran (completed tasks + shuffle-write output, read from the",
-        "status store) when the production-shape plan executed to a",
-        "noop sink — shown as `run(total)`, where `total` adds the",
-        "query's build phase (eager checkpoints, model-training",
-        "collects) that executes real shuffles neither plan text can",
-        "show; `run` is the bracketed number, `total` the one a",
+        "shows `expanded/ckpt`: the PLANNED counts (expanded is the",
+        "upper bound; they coincide for queries without internal",
+        "reuse). The `executed` column is what actually RAN:",
+        "shuffle-map stages (completed tasks + shuffle-write output,",
+        "read from the status store) when the production-shape plan",
+        "executed to a noop sink — shown as `run(total)`, where",
+        "`total` adds the query's build phase (eager checkpoints,",
+        "model-training collects) that executes real shuffles neither",
+        "plan text can show. `run <= expanded` always; AQE can land it",
+        "below `ckpt` too by eliding a planned exchange at runtime",
+        "(minmax_norm, impact_score) — executed-below-planned is the",
+        "measurement working, not an error. `total` is the number a",
         "regression audit should watch. The other columns read from",
         "the expanded plan, where nothing is hidden.",
         "",
@@ -207,7 +233,7 @@ def main() -> None:
         "|---|---|---|---|---|---|---|---|---|",
     ]
     results: dict[str, dict] = {}
-    for name, fn in e.queries().items():
+    for name, fn in registry.items():
         if only is not None and name not in only:
             continue
         try:
