@@ -515,3 +515,73 @@ def test_sidecar_validation_rejects_stale_banks(spark, tmp_path):
             str(tmp_path / "c5"), cents2d, 1e9, state_path=bank,
         )
         q.awaitTermination(120)
+
+
+def test_stream_manifest_commit_end_to_end(spark, tmp_path):
+    """commit="manifest" through the REAL foreachBatch path, starting
+    from a VIRGIN index path (the round-10 review's silent-discard
+    scenario): fit batch 1 initializes generation 1, fit batch 2
+    appends inside it, the drifted batch retrains to generation 2 with
+    ALL prior rows, and probe-all == brute force after the drain."""
+    from open_data_pipelines_spark.operators.index_commit import (
+        latest_manifest,
+        read_index,
+    )
+
+    base = _vecs(spark, range(100))
+    cents = train_centroids(base, "embedding", "vec_id", k=K_CELLS, iters=5)
+    baseline = global_mean_dist2(base, "embedding", cents)
+    index_path = str(tmp_path / "ivf")  # never pre-built: virgin path
+
+    landing = str(tmp_path / "landing")
+    calm = _vecs(spark, range(100, 120))
+    drifted = _vecs(spark, range(200, 240), offset=50.0)
+    base.repartition(1).write.parquet(landing)
+    time.sleep(1.1)  # mtime-ordered batches (see the first test)
+    calm.repartition(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    drifted.repartition(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+    q, state = stream_embeddings_to_ivf(
+        stream,
+        "embedding",
+        "vec_id",
+        index_path,
+        str(tmp_path / "ckpt"),
+        cents,
+        baseline,
+        retrain_factor=2.0,
+        commit="manifest",
+    )
+    q.awaitTermination()
+
+    assert state["batches"] == 3 and state["retrains"] == 1
+    assert latest_manifest(spark, index_path)["generation"] == 2
+    index = read_index(spark, index_path)
+    assert index.count() == 160  # nothing discarded across the retrain
+
+    full = base.unionByName(calm).unionByName(drifted)
+    queries = _vecs(spark, [0, 101, 205])
+    cols = ["query_id", "neighbor_id", "rank", "cosine_sim"]
+    bf = {
+        tuple(r)
+        for r in brute_force_topk(full, queries, "embedding", "vec_id", k=5)
+        .select(cols)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_topk(
+            index, queries, "embedding", "vec_id", state["centroids"],
+            k=5, nprobe=K_CELLS,
+        )
+        .select(cols)
+        .collect()
+    }
+    assert got == bf
