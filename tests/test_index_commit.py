@@ -405,7 +405,7 @@ def test_manifest_mode_refuses_unmanifested_data(spark, tmp_path):
     path = str(tmp_path / "ivf")
     build_ivf_index(base, "embedding", "vec_id", cents, path=path)  # rename layout
 
-    with pytest.raises(IOError, match="no\n?.*committed manifest|committed manifest"):
+    with pytest.raises(IOError, match="committed manifest"):
         load_existing_index(spark, path, "manifest")
 
     drifted = _vecs(spark, range(200, 240), offset=50.0)
