@@ -301,6 +301,17 @@ def load_existing_index(spark, path: str, commit: str) -> DataFrame | None:
         if require_manifest_target(spark, base) is None:
             return None
         return read_index(spark, base)
+    if latest_manifest(spark, base) is not None:
+        # the cross-mode mirror of require_manifest_target: a
+        # rename-mode read of a manifest root would parse pointer
+        # JSONs and generation dirs as one parquet layout, and the
+        # rename-mode rewrite would then swap-delete the whole
+        # manifest index — refuse with the fix instead
+        raise IOError(
+            f"index at {base!r} is manifest-committed — pass "
+            "commit='manifest' (rename-mode maintenance would misread "
+            "the layout and destroy the generation history)"
+        )
     fs, hpath = _hadoop_fs(spark, base)
     if fs.exists(hpath(base)):
         return spark.read.parquet(base)

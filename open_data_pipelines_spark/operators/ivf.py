@@ -278,6 +278,16 @@ def compact_ivf_index(
         raise ValueError(f"unknown on_conflict {on_conflict!r}")
     if commit not in ("rename", "manifest"):
         raise ValueError(f"unknown commit mode {commit!r}")
+    if commit == "rename":
+        from .index_commit import latest_manifest
+
+        if latest_manifest(spark, path) is not None:
+            # a rename-mode rewrite would swap the bare layout over
+            # the manifest root, deleting the generation history
+            raise IOError(
+                f"index at {path!r} is manifest-committed — pass "
+                "commit='manifest' to compact it"
+            )
     idx = read_index(spark, path)
     before = idx.count()
     # localCheckpoint for reuse across the 3 consumers (conflict

@@ -438,3 +438,30 @@ def test_invalid_commit_mode_fails_without_path_too(spark):
         maintain_ivf_index(
             base, "embedding", "vec_id", cents, "/tmp/nowhere", 1.0, commit="x"
         )
+
+
+def test_rename_mode_refuses_manifest_index(spark, tmp_path):
+    """Cross-mode guard, the mirror of the un-manifested-data refusal:
+    rename-mode maintenance/compaction on a manifest-committed index
+    would misread the root (pointer JSONs + generation dirs as one
+    parquet layout) and its rewrite would swap-delete the generation
+    history — both entry points must refuse with the fix named."""
+    base = _vecs(spark, range(50))
+    cents = train_centroids(base, "embedding", "vec_id", k=4, iters=2)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=path, commit="manifest")
+
+    with pytest.raises(IOError, match="manifest-committed"):
+        load_existing_index(spark, path, "rename")
+    with pytest.raises(IOError, match="manifest-committed"):
+        compact_ivf_index(spark, path, "vec_id")  # commit defaults to rename
+    with pytest.raises(IOError, match="manifest-committed"):
+        maintain_ivf_index(
+            _vecs(spark, range(200, 220), offset=50.0),
+            "embedding", "vec_id", cents, path,
+            global_mean_dist2(base, "embedding", cents),
+            retrain_factor=2.0,  # commit defaults to rename
+        )
+    # the manifest index is untouched by the refusals
+    assert latest_manifest(spark, path)["generation"] == 1
+    assert read_index(spark, path).count() == 50
