@@ -153,6 +153,23 @@ def commit_generation(spark, path: str, write_fn, keep: int = 2) -> str:
     base = path.rstrip("/")
     fs, hpath = _hadoop_fs(spark, base)
     current = latest_manifest(spark, base)
+    if current is None:
+        # first-generation commit: the root must be virgin (or hold
+        # only unpublished orphans). Publishing gen-1 NEXT TO a
+        # rename-mode layout would silently convert the index, strand
+        # the bare parquet files forever (GC only tracks gen-*), and
+        # break direct readers of the old layout — the same
+        # silent-migration hazard the load-side guards refuse. This
+        # chokepoint covers every first commit: build_*, compact, and
+        # maintain retrains.
+        foreign = unmanifested_content(spark, base)
+        if foreign:
+            raise IOError(
+                f"cannot initialize a manifest-committed index at {base!r}: "
+                f"the path holds non-manifest content ({foreign[:5]}"
+                f"{'...' if len(foreign) > 5 else ''}) — write to a fresh "
+                "path, or remove the old layout deliberately first"
+            )
     gen = (current["generation"] if current is not None else 0) + 1
     gen_name = f"gen-{gen:08d}"
     gen_dir = base + "/" + gen_name
@@ -248,10 +265,27 @@ def require_manifest_target(spark, path: str) -> dict | None:
             f"index path {path!r} holds data outside the manifest layout "
             f"({foreign[:5]}{'...' if len(foreign) > 5 else ''}) but no "
             "committed manifest — refusing to treat it as fresh (that "
-            "would abandon the existing index); initialize it with "
-            "build_ivf_index(commit='manifest') or use commit='rename'"
+            "would abandon the existing index); keep using "
+            "commit='rename' for this path, or migrate deliberately by "
+            "building a manifest index at a FRESH path"
         )
     return None
+
+
+def refuse_rename_on_manifest(spark, path: str, op: str) -> None:
+    """The cross-mode mirror of :func:`require_manifest_target`:
+    rename-mode maintenance on a manifest-committed index would read
+    pointer JSONs and generation dirs as one parquet layout, and a
+    rename-mode rewrite would swap its output over the root, deleting
+    the generation history. One shared guard so every entry point
+    (build / append-maintain / retrain / compact) refuses with the
+    same message at ENTRY — not at an arbitrary later drift point."""
+    if latest_manifest(spark, path) is not None:
+        raise IOError(
+            f"index at {path!r} is manifest-committed — pass "
+            f"commit='manifest' to {op} it (rename-mode would misread "
+            "the layout and destroy the generation history)"
+        )
 
 
 def adopt_sibling(spark, path: str) -> str | None:
@@ -301,17 +335,7 @@ def load_existing_index(spark, path: str, commit: str) -> DataFrame | None:
         if require_manifest_target(spark, base) is None:
             return None
         return read_index(spark, base)
-    if latest_manifest(spark, base) is not None:
-        # the cross-mode mirror of require_manifest_target: a
-        # rename-mode read of a manifest root would parse pointer
-        # JSONs and generation dirs as one parquet layout, and the
-        # rename-mode rewrite would then swap-delete the whole
-        # manifest index — refuse with the fix instead
-        raise IOError(
-            f"index at {base!r} is manifest-committed — pass "
-            "commit='manifest' (rename-mode maintenance would misread "
-            "the layout and destroy the generation history)"
-        )
+    refuse_rename_on_manifest(spark, base, "maintain")
     fs, hpath = _hadoop_fs(spark, base)
     if fs.exists(hpath(base)):
         return spark.read.parquet(base)

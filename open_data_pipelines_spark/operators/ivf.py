@@ -43,6 +43,7 @@ from .index_commit import (
     commit_generation,
     load_existing_index,
     read_index,
+    refuse_rename_on_manifest,
     resolve_index_path,
 )
 from .similarity import as_double_array, dot_int, quantize
@@ -162,6 +163,10 @@ def build_ivf_index(
             .parquet(gen_dir),
         )
         return read_index(spark, path)
+    # a rename-mode overwrite of a manifest root would wipe the
+    # generation history with no error — the one unguarded rename
+    # writer the round-10 second review found
+    refuse_rename_on_manifest(spark, path, "rebuild")
     indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
     return spark.read.parquet(path)
 
@@ -279,15 +284,7 @@ def compact_ivf_index(
     if commit not in ("rename", "manifest"):
         raise ValueError(f"unknown commit mode {commit!r}")
     if commit == "rename":
-        from .index_commit import latest_manifest
-
-        if latest_manifest(spark, path) is not None:
-            # a rename-mode rewrite would swap the bare layout over
-            # the manifest root, deleting the generation history
-            raise IOError(
-                f"index at {path!r} is manifest-committed — pass "
-                "commit='manifest' to compact it"
-            )
+        refuse_rename_on_manifest(spark, path, "compact")
     idx = read_index(spark, path)
     before = idx.count()
     # localCheckpoint for reuse across the 3 consumers (conflict
@@ -436,6 +433,12 @@ def maintain_ivf_index(
     if commit not in ("rename", "manifest"):
         raise ValueError(f"unknown commit mode {commit!r}")
     spark = new_vectors.sparkSession
+    if commit == "rename":
+        # at ENTRY, not only on the retrain path: a misconfigured
+        # streaming job would otherwise append calmly for days and
+        # first die at an arbitrary later drift point (second-review
+        # find)
+        refuse_rename_on_manifest(spark, path, "maintain")
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
         from .index_commit import require_manifest_target

@@ -300,6 +300,10 @@ def build_ivf_pq_index(
             .parquet(gen_dir),
         )
         return read_index(spark, path)
+    # guard the one remaining rename overwrite (the ivf.py note)
+    from .index_commit import refuse_rename_on_manifest
+
+    refuse_rename_on_manifest(spark, path, "rebuild")
     encoded.write.mode("overwrite").partitionBy(list_col).parquet(path)
     return spark.read.parquet(path)
 
@@ -357,6 +361,12 @@ def maintain_ivf_pq_index(
 
     if commit not in ("rename", "manifest"):
         raise ValueError(f"unknown commit mode {commit!r}")
+    if commit == "rename":
+        # at ENTRY, like maintain_ivf_index: fail the first calm
+        # batch, not an arbitrary later drift point
+        from .index_commit import refuse_rename_on_manifest
+
+        refuse_rename_on_manifest(new_vectors.sparkSession, path, "maintain")
     nbits_inferred = nbits is None
     if nbits_inferred:
         nbits = (len(codebooks[0]) - 1).bit_length()

@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from .graph import connected_components, keep_cluster_representatives
 from .ivf import _cell_dists, assign_list_id, cap_hot_cells, train_centroids
 from .similarity import as_double_array, dot_int, quantize
@@ -80,11 +81,25 @@ def semantic_dup_pairs(
         assigned = cap_hot_cells(
             assigned, vec_col, id_col, centroids, max_cluster_size, "__cell"
         )
-    q = assigned.select(
-        F.col(id_col).alias("__id"),
-        F.col("__cell"),
-        quantize(vec_col, quant_scale).alias("__qv"),
-    ).withColumn("__qn", F.sqrt(dot_int(F.col("__qv"), F.col("__qv")).cast("double")))
+    q = (
+        assigned.select(
+            F.col(id_col).alias("__id"),
+            F.col("__cell"),
+            quantize(vec_col, quant_scale).alias("__qv"),
+        )
+        .withColumn(
+            "__qn", F.sqrt(dot_int(F.col("__qv"), F.col("__qv")).cast("double"))
+        )
+        # a vector quantizing to all zeros has no direction on the
+        # integer grid (cosine would be NULL via 0/0) — excluded from
+        # pairing explicitly, like NULL-signature quarantine rows in
+        # the media funnel: no evidence, no pair, row survives dedup
+        .filter(F.col("__qn") > 0)
+    )
+    # both sides of the self-join read this frame: checkpoint per the
+    # repo convention so the scan + k-way argmin assignment + cap
+    # window execute ONCE, not once per side
+    q = lazy_checkpoint(q)
     a = q.select(
         F.col("__id").alias("id_a"),
         F.col("__cell"),
@@ -122,6 +137,7 @@ def semantic_dedup(
     iters: int = 2,
     max_cluster_size: int | None = None,
     keep: str = "min_id",
+    quant_scale: int = 1000,
 ) -> DataFrame:
     """Drop semantic duplicates from ``corpus``: one representative
     survives per duplicate group; rows with no duplicate evidence are
@@ -137,6 +153,9 @@ def semantic_dedup(
     """
     if keep not in ("min_id", "farthest"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    if not 0.0 <= threshold <= 1.0:
+        # validated BEFORE training: k-means is full corpus passes
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     if centroids is None:
         centroids = train_centroids(corpus, vec_col, id_col, k=k, iters=iters)
     pairs = semantic_dup_pairs(
@@ -146,6 +165,7 @@ def semantic_dedup(
         threshold,
         centroids=centroids,
         max_cluster_size=max_cluster_size,
+        quant_scale=quant_scale,
     )
     if keep == "min_id":
         return keep_cluster_representatives(corpus, pairs, id_col)

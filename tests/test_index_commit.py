@@ -462,6 +462,30 @@ def test_rename_mode_refuses_manifest_index(spark, tmp_path):
             global_mean_dist2(base, "embedding", cents),
             retrain_factor=2.0,  # commit defaults to rename
         )
+    # ... and on a CALM batch too — the guard sits at maintain ENTRY,
+    # so a misconfigured streaming job fails its first batch, not at
+    # an arbitrary later drift point (second-review find)
+    with pytest.raises(IOError, match="manifest-committed"):
+        maintain_ivf_index(
+            _vecs(spark, range(50, 60)),
+            "embedding", "vec_id", cents, path,
+            global_mean_dist2(base, "embedding", cents),
+            retrain_factor=1e9,  # guaranteed fit -> append path
+        )
+    # build's rename overwrite refuses as well (it would wipe the
+    # generation history with no error)
+    with pytest.raises(IOError, match="manifest-committed"):
+        build_ivf_index(base, "embedding", "vec_id", cents, path=path)
+    # manifest-mode initialization onto a DIRTY (rename-layout) root
+    # refuses at the commit chokepoint instead of silently converting
+    rename_path = str(tmp_path / "plain")
+    build_ivf_index(base, "embedding", "vec_id", cents, path=rename_path)
+    with pytest.raises(IOError, match="non-manifest content"):
+        build_ivf_index(
+            base, "embedding", "vec_id", cents, path=rename_path, commit="manifest"
+        )
+    with pytest.raises(IOError, match="non-manifest content"):
+        compact_ivf_index(spark, rename_path, "vec_id", commit="manifest")
     # the manifest index is untouched by the refusals
     assert latest_manifest(spark, path)["generation"] == 1
     assert read_index(spark, path).count() == 50

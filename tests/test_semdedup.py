@@ -40,11 +40,16 @@ def _expected_pairs(rows, centroids, threshold):
         return best[1]
 
     def qcos(a, b):
-        qa = [int(round(x * QUANT)) for x in a]
-        qb = [int(round(x * QUANT)) for x in b]
-        dot = sum(x * y for x, y in zip(qa, qb))
+        # similarity.quantize's EXACT grid: round-half-up via
+        # floor(x*s + 0.5), NOT Python round() (banker's half-to-even
+        # diverges on exact .5 grid values — second-review find)
+        qa = [math.floor(x * QUANT + 0.5) for x in a]
+        qb = [math.floor(x * QUANT + 0.5) for x in b]
         na = math.sqrt(sum(x * x for x in qa))
         nb = math.sqrt(sum(x * x for x in qb))
+        if na == 0 or nb == 0:
+            return None  # zero-grid vectors carry no direction: no pair
+        dot = sum(x * y for x, y in zip(qa, qb))
         return dot / (na * nb)
 
     by_cell: dict[int, list] = {}
@@ -55,7 +60,8 @@ def _expected_pairs(rows, centroids, threshold):
         for i, (ida, va) in enumerate(members):
             for idb, vb in members[i + 1 :]:
                 lo, hi = min(ida, idb), max(ida, idb)
-                if qcos(va, vb) >= threshold:
+                c = qcos(va, vb)
+                if c is not None and c >= threshold:
                     out.add((lo, hi))
     return out
 
@@ -174,3 +180,41 @@ def test_dedup_farthest_keeps_most_atypical_member(spark):
     assert {r["vec_id"] for r in min_id.collect()} == {1, 9}
     with pytest.raises(ValueError, match="keep policy"):
         semantic_dedup(df, "embedding", "vec_id", 0.99, centroids=cents, keep="best")
+
+
+def test_zero_grid_vectors_never_pair_and_survive_dedup(spark):
+    """A vector whose every component quantizes to zero has no
+    direction on the integer grid (cosine would be 0/0): it must be
+    excluded from pairing explicitly — no NULL comparisons — and
+    survive dedup untouched (no evidence, no drop), even when two such
+    vectors are byte-identical."""
+    rows = [
+        (1, [0.0001, -0.0002]),   # quantizes to [0, 0]
+        (2, [0.0001, -0.0002]),   # identical zero-grid twin
+        (3, [10.0, 10.0]),
+        (4, [10.0, 10.01]),       # real dup pair with 3
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    pairs = semantic_dup_pairs(df, "embedding", "vec_id", 0.5, centroids=cents)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(3, 4)}  # zero-grid rows contributed nothing
+    out = semantic_dedup(df, "embedding", "vec_id", 0.5, centroids=cents)
+    assert {r["vec_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_dedup_validates_threshold_before_training(spark):
+    """An invalid threshold must raise BEFORE train_centroids pays
+    full k-means passes over the corpus (second-review find)."""
+    calls = []
+    import open_data_pipelines_spark.operators.semdedup as sd
+
+    real = sd.train_centroids
+    sd.train_centroids = lambda *a, **kw: calls.append(1) or real(*a, **kw)
+    try:
+        df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+        with pytest.raises(ValueError, match="threshold"):
+            semantic_dedup(df, "embedding", "vec_id", threshold=1.5)
+    finally:
+        sd.train_centroids = real
+    assert calls == [], "k-means ran before threshold validation"
