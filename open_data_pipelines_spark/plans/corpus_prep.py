@@ -90,6 +90,8 @@ def prepare_corpus(
     simhash_max_hamming: int = 3,
     embedding_threshold: float = 0.95,
     embeddings: DataFrame | None = None,
+    semantic_k: int = 64,
+    semantic_max_cluster_size: int | None = 512,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     chunk_size: int = 64,
@@ -279,6 +281,9 @@ def prepare_corpus(
     #               per doc, no shingle explode; token-profile dups)
     #   embedding — semantic near-dups token-level methods cannot see
     #               (paraphrases); joins an embeddings frame by doc id
+    #   semantic  — SemDeDup: k-means cluster-blocked exhaustive
+    #               cosine for the lower-threshold redundancy regime
+    #               where LSH banding recall decays (cap-bounded)
     #   none      — skip the stage (exact dedup only)
     if near_dup == "minhash":
         pairs = minhash_lsh_dedup(
@@ -304,6 +309,26 @@ def prepare_corpus(
         vecs = embeddings.join(exact.select("doc_id"), "doc_id", "left_semi")
         pairs = self_near_dup_pairs_bucketed(
             vecs, "embedding", "doc_id", threshold=embedding_threshold
+        ).select("id_a", "id_b")
+    elif near_dup == "semantic":
+        # SemDeDup (operators/semdedup.py): k-means cluster-blocked
+        # exhaustive cosine — the lower-threshold regime where RP-LSH
+        # banding's collision probability decays; cluster cap bounds
+        # the quadratic term (nothing here is a product either)
+        from ..operators.semdedup import semantic_dup_pairs
+
+        if embeddings is None:
+            embeddings = load_tables(spark, sf_dir, register_views=False)[
+                "embeddings"
+            ].select(F.col("vec_id").alias("doc_id"), "embedding")
+        vecs = embeddings.join(exact.select("doc_id"), "doc_id", "left_semi")
+        pairs = semantic_dup_pairs(
+            vecs,
+            "embedding",
+            "doc_id",
+            threshold=embedding_threshold,
+            k=semantic_k,
+            max_cluster_size=semantic_max_cluster_size,
         ).select("id_a", "id_b")
     elif near_dup == "none":
         pairs = None

@@ -330,6 +330,30 @@ def test_near_dup_backend_embedding(spark):
     assert not (surviving & planted_ids)
 
 
+def test_near_dup_backend_semantic(spark):
+    """SemDeDup backend (round 10): same planted near-identical
+    vectors as the embedding test, found via k-means cluster-blocked
+    exhaustive cosine instead of RP-LSH banding — near-parallel
+    vectors land in the same k-means cell by construction, so the
+    cluster-blocked comparison must catch every planted pair."""
+    docs, planted = _planted_near_dups(spark)
+    emb = load_tables(spark, SF_SMOKE, register_views=False)["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    near_vecs = emb.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.0001)).alias("embedding"),
+    )
+    out = prepare_corpus(
+        spark, SF_SMOKE, docs=planted, chunk_size=16, overlap=0,
+        near_dup="semantic", embeddings=emb.unionByName(near_vecs),
+        embedding_threshold=0.999, semantic_k=8,
+    )
+    surviving = {int(r["doc_id"]) for r in out.select("doc_id").distinct().collect()}
+    planted_ids = {r["doc_id"] + 20000 for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    assert not (surviving & planted_ids)
+
+
 def test_near_dup_backend_none_and_unknown(spark):
     _, planted = _planted_near_dups(spark)
     _, stats = prepare_corpus(
