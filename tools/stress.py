@@ -796,7 +796,87 @@ def index_commit_scenario(sizes=(100_000, 1_000_000)) -> None:
     print(json.dumps({"scenario": "index_commit", "sizes": results}))
 
 
+def semdedup_scenario(n_vecs: int = 50_000, hot_fraction: float = 0.3) -> None:
+    """Round 10: SemDeDup's quadratic term under a dense region.
+
+    30% of the corpus is near-identical vectors, so one k-means cell
+    holds ~hot_fraction of all rows — exactly the shape where
+    cluster-blocked comparison degenerates to (f*N)²/2 pairs. The cap
+    keeps each cell's centroid-nearest core: pair volume falls to its
+    analytic ceiling (K * cap²/2) while sparse cells are untouched.
+    The LSH analogue is `--skew`; the IVF probe analogue `--ivf-skew`.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.ivf import train_centroids
+    from open_data_pipelines_spark.operators.semdedup import semantic_dup_pairs
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-semdedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    dim = 16
+    n_hot = int(n_vecs * hot_fraction)
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            # one dense direction + per-row epsilon: near-identical,
+            # all land in one cell, pairwise cosine ~1
+            *[
+                (F.lit(10.0) + F.pmod(F.xxhash64(F.col("id") + F.lit(j)), F.lit(100)) / 1e5)
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    cold = spark.range(n_hot, n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            # SIGNED components: positive-orthant random vectors all
+            # share cosine ~0.75 (every cell would saturate the cap
+            # ceiling); centering them makes cold cells genuinely
+            # diverse so the scenario isolates the hot region
+            *[
+                ((F.pmod(F.xxhash64(F.col("id") + F.lit(j)), F.lit(2000)) - F.lit(1000)) / 100.0)
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    vecs = hot.unionByName(cold)
+    # train on the FULL union: a prefix sample is all-hot (ids 0..n_hot
+    # lead), which would plant every centroid inside the dense blob and
+    # partition IT 16 ways instead of isolating it
+    cents = train_centroids(vecs, "embedding", "vec_id", k=16, iters=2)
+
+    def timed(cap):
+        t0 = time.perf_counter()
+        n = semantic_dup_pairs(
+            vecs, "embedding", "vec_id", 0.95, centroids=cents, max_cluster_size=cap
+        ).count()
+        return {"pairs": n, "sec": round(time.perf_counter() - t0, 2)}
+
+    capped = timed(64)
+    # the uncapped run is the quadratic baseline — bounded corpus here,
+    # but (f*N)^2/2 by construction; report so the cap's cut is pinned
+    uncapped = timed(None)
+    print(
+        json.dumps(
+            {
+                "scenario": "semdedup_skew",
+                "n_vecs": n_vecs,
+                "hot_fraction": hot_fraction,
+                "uncapped": uncapped,
+                "capped_64": capped,
+                "cap_ceiling_pairs": 16 * 64 * 63 // 2,
+            }
+        )
+    )
+
+
 def main() -> None:
+    if "--semdedup" in sys.argv:
+        semdedup_scenario()
+        return
     if "--index-commit" in sys.argv:
         index_commit_scenario()
         return
