@@ -64,6 +64,14 @@ MANIFEST_DIR = "_manifests"
 _SIBLING_SUFFIXES = (".retrain.tmp", ".compact.tmp", ".retrain.old", ".compact.old")
 
 
+def require_commit_mode(commit: str) -> None:
+    """Shared validation for the ``commit="rename"|"manifest"``
+    parameter every index writer takes (build / maintain / compact,
+    IVF and PQ) — one definition instead of five copies."""
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit mode {commit!r}")
+
+
 def _hadoop_fs(spark, path: str):
     """(FileSystem, Path-constructor) for the path's own scheme —
     local and HDFS alike (driver-local ``os`` calls only work on the
@@ -325,8 +333,7 @@ def load_existing_index(spark, path: str, commit: str) -> DataFrame | None:
     so both get identical crash-adoption semantics. Existence is
     checked explicitly — no broad exception catch that could swallow a
     schema error and silently discard the on-disk index."""
-    if commit not in ("rename", "manifest"):
-        raise ValueError(f"unknown commit mode {commit!r}")
+    require_commit_mode(commit)
     base = path.rstrip("/")
     if commit == "manifest":
         # require_manifest_target raises on un-manifested data at the

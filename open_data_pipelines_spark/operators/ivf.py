@@ -44,6 +44,8 @@ from .index_commit import (
     load_existing_index,
     read_index,
     refuse_rename_on_manifest,
+    require_commit_mode,
+    require_manifest_target,
     resolve_index_path,
 )
 from .similarity import as_double_array, dot_int, quantize
@@ -146,10 +148,9 @@ def build_ivf_index(
     generation 1 of a manifest-committed index (see
     :mod:`.index_commit`) — the object-store-safe protocol every later
     retrain/compaction of the index then follows."""
-    if commit not in ("rename", "manifest"):
-        # validated before the path=None early return so a typo'd mode
-        # fails in the in-memory call too, not only once a path lands
-        raise ValueError(f"unknown commit mode {commit!r}")
+    # validated before the path=None early return so a typo'd mode
+    # fails in the in-memory call too, not only once a path lands
+    require_commit_mode(commit)
     indexed = corpus.withColumn("list_id", assign_list_id(vec_col, centroids))
     if path is None:
         return indexed
@@ -281,8 +282,7 @@ def compact_ivf_index(
     """
     if on_conflict not in ("error", "min"):
         raise ValueError(f"unknown on_conflict {on_conflict!r}")
-    if commit not in ("rename", "manifest"):
-        raise ValueError(f"unknown commit mode {commit!r}")
+    require_commit_mode(commit)
     if commit == "rename":
         refuse_rename_on_manifest(spark, path, "compact")
     idx = read_index(spark, path)
@@ -430,8 +430,7 @@ def maintain_ivf_index(
     partition-local append); the retrain path pays one full index
     read + k-means + rewrite, which is the point of thresholding it.
     """
-    if commit not in ("rename", "manifest"):
-        raise ValueError(f"unknown commit mode {commit!r}")
+    require_commit_mode(commit)
     spark = new_vectors.sparkSession
     if commit == "rename":
         # at ENTRY, not only on the retrain path: a misconfigured
@@ -441,8 +440,6 @@ def maintain_ivf_index(
         refuse_rename_on_manifest(spark, path, "maintain")
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
-        from .index_commit import require_manifest_target
-
         if commit == "manifest" and require_manifest_target(spark, path) is None:
             # virgin path: initialize generation 1 from the batch — a
             # bare-path append would strand rows OUTSIDE the manifest

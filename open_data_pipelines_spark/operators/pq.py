@@ -43,7 +43,15 @@ import warnings
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .index_commit import commit_generation, load_existing_index, read_index
+from .index_commit import (
+    commit_generation,
+    load_existing_index,
+    read_index,
+    refuse_rename_on_manifest,
+    require_commit_mode,
+    require_manifest_target,
+    resolve_index_path,
+)
 from .ivf import _cell_dists, assign_list_id, probe_list_ids, train_centroids
 from .similarity import as_double_array, dot_int, quantize
 
@@ -282,9 +290,8 @@ def build_ivf_pq_index(
     initializes an object-store-safe manifest-committed index
     (:mod:`.index_commit`) that later retrains/compactions publish new
     generations of."""
-    if commit not in ("rename", "manifest"):
-        # validated before the path=None early return (the ivf.py note)
-        raise ValueError(f"unknown commit mode {commit!r}")
+    # validated before the path=None early return (the ivf.py note)
+    require_commit_mode(commit)
     encoded = corpus.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
         list_col, assign_list_id(vec_col, centroids)
     )
@@ -301,8 +308,6 @@ def build_ivf_pq_index(
         )
         return read_index(spark, path)
     # guard the one remaining rename overwrite (the ivf.py note)
-    from .index_commit import refuse_rename_on_manifest
-
     refuse_rename_on_manifest(spark, path, "rebuild")
     encoded.write.mode("overwrite").partitionBy(list_col).parquet(path)
     return spark.read.parquet(path)
@@ -359,13 +364,10 @@ def maintain_ivf_pq_index(
     """
     from .ivf import global_mean_dist2, train_centroids
 
-    if commit not in ("rename", "manifest"):
-        raise ValueError(f"unknown commit mode {commit!r}")
+    require_commit_mode(commit)
     if commit == "rename":
         # at ENTRY, like maintain_ivf_index: fail the first calm
         # batch, not an arbitrary later drift point
-        from .index_commit import refuse_rename_on_manifest
-
         refuse_rename_on_manifest(new_vectors.sparkSession, path, "maintain")
     nbits_inferred = nbits is None
     if nbits_inferred:
@@ -376,8 +378,6 @@ def maintain_ivf_pq_index(
         # the current generation directory), like append_to_ivf_index;
         # a VIRGIN manifest path initializes generation 1 instead — a
         # bare-path append would strand rows outside the layout
-        from .index_commit import require_manifest_target, resolve_index_path
-
         spark = new_vectors.sparkSession
         if commit == "manifest" and require_manifest_target(spark, path) is None:
             build_ivf_pq_index(
