@@ -489,3 +489,80 @@ def test_rename_mode_refuses_manifest_index(spark, tmp_path):
     # the manifest index is untouched by the refusals
     assert latest_manifest(spark, path)["generation"] == 1
     assert read_index(spark, path).count() == 50
+
+
+def test_manifest_protocol_model_based(spark, tmp_path):
+    """Randomized interleaving of the protocol's four events — commit,
+    crash-before-pointer (orphan generation), crash-during-pointer
+    (stray .tmp), append — against a driver-side model of what a
+    reader must see. The invariant after EVERY step: read_index
+    returns exactly the last committed content plus in-generation
+    appends, and the committed generation number never goes backward.
+    Deterministic seed; ~12 Spark writes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(20260815)
+    path = str(tmp_path / "ivf")
+    next_id = [0]
+
+    def batch(n):
+        ids = list(range(next_id[0], next_id[0] + n))
+        next_id[0] += n
+        return ids
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, i % 3) for i in ids], ["vec_id", "list_id"]
+        )
+
+    visible: set[int] | None = None  # None = no commit yet
+    last_gen = 0
+    ops_done = {"commit": 0, "crash_gen": 0, "crash_tmp": 0, "append": 0}
+    for _ in range(12):
+        choices = ["commit", "crash_gen", "crash_tmp"]
+        if visible is not None:
+            choices += ["append", "append"]
+        op = rnd.choice(choices)
+        ops_done[op] += 1
+        if op == "commit":
+            ids = set(batch(rnd.randint(3, 8)))
+            snap = frame(sorted(ids))
+            commit_generation(
+                spark,
+                path,
+                lambda d, s=snap: s.write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(d),
+            )
+            visible = ids
+        elif op == "crash_gen":
+            # fully-written generation dir, pointer never published
+            gen = last_gen + 1
+            frame(batch(4)).write.mode("overwrite").partitionBy("list_id").parquet(
+                f"{path}/gen-{gen:08d}"
+            )
+        elif op == "crash_tmp":
+            os.makedirs(f"{path}/{MANIFEST_DIR}", exist_ok=True)
+            with open(
+                f"{path}/{MANIFEST_DIR}/manifest-{last_gen + 7:08d}.json.tmp", "w"
+            ) as fh:
+                fh.write('{"generation":')  # torn write
+        else:  # append
+            ids = set(batch(rnd.randint(1, 4)))
+            frame(sorted(ids)).write.mode("append").partitionBy("list_id").parquet(
+                resolve_index_path(spark, path)
+            )
+            visible = visible | ids
+
+        m = latest_manifest(spark, path)
+        if visible is None:
+            assert m is None
+            continue
+        assert m is not None and m["generation"] >= last_gen
+        last_gen = m["generation"]
+        got = {r["vec_id"] for r in read_index(spark, path).collect()}
+        assert got == visible, (op, sorted(got ^ visible))
+    # the run must have exercised every event kind at least once
+    assert all(ops_done.values()), ops_done
