@@ -1,0 +1,228 @@
+"""Incremental exact dedup against a persisted seen-signature index
+(engine extension; the reference has no corpus operators — SURVEY.md
+§2 extensions).
+
+Batch re-dedup of a growing corpus is O(corpus) per arrival: to admit
+one day's crawl you re-shuffle every signature ever seen. The
+incremental form keeps a durable SEEN INDEX (one 8-byte signature per
+admitted row, parquet, partitioned by a signature-derived bucket) and
+admits each new batch with two broadcast joins — the seen side is
+only ever SCANNED, never shuffled:
+
+1. ``hits = seen ⋈_semi broadcast(batch_sigs)`` — a broadcast hash
+   semi-join probes the seen scan with the batch's (distinct,
+   batch-sized, broadcastable) signature set; the result is bounded
+   by the batch.
+2. ``fresh = batch ⋈_anti broadcast(hits)`` — removes the already-
+   seen rows; both joins broadcast the SMALL side, so the 100 TB
+   index never crosses the wire. With ``n_buckets`` partitioning, a
+   batch that touches few buckets prunes the seen scan to those
+   bucket directories (partition pruning on the scan, the usual
+   append-window case); a batch touching all buckets degrades to a
+   full scan of 8-byte-signature parquet — the floor cost.
+
+Within-batch duplicates collapse first via the same
+partial-combine-groupBy + unique-key-rejoin pattern as
+:mod:`.paragraph_dedup` (deterministic keeper: min ``id``), so a hot
+signature inside one batch never serializes on a reducer.
+
+Durability: the index is an append-only log of per-batch parquet
+directories ``batch=<id>/`` under the index root — each immutable,
+published by its parquet ``_SUCCESS`` marker, never renamed over:
+object-store-safe by the same argument as :mod:`.index_commit`'s
+manifest generations (readers skip marker-less directories, so a
+crashed append is invisible). Delivery is the engine's standard
+at-least-once append: a REPLAYED batch id probes against every batch
+directory EXCEPT its own, so it re-admits exactly the same fresh set
+(idempotent output), and its directory overwrite replaces — not
+duplicates — the earlier attempt. Signatures duplicated ACROSS
+different batch ids (no id given, or late cross-batch copies) are
+correctness-harmless (the probe is a semi-join) and are reclaimed by
+:func:`compact_seen_index`, which rewrites the log as one deduped
+base directory — same compaction-owns-replay contract as the IVF
+index (``operators/ivf.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import lazy_checkpoint
+from ..functions.hashing import fast_long_hash, stable_long_hash
+from .text_analysis import normalize_text
+
+_BATCH_PREFIX = "batch="
+_BASE_DIR = "base"
+
+
+def content_signature(
+    *cols,
+    normalize: bool = True,
+    fast: bool = True,
+):
+    """64-bit content signature column: hash of the (optionally
+    whitespace/case-normalized) columns joined with a unit separator.
+    ``fast`` -> xxhash64 (scale path); otherwise the md5-derived
+    cross-engine hash (DuckDB parity: the :func:`..functions.hashing.
+    stable_long_hash` docstring's expression over the same concat).
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if normalize:
+        cs = [normalize_text(c) for c in cs]
+    joined = F.concat_ws("\x1f", *[c.cast("string") for c in cs])
+    return fast_long_hash(joined) if fast else stable_long_hash(joined)
+
+
+def _with_sig_bucket(df, sig_col, n_buckets: int):
+    return df.withColumn("sig", sig_col).withColumn(
+        "bucket", F.pmod(F.col("sig"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf), (lambda p: jvm.org.apache.hadoop.fs.Path(p))
+
+
+def committed_log_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Index log directories holding a complete (``_SUCCESS``-marked)
+    signature write: the compacted base (if any) plus every published
+    batch directory. One filesystem listing — no data read."""
+    base = path.rstrip("/")
+    fs, hp = _hadoop_fs(spark, base)
+    if not fs.exists(hp(base)):
+        return []
+    out = []
+    for status in fs.listStatus(hp(base)):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if name == _BASE_DIR or name.startswith(_BATCH_PREFIX):
+            if fs.exists(hp(base + "/" + name + "/_SUCCESS")):
+                out.append(base + "/" + name)
+    return sorted(out)
+
+
+def read_seen_index(spark: SparkSession, path: str) -> DataFrame:
+    """All committed signatures: ``(sig, bucket)``. Empty frame when
+    the index does not exist yet."""
+    dirs = committed_log_dirs(spark, path)
+    if not dirs:
+        return spark.createDataFrame([], "sig long, bucket int")
+    return spark.read.parquet(*dirs).select("sig", "bucket")
+
+
+def dedup_within_batch(batch: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic within-batch collapse on ``sig`` (keeper =
+    min ``id``): partial-combine groupBy + rejoin on the unique
+    ``(sig, id)`` key, never a window over the signature."""
+    winners = batch.groupBy("sig").agg(F.min(id_col).alias(id_col))
+    # the batch is broadcast-sized by this operator's contract (the
+    # probe broadcasts its distinct sigs); broadcasting the winners
+    # keeps the whole admission path shuffle-free
+    return batch.join(F.broadcast(winners), ["sig", id_col], "left_semi")
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    sig_col,
+    id_col: str,
+    *,
+    n_buckets: int = 256,
+    batch_id: int | None = None,
+    update: bool = True,
+    write_files: int = 4,
+) -> DataFrame:
+    """Admit the rows of ``batch`` not already in the seen index at
+    ``path``; optionally publish their signatures as a new batch
+    directory. Returns the fresh rows (original columns).
+
+    ``sig_col`` is a Column (build one with
+    :func:`content_signature`). With ``batch_id``, the probe excludes
+    the batch's own directory (replay-idempotent output) and the
+    publish overwrites it; without, the directory name is the current
+    max batch number + 1 (pure arrival order).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    sigged = _with_sig_bucket(batch, sig_col, n_buckets)
+    sigged = dedup_within_batch(sigged, id_col)
+
+    base = path.rstrip("/")
+    dirs = committed_log_dirs(spark, base)
+    own = f"{base}/{_BATCH_PREFIX}{batch_id}" if batch_id is not None else None
+    probe_dirs = [d for d in dirs if d != own]
+
+    if probe_dirs:
+        batch_sigs = sigged.select("sig", "bucket").distinct()
+        seen = spark.read.parquet(*probe_dirs)
+        # prune the seen scan to the batch's buckets when few are
+        # touched (bounded driver collect: at most n_buckets ints)
+        touched = [r["bucket"] for r in batch_sigs.select("bucket").distinct().collect()]
+        if len(touched) < n_buckets:
+            seen = seen.where(F.col("bucket").isin(touched))
+        hits = seen.join(F.broadcast(batch_sigs), ["sig", "bucket"], "left_semi")
+        fresh = sigged.join(F.broadcast(hits.select("sig")), "sig", "left_anti")
+    else:
+        fresh = sigged
+
+    if update:
+        if batch_id is None:
+            nums = [
+                int(d.rsplit(_BATCH_PREFIX, 1)[1])
+                for d in dirs
+                if _BATCH_PREFIX in d.rsplit("/", 1)[1]
+            ]
+            batch_id = (max(nums) + 1) if nums else 1
+        target = f"{base}/{_BATCH_PREFIX}{batch_id}"
+        # reuse cache: the publish action materializes it, the
+        # caller's read reuses the blocks instead of re-probing
+        fresh = lazy_checkpoint(fresh)
+        (
+            fresh.select("sig", "bucket")
+            .distinct()
+            .repartition(write_files, "bucket")
+            .write.mode("overwrite")
+            .parquet(target)
+        )
+    return fresh.drop("sig", "bucket")
+
+
+def compact_seen_index(spark: SparkSession, path: str) -> int:
+    """Rewrite the batch-directory log as one deduped ``base/``
+    directory and drop the absorbed batch directories. Returns the
+    number of distinct signatures in the compacted base.
+
+    Publish order makes a crash at any point safe for READERS: the
+    new base is written to a sibling, the old log segments are
+    removed, and the sibling is renamed into place LAST — between the
+    steps the union of surviving ``_SUCCESS``-marked directories
+    always covers a superset-of-distinct or the complete signature
+    set, and dedup correctness only needs membership, never
+    uniqueness. (A crash can leave both the old base and the sibling:
+    the next compaction absorbs both. This is the rename-family
+    protocol — on an object store, run compaction rarely and rely on
+    the semi-join's tolerance of duplicate signatures, or place the
+    index on a rename-capable store; batch APPENDS are object-store
+    safe regardless, which is the hot path.)
+    """
+    base = path.rstrip("/")
+    dirs = committed_log_dirs(spark, base)
+    if not dirs:
+        return 0
+    fs, hp = _hadoop_fs(spark, base)
+    tmp = base + "/base.compact.tmp"
+    fs.delete(hp(tmp), True)
+    distinct = spark.read.parquet(*dirs).select("sig", "bucket").distinct()
+    distinct.repartition(4, "bucket").write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    for d in dirs:
+        fs.delete(hp(d), True)
+    if not fs.rename(hp(tmp), hp(base + "/" + _BASE_DIR)):
+        raise IOError(f"compact_seen_index: publishing {base}/{_BASE_DIR} failed")
+    return n

@@ -1,0 +1,69 @@
+"""Streaming incremental dedup: admit only never-seen-before rows
+from a document stream, maintaining the durable seen-signature index
+of :mod:`..operators.incremental_dedup` (engine extension; the
+streaming twin of the batch entry point, like
+:mod:`.ivf_stream` / :mod:`.media_stream`).
+
+Each micro-batch runs the two-broadcast-join probe against the index
+and publishes its fresh signatures as the batch's own ``batch=<id>``
+directory, keyed by the STREAMING batch id — so a batch replayed
+after a crash probes against everything except its own earlier
+attempt and overwrites it: admitted output is replay-idempotent,
+which is exactly the property the at-least-once foreachBatch contract
+needs from the sink side. Admitted rows land in a per-batch
+subdirectory of ``out_path`` for the same reason: a plain parquet
+append would duplicate them on replay, a per-batch overwrite cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.incremental_dedup import content_signature, dedup_against_index
+
+
+def stream_dedup_to_parquet(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 256,
+    normalize: bool = True,
+    fast: bool = True,
+    trigger_once: bool = True,
+):
+    """Start the dedup stream; returns the StreamingQuery.
+
+    ``trigger_once`` runs one drain-the-source pass (the test/batch-
+    cron mode); pass False for a continuous micro-batch stream.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = dedup_against_index(
+            spark,
+            batch_df,
+            index_path,
+            content_signature(text_col, normalize=normalize, fast=fast),
+            id_col,
+            n_buckets=n_buckets,
+            batch_id=batch_id,
+        )
+        fresh.write.mode("overwrite").parquet(f"{out_path.rstrip('/')}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_admitted(spark, out_path: str) -> DataFrame:
+    """All admitted rows across batches."""
+    return spark.read.option("recursiveFileLookup", "false").parquet(
+        f"{out_path.rstrip('/')}/batch=*"
+    )
