@@ -114,43 +114,35 @@ SELECT doc_id, lang, source, n_chars FROM (
 """
 
 
-# --- lang_id ------------------------------------------------------------------
+# --- quality_score (carries lang_id + token counts) ---------------------------
 def _hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     toks = _TOKENS.format(t="lower(text)")
     return f"len(list_filter({toks}, t -> t IN ({words})))"
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        "lang",
-        lang_id("text").alias("predicted_lang"),
-    )
-
-
+# CTE form (references a precomputed `best` column): used by the
+# corpus_funnel oracle's annotated stage
 _LANG_CASES = " ".join(
     f"WHEN {_hits_sql(lang)} = best THEN '{lang}'" for lang in STOPWORDS
 )
-ORACLE_LANG_ID = f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-         greatest({', '.join(_hits_sql(lang) for lang in STOPWORDS)}) AS best,
-         text
-  FROM documents
+# flat expression (no correlated subquery): `best` inlined into every
+# WHEN — verbose SQL, but the oracle runs on 500 rows. WHEN order =
+# STOPWORDS insertion order = the Spark lang_id tie-break.
+_LANG_BEST = f"greatest({', '.join(_hits_sql(lang) for lang in STOPWORDS)})"
+_LANG_SQL = (
+    f"CASE WHEN {_LANG_BEST} < 1 THEN 'und' "
+    + " ".join(f"WHEN {_hits_sql(lang)} = {_LANG_BEST} THEN '{lang}'" for lang in STOPWORDS)
+    + " ELSE 'und' END"
 )
-SELECT doc_id, lang,
-       CASE WHEN best < 1 THEN 'und' {_LANG_CASES} ELSE 'und' END AS predicted_lang
-FROM scored
-"""
 
 
-# --- quality_score ------------------------------------------------------------
-# round 9: the former standalone `token_count` row merged in (the
-# driver-window discipline — one row drive-checks both the quality
-# scorer and the ws/BPE token counters; its slot freed the
-# `media_funnel` oracle row in queries/media.py)
+# round 9: the former standalone `token_count` row merged in; round 10:
+# `lang_id` merged in too (same fused-annotate family — one row
+# drive-checks the quality scorer, ws/BPE token counters, AND the
+# stopword-argmax language id; the freed slot went to the
+# `substring_dedup` row below). The driver-window discipline:
+# registry is capped at 50 driver-checked rows.
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -161,6 +153,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_bpe("text").cast("long").alias("bpe_tokens"),
         punct_ratio("text").alias("punct_ratio"),
         quality_score("text").alias("quality"),
+        lang_id("text").alias("predicted_lang"),
     )
 
 
@@ -181,8 +174,90 @@ SELECT doc_id,
        CAST(length(text) >= 100 AND length(text) <= 20000 AS DOUBLE) * 0.25
        + CAST({_Q_MEAN} >= 3.0 AND {_Q_MEAN} <= 12.0 AS DOUBLE) * 0.25
        + CAST({_Q_PUNCT} <= 0.2 AS DOUBLE) * 0.25
-       + CAST({_hits_sql('en')} >= 1 AS DOUBLE) * 0.25 AS quality
+       + CAST({_hits_sql('en')} >= 1 AS DOUBLE) * 0.25 AS quality,
+       {_LANG_SQL} AS predicted_lang
 FROM documents
+"""
+
+
+# --- substring_dedup ----------------------------------------------------------
+# Lee et al. 2022 exact-substring dedup as k-token rolling windows
+# (operators/substring_dedup.py). k=8: the harness corpus's 30-word
+# vocabulary produces genuine cross-doc 8-token repeats, so the row
+# exercises non-trivial span merging at every SF. Cross-engine md5
+# window hashes (fast=False) make the oracle replicable in DuckDB.
+_SUB_K = 8
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substring_dedup import duplication_stats
+
+    docs = _docs(spark, sf_dir)
+    stats = duplication_stats(docs, "text", "doc_id", k=_SUB_K, fast=False)
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        # round_half_up, not F.round: native rounds disagree on half
+        # boundaries (d/2^m fractions DO land there — see term_stats)
+        round_half_up(F.col("dup_token_fraction"), 6).alias("dup_frac"),
+    )
+
+
+_SUB_TOKS = _TOKENS.format(t="text")
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE {_SUB_TOKS} END AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(range(len(toks) - {_SUB_K} + 1)) AS start,
+         unnest(list_transform(range(len(toks) - {_SUB_K} + 1),
+           i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + {_SUB_K}), ' ')), 1, 15))::BIGINT
+         )) AS whash
+  FROM base WHERE len(toks) >= {_SUB_K}
+),
+stats AS (
+  SELECT whash, count(*) AS n_occ,
+         min(struct_pack(doc_id := doc_id, start := start)) AS first_occ
+  FROM wins GROUP BY whash
+),
+marked AS (
+  SELECT w.doc_id, w.start
+  FROM wins w JOIN stats s USING (whash)
+  WHERE s.n_occ >= 2
+    AND NOT (s.first_occ.doc_id = w.doc_id AND s.first_occ.start = w.start)
+),
+m2 AS (
+  SELECT doc_id, start,
+         max(start + {_SUB_K}) OVER (PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM marked
+),
+m3 AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR start > prev_end THEN 1 ELSE 0 END AS new_span
+  FROM m2
+),
+m4 AS (
+  SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS span_id
+  FROM m3
+),
+spans AS (
+  SELECT doc_id, min(start) AS s, max(start) + {_SUB_K} AS e
+  FROM m4 GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, sum(e - s) AS dup_tokens FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(b.toks) AS n_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       (floor((CASE WHEN len(b.toks) > 0
+                    THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(b.toks)
+                    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0) AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -765,8 +840,8 @@ FROM windowed
 QUERIES = {
     "top_terms": (q_top_terms, ORACLE_TOP_TERMS),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
+    "substring_dedup": (q_substring_dedup, ORACLE_SUBSTRING_DEDUP),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
