@@ -52,6 +52,10 @@ HEADLINE = [
     # perf guard over a synthetic 100k-row bronze-signed frame derived
     # from the events table (bench-local for the same window reason)
     "media_funnel",
+    # round 10: substring-level exact dedup (Lee et al. 2022 window
+    # re-expression; driver-row query) — the newest dedup family gets
+    # a perf guard alongside minhash/dedup_exact
+    "substring_dedup",
 ]
 
 

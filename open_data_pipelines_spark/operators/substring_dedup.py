@@ -54,8 +54,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from ..functions.hashing import fast_long_hash, stable_long_hash
 from .text_analysis import whitespace_tokens
+from .text_dedup import scale_out
 
 
 def _tokens(text_col: str):
@@ -81,6 +83,9 @@ def window_hashes(
     """
     if k < 2:
         raise ValueError(f"window must be >= 2 tokens, got k={k}")
+    # hashing n_tokens windows per row is CPU-heavy: fan a narrow scan
+    # out across cores first (no-op on an already-wide 100 TB scan)
+    df = scale_out(df)
     toks = _tokens(text_col)
     hasher = fast_long_hash if fast else stable_long_hash
     starts = F.when(
@@ -111,7 +116,9 @@ def duplicated_windows(
     ``keep_one`` the globally first occurrence per hash (min
     ``(id, start)``) is exempted.
     """
-    wins = window_hashes(df, text_col, id_col, k=k, fast=fast)
+    # reuse cache: the window frame feeds both the duplicate-set agg
+    # and the occurrence mark — without it the explode+hash runs twice
+    wins = lazy_checkpoint(window_hashes(df, text_col, id_col, k=k, fast=fast))
     stats = wins.groupBy("whash").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct(F.col(id_col), F.col("start"))).alias("first_occ"),
