@@ -796,6 +796,148 @@ def index_commit_scenario(sizes=(100_000, 1_000_000)) -> None:
     print(json.dumps({"scenario": "index_commit", "sizes": results}))
 
 
+def substring_scenario(n_docs: int = 20_000) -> None:
+    """Round 10: substring dedup's hot-window skew and the cap.
+
+    Two corpora: (a) organic — docs of mostly-unique tokens with a
+    10% verbatim shared passage (the operator's design case: few
+    duplicated windows, each with few occurrences); (b) degenerate —
+    30% of docs contain the same spam run, so ONE window hash has
+    ~n_docs*run occurrences and the mark join key goes hot. Pins:
+    the occurrence volume the degenerate corpus forces through the
+    join without a cap, vs with ``max_occurrences`` (spam windows are
+    repetition-filter territory, not substring dedup), and that wall
+    time follows the marked-occurrence volume."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.substring_dedup import (
+        duplicated_windows,
+        duplication_stats,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-substring")
+    spark.sparkContext.setLogLevel("ERROR")
+    k = 8
+    shared = " ".join(f"s{i}" for i in range(40))
+    organic = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("w"), F.conv(F.xxhash64(F.col("id") * 97 + j), 10, 16))
+                    for j in range(40)
+                ],
+            ),
+            F.when(F.col("id") % 10 == 0, F.lit(" " + shared)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    spam = " ".join(["buy"] * 60)
+    degenerate = organic.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(spam)).otherwise(F.col("text")),
+    )
+
+    def timed(df, **kw):
+        t0 = time.perf_counter()
+        occ = duplicated_windows(df, "text", "doc_id", k=k, fast=True, **kw).count()
+        stats = duplication_stats(df, "text", "doc_id", k=k, fast=True, **kw)
+        docs_hit = stats.where("dup_tokens > 0").count()
+        return {
+            "marked_occurrences": occ,
+            "docs_with_spans": docs_hit,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+
+    out = {
+        "scenario": "substring_skew",
+        "n_docs": n_docs,
+        "k": k,
+        "organic": timed(organic),
+        "degenerate_uncapped": timed(degenerate),
+        # cap sits between the organic passage's ~2k occurrences and
+        # the spam window's ~350k: spam expelled, real dedup kept
+        "degenerate_cap_10k": timed(degenerate, max_occurrences=10_000),
+    }
+    print(json.dumps(out))
+
+
+def incremental_dedup_scenario(
+    corpus_sizes=(100_000, 1_000_000, 4_000_000), batch_n: int = 20_000
+) -> None:
+    """Round 10: the incremental-dedup scale claim — admitting a fixed
+    batch stays ~O(batch + index scan) as the seen index grows, while
+    the batch-mode alternative (dropDuplicates over corpus+batch)
+    re-shuffles the whole corpus every arrival. The probe never
+    shuffles the seen side (broadcast semi + broadcast anti); the
+    full re-dedup's shuffle grows linearly. Also pins the absolute
+    probe cost per million indexed signatures."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.incremental_dedup import (
+        content_signature,
+        dedup_against_index,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-incr-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ~600-char payload: the asymmetry under test is that the seen
+    # INDEX holds only 8-byte signatures while batch-mode re-dedup
+    # must shuffle whole rows (dropDuplicates returns the rows) — a
+    # 16-byte synthetic row would hide exactly that cost
+    def corpus(n, offset=0):
+        return spark.range(n).select(
+            (F.col("id") + offset).alias("doc_id"),
+            F.concat(
+                F.lit("doc "),
+                (F.col("id") + offset).cast("string"),
+                F.lit(" "),
+                F.repeat(F.conv(F.xxhash64(F.col("id") + offset), 10, 16), 40),
+            ).alias("text"),
+        )
+
+    # JVM/codegen warmup so size #1's probe is not start-up-inflated
+    corpus(10_000).withColumn("sig", content_signature("text")).count()
+
+    results = {}
+    for n in corpus_sizes:
+        seen = corpus(n)
+        batch = corpus(batch_n, offset=n - batch_n // 2)  # 50% overlap
+        with tempfile.TemporaryDirectory() as td:
+            idx = td + "/seen"
+            dedup_against_index(
+                spark, seen, idx, content_signature("text"), "doc_id", batch_id=1
+            ).count()
+            t0 = time.perf_counter()
+            fresh = dedup_against_index(
+                spark, batch, idx, content_signature("text"), "doc_id", batch_id=2
+            ).count()
+            probe_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        full = (
+            seen.unionByName(batch)
+            .withColumn("sig", content_signature("text"))
+            .dropDuplicates(["sig"])
+            .count()
+        )
+        full_sec = round(time.perf_counter() - t0, 2)
+        results[n] = {
+            "probe_and_publish_sec": probe_sec,
+            "full_rededup_sec": full_sec,
+            "fresh_rows": fresh,
+            "full_rows": full,
+        }
+    print(json.dumps({"scenario": "incremental_dedup", "batch_n": batch_n, "sizes": results}))
+
+
 def semdedup_scenario(n_vecs: int = 50_000, hot_fraction: float = 0.3) -> None:
     """Round 10: SemDeDup's quadratic term under a dense region.
 
@@ -874,6 +1016,12 @@ def semdedup_scenario(n_vecs: int = 50_000, hot_fraction: float = 0.3) -> None:
 
 
 def main() -> None:
+    if "--substring" in sys.argv:
+        substring_scenario()
+        return
+    if "--incremental-dedup" in sys.argv:
+        incremental_dedup_scenario()
+        return
     if "--semdedup" in sys.argv:
         semdedup_scenario()
         return
