@@ -81,6 +81,10 @@ def prepare_corpus(
     quality_min: float = 0.5,
     keep_langs: tuple[str, ...] = ("en", "fr", "de"),
     boilerplate_min_docs: int | None = None,
+    paragraph_policy: str | None = None,
+    paragraph_max_docs: int = 1,
+    substring_k: int | None = None,
+    substring_max_occurrences: int | None = None,
     quality_model=None,
     quality_model_min: float = 0.5,
     perplexity_lm=None,
@@ -113,7 +117,10 @@ def prepare_corpus(
 
     Returns (doc_id, lang, quality, chunk_idx, chunk); opt-in stages
     append columns: ``splits`` adds ``split``, ``pack_budget`` adds
-    ``pack_id``/``pack_tokens``. With ``with_stats=True`` also a
+    ``pack_id``/``pack_tokens``. ``paragraph_policy`` enables
+    CCNet-style paragraph dedup on the raw prefix
+    (``"keep_first"``/``"max_docs"``); ``substring_k`` enables Lee et
+    al. 2022 duplicated-span removal on the normalized text. With ``with_stats=True`` also a
     per-stage row-count audit: ``stats_via="count"`` is one action
     per stage (debug mode); ``stats_via="observe"`` harvests the
     whole funnel from a single action on the final frame (production
@@ -173,6 +180,28 @@ def prepare_corpus(
         else:
             docs = note("boilerplate_stripped", note("input", stripped))
 
+    if paragraph_policy is not None:
+        from ..operators.paragraph_dedup import dedup_paragraphs
+
+        # paragraph-level dedup (CCNet) also needs RAW line structure
+        # (blank-line boundaries die in the normalize below), so it
+        # runs in the same raw prefix as the boilerplate strip — after
+        # it, so stripped banner lines can't resurrect as paragraphs.
+        # Row-preserving by construction (every doc returns, possibly
+        # with empty text), so the observe note is sound.
+        paras = dedup_paragraphs(
+            docs,
+            "text",
+            "doc_id",
+            policy=paragraph_policy,
+            max_docs=paragraph_max_docs,
+            fast=True,
+        )
+        docs = note(
+            "paragraph_deduped",
+            docs.drop("text").join(paras.select("doc_id", "text"), "doc_id"),
+        )
+
     # redact BEFORE normalizing so the replacement tokens lowercase
     # with the rest of the text (and whitespace variants of redacted
     # spans collapse to identical strings for the dedup stages)
@@ -186,6 +215,28 @@ def prepare_corpus(
         normalize_text(redact_pii("text")).alias("text"),
         *carry,
     )
+
+    if substring_k is not None:
+        from ..operators.substring_dedup import remove_duplicated_spans
+
+        # substring-level span removal (Lee et al. 2022) runs on the
+        # NORMALIZED text (so whitespace variants of a copied passage
+        # hash identically) and before the annotate stage, so quality
+        # and token counts describe the text that actually survives.
+        # Row-preserving (every doc returns; fully-duplicated docs
+        # come back empty and fall to the quality gate).
+        cut = remove_duplicated_spans(
+            cleaned,
+            "text",
+            "doc_id",
+            k=substring_k,
+            max_occurrences=substring_max_occurrences,
+            fast=True,
+        )
+        cleaned = note(
+            "substring_deduped",
+            cleaned.drop("text").join(cut.select("doc_id", "text"), "doc_id"),
+        )
 
     # fused annotate: value-identical to the lang_id/quality_score/
     # token_count_ws trio, but tokenizes once and sits behind a

@@ -423,3 +423,80 @@ def test_observe_audit_with_boilerplate_stage(spark):
     assert observed == eager
     assert observed["input"] == n_docs
     out.unpersist()
+
+
+def _planted_docs(spark):
+    """Docs with a shared banner PARAGRAPH and a shared 10-token
+    passage inside otherwise-unique English-ish text."""
+    banner = "Accept all cookies to continue reading"
+    passage = "the quick brown fox jumps over the lazy sleeping dog"
+    base = "the and for you that with this have from they " * 4
+    rows = [
+        (1, f"{banner}\n\n{base}alpha bravo. {passage}."),
+        (2, f"{banner}\n\n{base}charlie delta. {passage}."),
+        (3, f"{banner}\n\n{base}echo foxtrot."),
+        (4, f"{base}golf hotel india."),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_paragraph_stage_strips_shared_banner(spark):
+    docs = _planted_docs(spark)
+    out, stats = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        docs=docs,
+        paragraph_policy="max_docs",
+        paragraph_max_docs=2,
+        near_dup="none",
+        chunk_size=64,
+        with_stats=True,
+    )
+    # the banner paragraph is in 3 docs > 2: dropped everywhere; the
+    # content paragraphs survive into chunks
+    text = " ".join(r["chunk"] for r in out.collect())
+    assert "accept all cookies" not in text
+    assert "alpha bravo" in text
+    # row-preserving stage: the observe/count note equals input
+    assert stats["paragraph_deduped"] == stats["input"] == 4
+
+
+def test_substring_stage_cuts_shared_passage(spark):
+    docs = _planted_docs(spark)
+    out, stats = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        docs=docs,
+        substring_k=8,
+        near_dup="none",
+        chunk_size=64,
+        with_stats=True,
+    )
+    chunks = {r["doc_id"]: [] for r in out.collect()}
+    for r in out.collect():
+        chunks[r["doc_id"]].append(r["chunk"])
+    # doc 1 holds the passage's first occurrence; doc 2's copy is cut
+    assert any("quick brown fox" in c for c in chunks.get(1, []))
+    assert not any("quick brown fox" in c for c in chunks.get(2, []))
+    assert stats["substring_deduped"] == stats["input"] == 4
+
+
+def test_observe_audit_with_new_text_stages(spark):
+    """Observe-mode stats must equal count-mode with BOTH round-10
+    text stages enabled (they sit above the funnel's checkpoints, so
+    this pins the row-preserving + observation-placement contracts)."""
+    docs = _planted_docs(spark)
+    kwargs = dict(
+        docs=docs,
+        paragraph_policy="keep_first",
+        substring_k=8,
+        boilerplate_min_docs=3,
+        chunk_size=32,
+        with_stats=True,
+    )
+    _, eager = prepare_corpus(spark, SF_SMOKE, **kwargs)
+    out, observed = prepare_corpus(spark, SF_SMOKE, stats_via="observe", **kwargs)
+    assert observed == eager
+    assert observed["paragraph_deduped"] == observed["input"]
+    assert observed["substring_deduped"] == observed["input"]
+    out.unpersist()
