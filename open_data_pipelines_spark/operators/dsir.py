@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import lazy_checkpoint
 from ..functions.hashing import fast_long_hash, stable_long_hash
 from .sampling import unit_hash
 from .text_analysis import whitespace_tokens
@@ -105,7 +106,22 @@ def fit_bucket_log_ratio(
 
     def side(feats: DataFrame, name: str) -> DataFrame:
         per_bucket = feats.groupBy("bucket").agg(F.sum("cnt").alias(name))
-        total = per_bucket.agg(F.sum(name).alias(f"{name}_total"))
+        # a featureless corpus sums to NULL: fail loud instead of
+        # silently degenerating every log-ratio (and with it the
+        # whole selection) to noise — coalesce short-circuits, so the
+        # error fires only on the empty side (round-10 review find)
+        total = per_bucket.agg(
+            F.coalesce(
+                F.sum(name),
+                F.raise_error(
+                    F.lit(
+                        f"dsir: the {name.split('_')[0]} corpus produced no "
+                        "n-gram features (empty or all-blank texts) — the "
+                        "importance ratio is undefined"
+                    )
+                ).cast("long"),
+            ).alias(f"{name}_total")
+        )
         return (
             buckets.join(per_bucket, "bucket", "left")
             .withColumn(name, F.coalesce(name, F.lit(0)))
@@ -171,7 +187,13 @@ def dsir_select(
     id for determinism)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    raw_feats = hashed_ngram_features(raw, text_col, id_col, n_buckets=n_buckets, fast=fast)
+    # reuse cache: the raw-corpus explode+hash+groupBy feeds BOTH the
+    # distribution fit and the weight scoring — without it the most
+    # expensive subtree runs twice per action (repo convention,
+    # caching.py; round-10 review find)
+    raw_feats = lazy_checkpoint(
+        hashed_ngram_features(raw, text_col, id_col, n_buckets=n_buckets, fast=fast)
+    )
     target_feats = hashed_ngram_features(
         target, text_col, id_col, n_buckets=n_buckets, fast=fast
     )

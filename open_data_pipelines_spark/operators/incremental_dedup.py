@@ -15,11 +15,15 @@ only ever SCANNED, never shuffled:
    by the batch.
 2. ``fresh = batch ⋈_anti broadcast(hits)`` — removes the already-
    seen rows; both joins broadcast the SMALL side, so the 100 TB
-   index never crosses the wire. With ``n_buckets`` partitioning, a
-   batch that touches few buckets prunes the seen scan to those
-   bucket directories (partition pruning on the scan, the usual
-   append-window case); a batch touching all buckets degrades to a
-   full scan of 8-byte-signature parquet — the floor cost.
+   index never crosses the wire. Index files are written
+   bucket-clustered (``repartition(bucket)`` + ``sortWithinPartitions
+   (bucket)``), so each parquet row group covers a tight bucket
+   range and a batch touching few buckets skips most row groups via
+   the pushed ``In(bucket, ...)`` filter (row-group pruning — the
+   files are NOT ``partitionBy`` directories, because the log is read
+   as a list of per-batch roots where directory-partition inference
+   doesn't compose); a batch touching all buckets degrades to a full
+   scan of 8-byte-signature parquet — the floor cost.
 
 Within-batch duplicates collapse first via the same
 partial-combine-groupBy + unique-key-rejoin pattern as
@@ -35,12 +39,14 @@ crashed append is invisible). Delivery is the engine's standard
 at-least-once append: a REPLAYED batch id probes against every batch
 directory EXCEPT its own, so it re-admits exactly the same fresh set
 (idempotent output), and its directory overwrite replaces — not
-duplicates — the earlier attempt. Signatures duplicated ACROSS
-different batch ids (no id given, or late cross-batch copies) are
-correctness-harmless (the probe is a semi-join) and are reclaimed by
-:func:`compact_seen_index`, which rewrites the log as one deduped
-base directory — same compaction-owns-replay contract as the IVF
-index (``operators/ivf.py``).
+duplicates — the earlier attempt. Signatures duplicated ACROSS log
+segments (e.g. the post-crash overlap a compaction publish leaves
+behind) are correctness-harmless (the probe is a semi-join) and are
+reclaimed by :func:`compact_seen_index`, which rewrites the log as
+one deduped ``base-<n>`` segment — published under a FRESH name
+before any input is deleted, so a crash at any point leaves the
+union of complete segments a membership-superset, never a loss (the
+same never-rename-over posture as :mod:`.index_commit`).
 """
 
 from __future__ import annotations
@@ -50,10 +56,11 @@ from pyspark.sql import functions as F
 
 from ..caching import lazy_checkpoint
 from ..functions.hashing import fast_long_hash, stable_long_hash
+from .index_commit import _hadoop_fs, _is_complete
 from .text_analysis import normalize_text
 
 _BATCH_PREFIX = "batch="
-_BASE_DIR = "base"
+_BASE_PREFIX = "base-"
 
 
 def content_signature(
@@ -80,17 +87,18 @@ def _with_sig_bucket(df, sig_col, n_buckets: int):
     )
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(conf), (lambda p: jvm.org.apache.hadoop.fs.Path(p))
+def _is_segment_name(name: str) -> bool:
+    if name.endswith(".tmp"):
+        return False
+    return name.startswith(_BASE_PREFIX) or name.startswith(_BATCH_PREFIX)
 
 
 def committed_log_dirs(spark: SparkSession, path: str) -> list[str]:
     """Index log directories holding a complete (``_SUCCESS``-marked)
-    signature write: the compacted base (if any) plus every published
-    batch directory. One filesystem listing — no data read."""
+    signature write: compacted ``base-<n>`` segments plus every
+    published batch directory (``.tmp`` strays from a crashed
+    compaction are never segments). One filesystem listing — no data
+    read."""
     base = path.rstrip("/")
     fs, hp = _hadoop_fs(spark, base)
     if not fs.exists(hp(base)):
@@ -100,9 +108,8 @@ def committed_log_dirs(spark: SparkSession, path: str) -> list[str]:
         if not status.isDirectory():
             continue
         name = status.getPath().getName()
-        if name == _BASE_DIR or name.startswith(_BATCH_PREFIX):
-            if fs.exists(hp(base + "/" + name + "/_SUCCESS")):
-                out.append(base + "/" + name)
+        if _is_segment_name(name) and _is_complete(fs, hp, base + "/" + name):
+            out.append(base + "/" + name)
     return sorted(out)
 
 
@@ -183,10 +190,14 @@ def dedup_against_index(
         # reuse cache: the publish action materializes it, the
         # caller's read reuses the blocks instead of re-probing
         fresh = lazy_checkpoint(fresh)
+        # bucket-clustered files: repartition + in-file sort give each
+        # parquet row group a tight bucket min/max, so future probes'
+        # pushed In(bucket,...) filters skip row groups
         (
             fresh.select("sig", "bucket")
             .distinct()
             .repartition(write_files, "bucket")
+            .sortWithinPartitions("bucket")
             .write.mode("overwrite")
             .parquet(target)
         )
@@ -194,35 +205,57 @@ def dedup_against_index(
 
 
 def compact_seen_index(spark: SparkSession, path: str) -> int:
-    """Rewrite the batch-directory log as one deduped ``base/``
-    directory and drop the absorbed batch directories. Returns the
-    number of distinct signatures in the compacted base.
+    """Rewrite the log as one deduped ``base-<n>`` segment, then drop
+    the absorbed segments. Returns the distinct-signature count.
 
-    Publish order makes a crash at any point safe for READERS: the
-    new base is written to a sibling, the old log segments are
-    removed, and the sibling is renamed into place LAST — between the
-    steps the union of surviving ``_SUCCESS``-marked directories
-    always covers a superset-of-distinct or the complete signature
-    set, and dedup correctness only needs membership, never
-    uniqueness. (A crash can leave both the old base and the sibling:
-    the next compaction absorbs both. This is the rename-family
-    protocol — on an object store, run compaction rarely and rely on
-    the semi-join's tolerance of duplicate signatures, or place the
-    index on a rename-capable store; batch APPENDS are object-store
-    safe regardless, which is the hot path.)
+    Crash safety is publish-before-delete under a FRESH name (the
+    :mod:`.index_commit` posture — nothing is ever renamed over):
+
+    1. the deduped union of every currently complete segment is
+       written to ``base-<n>.tmp`` (invisible: ``.tmp`` names are
+       never segments);
+    2. it is published by a rename to the never-pre-existing
+       ``base-<n>`` — from this instant readers see the full
+       membership through the new segment;
+    3. only then are the absorbed input segments deleted.
+
+    A crash before (2) leaves the inputs untouched; between (2) and
+    the end of (3) readers see overlapping segments — duplicate
+    MEMBERSHIP, which the semi-join probe is insensitive to — and the
+    next compaction absorbs whatever survived. At no point is the
+    union of complete segments ever less than the full signature set.
+
+    Run compaction while no dedup stream is mid-replay: absorbing a
+    batch directory removes the own-directory exclusion a replay of
+    that SAME batch id relies on, so the replay would see its own
+    signatures as already-seen (the streaming wrapper's
+    committed-output skip makes this harmless for completed batches —
+    see :mod:`...streaming.dedup_stream`).
     """
     base = path.rstrip("/")
     dirs = committed_log_dirs(spark, base)
     if not dirs:
         return 0
     fs, hp = _hadoop_fs(spark, base)
-    tmp = base + "/base.compact.tmp"
-    fs.delete(hp(tmp), True)
+    gens = [
+        int(d.rsplit("/", 1)[1][len(_BASE_PREFIX):])
+        for d in dirs
+        if d.rsplit("/", 1)[1].startswith(_BASE_PREFIX)
+    ]
+    gen = (max(gens) + 1) if gens else 1
+    final = f"{base}/{_BASE_PREFIX}{gen:08d}"
+    tmp = final + ".tmp"
+    fs.delete(hp(tmp), True)  # stale stray from a crashed attempt
     distinct = spark.read.parquet(*dirs).select("sig", "bucket").distinct()
-    distinct.repartition(4, "bucket").write.mode("overwrite").parquet(tmp)
+    (
+        distinct.repartition(4, "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
     n = spark.read.parquet(tmp).count()
+    if not fs.rename(hp(tmp), hp(final)):
+        raise IOError(f"compact_seen_index: publishing {final!r} failed")
     for d in dirs:
         fs.delete(hp(d), True)
-    if not fs.rename(hp(tmp), hp(base + "/" + _BASE_DIR)):
-        raise IOError(f"compact_seen_index: publishing {base}/{_BASE_DIR} failed")
     return n

@@ -32,10 +32,12 @@ Scale shape (100 TB):
   FULL ``(hash, doc, pos)`` key, which is unique per row, so the join
   shuffle is perfectly spread even when one paragraph is 1% of the
   corpus.
-- ``max_docs`` reduces to an anti-join against the over-shared hash
-  set, which is bounded by the corpus's boilerplate vocabulary (small
-  by construction) and hinted broadcast; Spark falls back to a
-  sort-merge anti-join if the optimizer finds it too big.
+- ``max_docs`` reduces to a join against the over-shared hash set,
+  which is bounded by the corpus's boilerplate vocabulary (small by
+  construction) and broadcast by default; a broadcast HINT is honored
+  regardless of size estimate, so ``broadcast_over=False`` is the
+  explicit fallback to a shuffle join when that vocabulary outgrows
+  memory (the :mod:`.contamination` escape-hatch contract).
 - Reassembly is one ``groupBy(doc)`` — the same doc-keyed shuffle any
   per-document aggregate pays; paragraph text crosses the wire once.
 
@@ -94,10 +96,19 @@ def paragraph_keep_flags(
     max_docs: int = 1,
     normalize: bool = True,
     fast: bool = False,
+    broadcast_over: bool = True,
 ) -> DataFrame:
     """Exploded paragraphs with a ``keep`` flag: ``(id, pos, paragraph,
     keep)``. The analysis surface — :func:`dedup_paragraphs` reassembles
     it; audits can aggregate it directly (e.g. dropped-char fraction).
+
+    ``broadcast_over=False`` is the ``max_docs`` escape hatch for a
+    corpus whose over-shared hash set outgrows broadcast (Spark honors
+    a broadcast HINT regardless of size estimate, so an enormous
+    boilerplate vocabulary would OOM rather than degrade — same
+    contract as :mod:`.contamination`'s ``broadcast_bench``); the
+    shuffle left-join fallback costs one extra exchange of the
+    paragraph frame.
     """
     if policy not in ("keep_first", "max_docs"):
         raise ValueError(f"unknown policy {policy!r} (keep_first|max_docs)")
@@ -130,8 +141,10 @@ def paragraph_keep_flags(
             .where(F.col("n_docs") > max_docs)
             .select("para_hash", F.lit(True).alias("is_over"))
         )
+        if broadcast_over:
+            over = F.broadcast(over)
         out = (
-            paras.join(F.broadcast(over), "para_hash", "left")
+            paras.join(over, "para_hash", "left")
             .withColumn("keep", F.col("is_over").isNull())
             .drop("is_over")
         )
@@ -149,6 +162,7 @@ def dedup_paragraphs(
     max_docs: int = 1,
     normalize: bool = True,
     fast: bool = False,
+    broadcast_over: bool = True,
 ) -> DataFrame:
     """Corpus-wide paragraph dedup with reassembly: ``(id, text,
     n_paragraphs, n_kept)``.
@@ -169,6 +183,7 @@ def dedup_paragraphs(
         max_docs=max_docs,
         normalize=normalize,
         fast=fast,
+        broadcast_over=broadcast_over,
     )
     rebuilt = flags.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_paragraphs"),

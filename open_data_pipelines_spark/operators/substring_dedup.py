@@ -61,10 +61,13 @@ from .text_dedup import scale_out
 
 
 def _tokens(text_col: str):
+    # NULL text counts as zero tokens, like blank (split(NULL) would
+    # propagate NULL into n_tokens — the DuckDB oracle's `text IS
+    # NULL` branch needs this mirror; round-10 review find)
     c = F.col(text_col)
-    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
-        whitespace_tokens(c)
-    )
+    return F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(whitespace_tokens(c))
 
 
 def window_hashes(

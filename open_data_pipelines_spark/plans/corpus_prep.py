@@ -225,6 +225,17 @@ def prepare_corpus(
         # and token counts describe the text that actually survives.
         # Row-preserving (every doc returns; fully-duplicated docs
         # come back empty and fall to the quality gate).
+        # `cleaned` is consumed three times (the operator's window
+        # side + its df-side rejoin, and the drop("text") join below):
+        # checkpoint so the redact/normalize projection — and the
+        # whole paragraph-dedup subtree when that stage is on — runs
+        # once, not three times. Eager in observe mode: the input/
+        # paragraph observations sit below this checkpoint (the
+        # measured lazy-checkpoint rule, caching.py; round-10 review
+        # find).
+        cleaned = lazy_checkpoint(
+            cleaned, eager=with_stats and stats_via == "observe"
+        )
         cut = remove_duplicated_spans(
             cleaned,
             "text",

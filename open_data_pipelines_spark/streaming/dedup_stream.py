@@ -43,6 +43,19 @@ def stream_dedup_to_parquet(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        target = f"{out_path.rstrip('/')}/batch={batch_id}"
+        # committed-output skip: a replay of a batch whose admitted
+        # output already landed completely must not re-run the probe.
+        # Beyond saving work, this is a CORRECTNESS guard: if a
+        # compaction absorbed this batch's index directory between
+        # the crash and the replay, the probe would see the batch's
+        # own signatures as already-seen and overwrite the committed
+        # output with an empty frame (round-10 review find).
+        from ..operators.index_commit import _hadoop_fs, _is_complete
+
+        fs, hp = _hadoop_fs(spark, target)
+        if _is_complete(fs, hp, target):
+            return
         fresh = dedup_against_index(
             spark,
             batch_df,
@@ -52,7 +65,7 @@ def stream_dedup_to_parquet(
             n_buckets=n_buckets,
             batch_id=batch_id,
         )
-        fresh.write.mode("overwrite").parquet(f"{out_path.rstrip('/')}/batch={batch_id}")
+        fresh.write.mode("overwrite").parquet(target)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

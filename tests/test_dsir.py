@@ -167,3 +167,13 @@ def test_duckdb_parity_real_documents(spark):
         """
     ).fetchall()
     assert got == sorted((r[0], r[1]) for r in oracle)
+
+
+def test_empty_target_raises_instead_of_uniform_sampling(spark):
+    """A featureless target must fail loud: silently-zero log ratios
+    would turn the selection into pure Gumbel noise (round-10 review
+    find)."""
+    raw = spark.createDataFrame([(i, f"tok{i}") for i in range(20)], ["doc_id", "text"])
+    target = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="produced no n-gram features"):
+        dsir_select(raw, target, "text", "doc_id", k=5, n_buckets=B).collect()

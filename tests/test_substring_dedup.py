@@ -185,3 +185,14 @@ def test_duckdb_parity_real_documents(spark):
         for r in duplication_stats(docs, "text", "doc_id", k=8).collect()
     )
     assert got == [tuple(r) for r in oracle]
+
+
+def test_null_text_counts_zero_tokens(spark):
+    """NULL text mirrors the oracle's IS NULL branch: zero tokens,
+    zero dup fraction — not NULL/-1 (round-10 review find)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "a b c d x")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in duplication_stats(docs, "text", "doc_id", k=K).collect()}
+    assert got[2]["n_tokens"] == 0
+    assert got[2]["dup_tokens"] == 0 and got[2]["dup_token_fraction"] == 0.0
