@@ -104,7 +104,7 @@ def fit_bucket_log_ratio(
     spark = target_feats.sparkSession
     buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
 
-    def side(feats: DataFrame, name: str) -> DataFrame:
+    def side(feats: DataFrame, name: str, label: str) -> DataFrame:
         per_bucket = feats.groupBy("bucket").agg(F.sum("cnt").alias(name))
         # a featureless corpus sums to NULL: fail loud instead of
         # silently degenerating every log-ratio (and with it the
@@ -115,8 +115,8 @@ def fit_bucket_log_ratio(
                 F.sum(name),
                 F.raise_error(
                     F.lit(
-                        f"dsir: the {name.split('_')[0]} corpus produced no "
-                        "n-gram features (empty or all-blank texts) — the "
+                        f"dsir: the {label} corpus produced no n-gram "
+                        "features (empty or all-blank texts) — the "
                         "importance ratio is undefined"
                     )
                 ).cast("long"),
@@ -127,8 +127,8 @@ def fit_bucket_log_ratio(
             .withColumn(name, F.coalesce(name, F.lit(0)))
             .crossJoin(F.broadcast(total))
         )
-    t = side(target_feats, "t_cnt")
-    r = side(raw_feats, "r_cnt")
+    t = side(target_feats, "t_cnt", "target")
+    r = side(raw_feats, "r_cnt", "raw")
     denom = F.lit(alpha) * F.lit(float(n_buckets))
     return t.join(r, "bucket").select(
         "bucket",

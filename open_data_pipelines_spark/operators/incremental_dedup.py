@@ -90,7 +90,10 @@ def _with_sig_bucket(df, sig_col, n_buckets: int):
 def _is_segment_name(name: str) -> bool:
     if name.endswith(".tmp"):
         return False
-    return name.startswith(_BASE_PREFIX) or name.startswith(_BATCH_PREFIX)
+    # bare "base": the pre-generation compacted-segment name (one
+    # round-10 commit's format) — recognized so an index compacted by
+    # that code keeps its membership; the next compaction absorbs it
+    return name == "base" or name.startswith(_BASE_PREFIX) or name.startswith(_BATCH_PREFIX)
 
 
 def committed_log_dirs(spark: SparkSession, path: str) -> list[str]:
@@ -204,6 +207,39 @@ def dedup_against_index(
     return fresh.drop("sig", "bucket")
 
 
+def publish_batch_signatures(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    sig_col,
+    batch_id: int,
+    *,
+    n_buckets: int = 256,
+    write_files: int = 4,
+) -> None:
+    """Publish the signatures of ``df``'s rows as the index's
+    ``batch=<id>`` segment (overwrite — replay-idempotent). The
+    streaming wrapper derives the index from its COMMITTED output
+    with this, so the output is the source of truth and a torn index
+    write is repairable; the batch API's ``update=True`` publishes
+    inline instead (it already carries the signatures)."""
+    sigged = _with_sig_bucket(df, sig_col, n_buckets).select("sig", "bucket").distinct()
+    target = f"{path.rstrip('/')}/{_BATCH_PREFIX}{batch_id}"
+    (
+        sigged.repartition(write_files, "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+
+
+def has_batch_segment(spark: SparkSession, path: str, batch_id: int) -> bool:
+    """Whether the index holds a complete ``batch=<id>`` segment."""
+    base = path.rstrip("/")
+    fs, hp = _hadoop_fs(spark, base)
+    return _is_complete(fs, hp, f"{base}/{_BATCH_PREFIX}{batch_id}")
+
+
 def compact_seen_index(spark: SparkSession, path: str) -> int:
     """Rewrite the log as one deduped ``base-<n>`` segment, then drop
     the absorbed segments. Returns the distinct-signature count.
@@ -224,6 +260,14 @@ def compact_seen_index(spark: SparkSession, path: str) -> int:
     MEMBERSHIP, which the semi-join probe is insensitive to — and the
     next compaction absorbs whatever survived. At no point is the
     union of complete segments ever less than the full signature set.
+    This holds on OBJECT STORES too, even though a directory rename
+    there is per-object copy+delete rather than atomic: the inputs
+    are deleted only after the publish call RETURNS, so a torn
+    publish leaves an incomplete ``base-<n>`` whose content is a
+    subset of the still-present inputs (extra duplicate membership at
+    worst, absorbed next compaction). A retried compaction deletes
+    any partial ``base-<n>`` stray before renaming (a complete one
+    would have been counted in ``gens`` and bumped the number).
 
     Run compaction while no dedup stream is mid-replay: absorbing a
     batch directory removes the own-directory exclusion a replay of
@@ -254,6 +298,11 @@ def compact_seen_index(spark: SparkSession, path: str) -> int:
         .parquet(tmp)
     )
     n = spark.read.parquet(tmp).count()
+    # a partial `final` from a crashed earlier publish (object-store
+    # rename is copy-per-object) would make rename nest tmp UNDER it;
+    # it is incomplete by construction (complete generations are in
+    # `gens` and bump the number), so clearing it is safe
+    fs.delete(hp(final), True)
     if not fs.rename(hp(tmp), hp(final)):
         raise IOError(f"compact_seen_index: publishing {final!r} failed")
     for d in dirs:

@@ -108,7 +108,10 @@ def paragraph_keep_flags(
     boilerplate vocabulary would OOM rather than degrade — same
     contract as :mod:`.contamination`'s ``broadcast_bench``); the
     shuffle left-join fallback costs one extra exchange of the
-    paragraph frame.
+    paragraph frame, keyed on the hash alone — a hot boilerplate
+    paragraph concentrates its copies on one reducer there, so the
+    fallback leans on AQE's skew-join split (enabled by this engine's
+    sessions), like :mod:`.substring_dedup`'s occurrence mark.
     """
     if policy not in ("keep_first", "max_docs"):
         raise ValueError(f"unknown policy {policy!r} (keep_first|max_docs)")

@@ -4,22 +4,62 @@ of :mod:`..operators.incremental_dedup` (engine extension; the
 streaming twin of the batch entry point, like
 :mod:`.ivf_stream` / :mod:`.media_stream`).
 
-Each micro-batch runs the two-broadcast-join probe against the index
-and publishes its fresh signatures as the batch's own ``batch=<id>``
-directory, keyed by the STREAMING batch id — so a batch replayed
-after a crash probes against everything except its own earlier
-attempt and overwrites it: admitted output is replay-idempotent,
-which is exactly the property the at-least-once foreachBatch contract
-needs from the sink side. Admitted rows land in a per-batch
-subdirectory of ``out_path`` for the same reason: a plain parquet
-append would duplicate them on replay, a per-batch overwrite cannot.
+Each micro-batch probes the index, commits its ADMITTED OUTPUT first
+(a per-batch subdirectory of ``out_path`` — a plain append would
+duplicate rows on replay, an overwrite cannot), and only then
+publishes the index's ``batch=<id>`` segment, DERIVED from that
+committed output. Output-first makes the output the source of truth
+across every crash interleaving:
+
+- crash before the output commits → replay finds no committed
+  output, re-probes (its own index segment, if any, is excluded by
+  batch id) and rewrites both — idempotent;
+- crash after the output commits but before the index segment lands
+  → replay sees the committed output, SKIPS the probe (so a
+  compaction that ran in between cannot make the batch see its own
+  signatures and emit empty — the round-10 review find), and REPAIRS
+  the missing index segment from the committed output;
+- both committed → replay is a no-op.
+
+The ``batch=<id>`` output keying is only meaningful within ONE
+checkpoint lineage: a fresh checkpoint restarts batch ids at 0, and
+if the source has since grown (or batch boundaries shifted), id N
+names DIFFERENT content than the committed ``out/batch=N`` — the
+skip would then silently drop the new content. ``out_path`` and
+``checkpoint_dir`` therefore live and die together, and the wrapper
+REFUSES to start a fresh checkpoint against a non-empty output
+(reset both, or resume the existing checkpoint; the same
+generation-mismatch posture as :mod:`.scd2_stream`'s
+``on_log_ahead``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..operators.incremental_dedup import content_signature, dedup_against_index
+from ..operators.incremental_dedup import (
+    content_signature,
+    dedup_against_index,
+    has_batch_segment,
+    publish_batch_signatures,
+)
+from ..operators.index_commit import _hadoop_fs, _is_complete
+
+
+def _checkpoint_is_fresh(spark, checkpoint_dir: str) -> bool:
+    fs, hp = _hadoop_fs(spark, checkpoint_dir)
+    return not fs.exists(hp(checkpoint_dir.rstrip("/") + "/offsets"))
+
+
+def _has_committed_output(spark, out_path: str) -> bool:
+    base = out_path.rstrip("/")
+    fs, hp = _hadoop_fs(spark, base)
+    if not fs.exists(hp(base)):
+        return False
+    for status in fs.listStatus(hp(base)):
+        if status.isDirectory() and status.getPath().getName().startswith("batch="):
+            return True
+    return False
 
 
 def stream_dedup_to_parquet(
@@ -40,32 +80,60 @@ def stream_dedup_to_parquet(
     ``trigger_once`` runs one drain-the-source pass (the test/batch-
     cron mode); pass False for a continuous micro-batch stream.
     """
+    spark = stream.sparkSession
+    if _checkpoint_is_fresh(spark, checkpoint_dir) and _has_committed_output(
+        spark, out_path
+    ):
+        raise RuntimeError(
+            f"dedup stream: fresh checkpoint {checkpoint_dir!r} against a "
+            f"non-empty output {out_path!r} — batch ids would restart at 0 "
+            "and the committed-output skip would silently drop any content "
+            "whose batch boundaries differ from the original run. Reset the "
+            "output together with the checkpoint, or resume the existing "
+            "checkpoint."
+        )
+
+    sig = content_signature(text_col, normalize=normalize, fast=fast)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         target = f"{out_path.rstrip('/')}/batch={batch_id}"
-        # committed-output skip: a replay of a batch whose admitted
-        # output already landed completely must not re-run the probe.
-        # Beyond saving work, this is a CORRECTNESS guard: if a
-        # compaction absorbed this batch's index directory between
-        # the crash and the replay, the probe would see the batch's
-        # own signatures as already-seen and overwrite the committed
-        # output with an empty frame (round-10 review find).
-        from ..operators.index_commit import _hadoop_fs, _is_complete
-
         fs, hp = _hadoop_fs(spark, target)
         if _is_complete(fs, hp, target):
+            # replay of a fully-output batch: never re-probe (a
+            # compaction may have absorbed this batch's index segment,
+            # making its own signatures look already-seen); repair the
+            # index segment from the committed output if the crash
+            # fell between the two writes
+            if not has_batch_segment(spark, index_path, batch_id):
+                publish_batch_signatures(
+                    spark,
+                    spark.read.parquet(target),
+                    index_path,
+                    sig,
+                    batch_id,
+                    n_buckets=n_buckets,
+                )
             return
         fresh = dedup_against_index(
             spark,
             batch_df,
             index_path,
-            content_signature(text_col, normalize=normalize, fast=fast),
+            sig,
             id_col,
             n_buckets=n_buckets,
             batch_id=batch_id,
+            update=False,
         )
         fresh.write.mode("overwrite").parquet(target)
+        publish_batch_signatures(
+            spark,
+            spark.read.parquet(target),
+            index_path,
+            sig,
+            batch_id,
+            n_buckets=n_buckets,
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

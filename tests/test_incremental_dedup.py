@@ -235,30 +235,96 @@ def test_streaming_replay_after_compaction_keeps_output(spark, tmp_path):
     """Compaction absorbs batch directories, which removes the
     own-directory exclusion a replayed batch id relies on. The
     committed-output skip must keep the admitted output intact when
-    the same source replays through a fresh checkpoint after a
-    compaction (round-10 review find: the probe saw its own
-    signatures in the compacted base and overwrote the output with an
-    empty frame)."""
+    the checkpoint replays a committed batch after a compaction
+    (round-10 review find: the probe saw its own signatures in the
+    compacted base and overwrote the output with an empty frame).
+    The replay is the REAL at-least-once path: the checkpoint's last
+    commit marker is removed, so the restarted query re-delivers the
+    final batch under its original id."""
     landing = str(tmp_path / "landing")
     idx = str(tmp_path / "seen")
     out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
     b1 = _docs(spark, [(1, "alpha"), (2, "bravo")])
     b1.repartition(1).write.parquet(landing)
 
-    def drain(ckpt):
+    def drain():
         stream = (
             spark.readStream.format("parquet")
             .schema(b1.schema)
             .option("maxFilesPerTrigger", 1)
             .load(landing)
         )
-        q = stream_dedup_to_parquet(stream, idx, out, ckpt, "text", "doc_id")
+        q = stream_dedup_to_parquet(stream, idx, out, str(ckpt), "text", "doc_id")
         q.awaitTermination(120)
 
-    drain(str(tmp_path / "ckpt1"))
+    drain()
     assert {r["doc_id"] for r in read_admitted(spark, out).collect()} == {1, 2}
     compact_seen_index(spark, idx)
-    # fresh checkpoint -> batch ids restart -> full replay of the
-    # same source against the compacted index
-    drain(str(tmp_path / "ckpt2"))
+    # crash simulation: sink committed, checkpoint commit marker lost
+    # (the hidden .crc checksum sibling must go too, or Spark's
+    # rewrite of the marker fails on the stale checksum)
+    commits = sorted(p for p in (ckpt / "commits").iterdir() if not p.name.startswith("."))
+    commits[-1].unlink()
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    drain()  # same checkpoint -> batch 0 replays with its original id
     assert {r["doc_id"] for r in read_admitted(spark, out).collect()} == {1, 2}
+
+
+def test_streaming_fresh_checkpoint_against_output_refused(spark, tmp_path):
+    """A fresh checkpoint restarts batch ids at 0; against a
+    non-empty output the committed-output skip would silently drop
+    content whose batch boundaries differ — the wrapper must refuse
+    (round-10 second-pass review find)."""
+    import pytest
+
+    landing = str(tmp_path / "landing")
+    b1 = _docs(spark, [(1, "alpha")])
+    b1.repartition(1).write.parquet(landing)
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(b1.schema)
+            .load(landing)
+        )
+        q = stream_dedup_to_parquet(
+            stream, str(tmp_path / "seen"), str(tmp_path / "out"), ckpt, "text", "doc_id"
+        )
+        q.awaitTermination(120)
+
+    start(str(tmp_path / "ckpt1"))
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        start(str(tmp_path / "ckpt2"))
+
+
+def test_batch_id_auto_numbering(spark, tmp_path):
+    """batch_id=None publishes under max existing batch number + 1
+    (re-added: the round-10 compaction-test rewrite dropped the only
+    coverage of this parse)."""
+    idx = tmp_path / "seen"
+    dedup_against_index(spark, _docs(spark, [(1, "alpha")]), str(idx), _sig(), "doc_id", batch_id=7)
+    dedup_against_index(spark, _docs(spark, [(2, "bravo")]), str(idx), _sig(), "doc_id", batch_id=None)
+    names = {d.rsplit("/", 1)[1] for d in committed_log_dirs(spark, str(idx))}
+    assert names == {"batch=7", "batch=8"}
+
+
+def test_legacy_bare_base_segment_recognized(spark, tmp_path):
+    """An index compacted by the pre-generation format (segment named
+    exactly 'base') keeps its membership and is absorbed by the next
+    compaction (round-10 second-pass review find)."""
+    import shutil
+
+    idx = tmp_path / "seen"
+    dedup_against_index(spark, _docs(spark, [(1, "alpha")]), str(idx), _sig(), "doc_id", batch_id=1)
+    compact_seen_index(spark, str(idx))
+    shutil.move(str(idx / "base-00000001"), str(idx / "base"))  # legacy layout
+    fresh = dedup_against_index(
+        spark, _docs(spark, [(2, "alpha"), (3, "bravo")]), str(idx), _sig(), "doc_id", batch_id=2
+    )
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [3]
+    assert compact_seen_index(spark, str(idx)) == 2
+    names = {d.rsplit("/", 1)[1] for d in committed_log_dirs(spark, str(idx))}
+    assert names == {"base-00000001"}
