@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..caching import lazy_checkpoint
 from ..functions.hashing import fast_long_hash, stable_long_hash
 from .sampling import unit_hash
-from .text_analysis import whitespace_tokens
+from .text_analysis import tokens_or_empty
 
 #: tiny offset keeping u in (0, 1): -ln(-ln(0)) is -inf
 _U_EPS = 0.5 / float(1 << 60)
@@ -66,10 +66,7 @@ def hashed_ngram_features(
     :func:`importance_weights` restores them)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    c = F.col(text_col)
-    toks = F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
-        whitespace_tokens(F.lower(c))
-    )
+    toks = tokens_or_empty(text_col, lower=True)
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(

@@ -87,6 +87,21 @@ def _with_sig_bucket(df, sig_col, n_buckets: int):
     )
 
 
+def _write_segment(sigs: DataFrame, target: str, write_files: int) -> None:
+    """One bucket-clustered segment write: repartition + in-file sort
+    give each parquet row group a tight bucket min/max, so probes'
+    pushed ``In(bucket, ...)`` filters skip row groups. Shared by the
+    batch publish, the output-derived publish, and compaction."""
+    (
+        sigs.select("sig", "bucket")
+        .distinct()
+        .repartition(write_files, "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+
+
 def _is_segment_name(name: str) -> bool:
     if name.endswith(".tmp"):
         return False
@@ -193,17 +208,7 @@ def dedup_against_index(
         # reuse cache: the publish action materializes it, the
         # caller's read reuses the blocks instead of re-probing
         fresh = lazy_checkpoint(fresh)
-        # bucket-clustered files: repartition + in-file sort give each
-        # parquet row group a tight bucket min/max, so future probes'
-        # pushed In(bucket,...) filters skip row groups
-        (
-            fresh.select("sig", "bucket")
-            .distinct()
-            .repartition(write_files, "bucket")
-            .sortWithinPartitions("bucket")
-            .write.mode("overwrite")
-            .parquet(target)
-        )
+        _write_segment(fresh, target, write_files)
     return fresh.drop("sig", "bucket")
 
 
@@ -223,13 +228,10 @@ def publish_batch_signatures(
     with this, so the output is the source of truth and a torn index
     write is repairable; the batch API's ``update=True`` publishes
     inline instead (it already carries the signatures)."""
-    sigged = _with_sig_bucket(df, sig_col, n_buckets).select("sig", "bucket").distinct()
-    target = f"{path.rstrip('/')}/{_BATCH_PREFIX}{batch_id}"
-    (
-        sigged.repartition(write_files, "bucket")
-        .sortWithinPartitions("bucket")
-        .write.mode("overwrite")
-        .parquet(target)
+    _write_segment(
+        _with_sig_bucket(df, sig_col, n_buckets),
+        f"{path.rstrip('/')}/{_BATCH_PREFIX}{batch_id}",
+        write_files,
     )
 
 
@@ -290,13 +292,7 @@ def compact_seen_index(spark: SparkSession, path: str) -> int:
     final = f"{base}/{_BASE_PREFIX}{gen:08d}"
     tmp = final + ".tmp"
     fs.delete(hp(tmp), True)  # stale stray from a crashed attempt
-    distinct = spark.read.parquet(*dirs).select("sig", "bucket").distinct()
-    (
-        distinct.repartition(4, "bucket")
-        .sortWithinPartitions("bucket")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    _write_segment(spark.read.parquet(*dirs), tmp, write_files=4)
     n = spark.read.parquet(tmp).count()
     # a partial `final` from a crashed earlier publish (object-store
     # rename is copy-per-object) would make rename nest tmp UNDER it;

@@ -71,14 +71,16 @@ def split_paragraphs(
     dropped before numbering, so positions are dense). Pure
     projection + generate — pipelines with the scan.
     """
+    # plain posexplode: empty and NULL arrays (blank-only or NULL
+    # docs) produce no rows by themselves — no outer+filter needed
     parts = F.filter(
         F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
         lambda p: p != "",
     )
     return df.select(
         F.col(id_col),
-        F.posexplode_outer(parts).alias("pos", "paragraph"),
-    ).where(F.col("paragraph").isNotNull())
+        F.posexplode(parts).alias("pos", "paragraph"),
+    )
 
 
 def _para_hash(col, normalize: bool, fast: bool):

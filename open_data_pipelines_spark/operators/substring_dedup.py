@@ -56,18 +56,14 @@ from pyspark.sql import functions as F
 
 from ..caching import lazy_checkpoint
 from ..functions.hashing import fast_long_hash, stable_long_hash
-from .text_analysis import whitespace_tokens
+from .text_analysis import tokens_or_empty
 from .text_dedup import scale_out
 
 
 def _tokens(text_col: str):
-    # NULL text counts as zero tokens, like blank (split(NULL) would
-    # propagate NULL into n_tokens — the DuckDB oracle's `text IS
-    # NULL` branch needs this mirror; round-10 review find)
-    c = F.col(text_col)
-    return F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(whitespace_tokens(c))
+    # NULL text counts as zero tokens, like blank — the DuckDB
+    # oracle's `text IS NULL` branch needs this mirror
+    return tokens_or_empty(text_col)
 
 
 def window_hashes(

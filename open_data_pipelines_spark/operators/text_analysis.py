@@ -30,6 +30,20 @@ def whitespace_tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def tokens_or_empty(col: Column | str, lower: bool = False) -> Column:
+    """Whitespace tokens with NULL/blank normalized to an EMPTY array:
+    ``split(NULL)`` propagates NULL (which poisons ``size`` into
+    NULL/-1 downstream) and a blank string splits to ``['']`` — both
+    wrong for token accounting. The shared guard for operators that
+    aggregate over token arrays (substring dedup, DSIR)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lower:
+        c = F.lower(c)
+    return F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(whitespace_tokens(c))
+
+
 def token_count_ws(col: Column | str) -> Column:
     """Whitespace token count (0 for empty/blank strings)."""
     c = F.col(col) if isinstance(col, str) else col

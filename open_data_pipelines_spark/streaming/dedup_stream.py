@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..operators.incremental_dedup import (
+    _BATCH_PREFIX,
     content_signature,
     dedup_against_index,
     has_batch_segment,
@@ -57,7 +58,7 @@ def _has_committed_output(spark, out_path: str) -> bool:
     if not fs.exists(hp(base)):
         return False
     for status in fs.listStatus(hp(base)):
-        if status.isDirectory() and status.getPath().getName().startswith("batch="):
+        if status.isDirectory() and status.getPath().getName().startswith(_BATCH_PREFIX):
             return True
     return False
 
@@ -97,7 +98,7 @@ def stream_dedup_to_parquet(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        target = f"{out_path.rstrip('/')}/batch={batch_id}"
+        target = f"{out_path.rstrip('/')}/{_BATCH_PREFIX}{batch_id}"
         fs, hp = _hadoop_fs(spark, target)
         if _is_complete(fs, hp, target):
             # replay of a fully-output batch: never re-probe (a
@@ -146,5 +147,5 @@ def stream_dedup_to_parquet(
 def read_admitted(spark, out_path: str) -> DataFrame:
     """All admitted rows across batches."""
     return spark.read.option("recursiveFileLookup", "false").parquet(
-        f"{out_path.rstrip('/')}/batch=*"
+        f"{out_path.rstrip('/')}/{_BATCH_PREFIX}*"
     )
