@@ -46,6 +46,7 @@ from ..caching import lazy_checkpoint
 from ..functions.hashing import fast_long_hash, stable_long_hash
 from .sampling import unit_hash
 from .text_analysis import tokens_or_empty
+from .text_dedup import scale_out
 
 #: tiny offset keeping u in (0, 1): -ln(-ln(0)) is -inf
 _U_EPS = 0.5 / float(1 << 60)
@@ -66,6 +67,9 @@ def hashed_ngram_features(
     :func:`importance_weights` restores them)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    # the explode+hash is CPU-heavy per row: fan a narrow scan out
+    # across cores first (no-op on an already-wide 100 TB scan)
+    df = scale_out(df)
     toks = tokens_or_empty(text_col, lower=True)
     bigrams = F.when(
         F.size(toks) >= 2,
