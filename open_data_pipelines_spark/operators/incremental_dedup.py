@@ -213,7 +213,6 @@ def dedup_against_index(
 
 
 def publish_batch_signatures(
-    spark: SparkSession,
     df: DataFrame,
     path: str,
     sig_col,
@@ -240,6 +239,19 @@ def has_batch_segment(spark: SparkSession, path: str, batch_id: int) -> bool:
     base = path.rstrip("/")
     fs, hp = _hadoop_fs(spark, base)
     return _is_complete(fs, hp, f"{base}/{_BATCH_PREFIX}{batch_id}")
+
+
+def batch_segment_ids(spark: SparkSession, path: str) -> list[int]:
+    """Ids of the index's committed ``batch=<id>`` segments (empty
+    after a compaction absorbed them all). A NEW stream lineage must
+    not start while any exist — its restarted batch ids would collide
+    with and overwrite them (see :mod:`...streaming.dedup_stream`)."""
+    out = []
+    for d in committed_log_dirs(spark, path):
+        name = d.rsplit("/", 1)[1]
+        if name.startswith(_BATCH_PREFIX) and name[len(_BATCH_PREFIX):].lstrip("-").isdigit():
+            out.append(int(name[len(_BATCH_PREFIX):]))
+    return sorted(out)
 
 
 def compact_seen_index(spark: SparkSession, path: str) -> int:

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 
 from ..operators.incremental_dedup import (
     _BATCH_PREFIX,
+    batch_segment_ids,
     content_signature,
     dedup_against_index,
     has_batch_segment,
@@ -52,15 +53,24 @@ def _checkpoint_is_fresh(spark, checkpoint_dir: str) -> bool:
     return not fs.exists(hp(checkpoint_dir.rstrip("/") + "/offsets"))
 
 
-def _has_committed_output(spark, out_path: str) -> bool:
+def _committed_out_dirs(spark, out_path: str) -> list[str]:
+    """Output batch directories whose write COMMITTED (``_SUCCESS``
+    landed) — a torn write's visible part files are not admitted
+    output, the same completeness rule as the index's segments."""
     base = out_path.rstrip("/")
     fs, hp = _hadoop_fs(spark, base)
     if not fs.exists(hp(base)):
-        return False
+        return []
+    out = []
     for status in fs.listStatus(hp(base)):
-        if status.isDirectory() and status.getPath().getName().startswith(_BATCH_PREFIX):
-            return True
-    return False
+        name = status.getPath().getName()
+        if (
+            status.isDirectory()
+            and name.startswith(_BATCH_PREFIX)
+            and _is_complete(fs, hp, base + "/" + name)
+        ):
+            out.append(base + "/" + name)
+    return sorted(out)
 
 
 def stream_dedup_to_parquet(
@@ -82,17 +92,29 @@ def stream_dedup_to_parquet(
     cron mode); pass False for a continuous micro-batch stream.
     """
     spark = stream.sparkSession
-    if _checkpoint_is_fresh(spark, checkpoint_dir) and _has_committed_output(
-        spark, out_path
-    ):
-        raise RuntimeError(
-            f"dedup stream: fresh checkpoint {checkpoint_dir!r} against a "
-            f"non-empty output {out_path!r} — batch ids would restart at 0 "
-            "and the committed-output skip would silently drop any content "
-            "whose batch boundaries differ from the original run. Reset the "
-            "output together with the checkpoint, or resume the existing "
-            "checkpoint."
-        )
+    if _checkpoint_is_fresh(spark, checkpoint_dir):
+        if _committed_out_dirs(spark, out_path):
+            raise RuntimeError(
+                f"dedup stream: fresh checkpoint {checkpoint_dir!r} against a "
+                f"non-empty output {out_path!r} — batch ids would restart at 0 "
+                "and the committed-output skip would silently drop any content "
+                "whose batch boundaries differ from the original run. Reset the "
+                "output together with the checkpoint, or resume the existing "
+                "checkpoint."
+            )
+        if batch_segment_ids(spark, index_path):
+            # a new lineage's ids 0..N would OVERWRITE same-numbered
+            # index segments from a previous lineage (or the batch
+            # API), silently erasing their membership (round-10
+            # review find). Compaction absorbs batch segments into a
+            # base generation, after which any lineage can start.
+            raise RuntimeError(
+                f"dedup stream: fresh checkpoint {checkpoint_dir!r} but the "
+                f"index at {index_path!r} holds batch segments from another "
+                "lineage — this stream's restarted batch ids would overwrite "
+                "them and erase their membership. Run "
+                "compact_seen_index(index_path) first, then start."
+            )
 
     sig = content_signature(text_col, normalize=normalize, fast=fast)
 
@@ -108,7 +130,6 @@ def stream_dedup_to_parquet(
             # fell between the two writes
             if not has_batch_segment(spark, index_path, batch_id):
                 publish_batch_signatures(
-                    spark,
                     spark.read.parquet(target),
                     index_path,
                     sig,
@@ -128,7 +149,6 @@ def stream_dedup_to_parquet(
         )
         fresh.write.mode("overwrite").parquet(target)
         publish_batch_signatures(
-            spark,
             spark.read.parquet(target),
             index_path,
             sig,
@@ -145,7 +165,13 @@ def stream_dedup_to_parquet(
 
 
 def read_admitted(spark, out_path: str) -> DataFrame:
-    """All admitted rows across batches."""
-    return spark.read.option("recursiveFileLookup", "false").parquet(
-        f"{out_path.rstrip('/')}/{_BATCH_PREFIX}*"
-    )
+    """All admitted rows across COMMITTED batches (a torn write's
+    visible part files are not admitted output — round-10 review
+    find)."""
+    dirs = _committed_out_dirs(spark, out_path)
+    if not dirs:
+        raise FileNotFoundError(
+            f"no committed admitted output under {out_path!r} "
+            "(no _SUCCESS-marked batch directory)"
+        )
+    return spark.read.parquet(*dirs)

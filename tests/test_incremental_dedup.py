@@ -328,3 +328,40 @@ def test_legacy_bare_base_segment_recognized(spark, tmp_path):
     assert compact_seen_index(spark, str(idx)) == 2
     names = {d.rsplit("/", 1)[1] for d in committed_log_dirs(spark, str(idx))}
     assert names == {"base-00000001"}
+
+
+def test_streaming_refuses_foreign_batch_segments(spark, tmp_path):
+    """A fresh lineage's restarted batch ids would overwrite
+    same-numbered index segments from the batch API or a previous
+    lineage; the wrapper must refuse until compaction absorbs them
+    (round-10 third-pass review find)."""
+    import pytest
+
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "seen")
+    b = _docs(spark, [(1, "alpha")])
+    b.repartition(1).write.parquet(landing)
+    # seed the index out-of-band (auto id -> batch=1)
+    dedup_against_index(spark, _docs(spark, [(9, "zulu")]), idx, _sig(), "doc_id")
+
+    def start(ckpt, out):
+        stream = spark.readStream.format("parquet").schema(b.schema).load(landing)
+        q = stream_dedup_to_parquet(stream, idx, out, ckpt, "text", "doc_id")
+        q.awaitTermination(120)
+
+    with pytest.raises(RuntimeError, match="batch segments from another lineage"):
+        start(str(tmp_path / "ckpt1"), str(tmp_path / "out1"))
+    compact_seen_index(spark, idx)
+    start(str(tmp_path / "ckpt2"), str(tmp_path / "out2"))  # now fine
+    assert {r["doc_id"] for r in read_admitted(spark, str(tmp_path / "out2")).collect()} == {1}
+
+
+def test_read_admitted_skips_torn_output(spark, tmp_path):
+    """Visible part files without _SUCCESS are not admitted output
+    (round-10 third-pass review find)."""
+    out = tmp_path / "out"
+    _docs(spark, [(1, "alpha")]).write.parquet(str(out / "batch=0"))
+    _docs(spark, [(2, "bravo")]).write.parquet(str(out / "batch=1"))
+    (out / "batch=1" / "_SUCCESS").unlink()  # torn write
+    got = {r["doc_id"] for r in read_admitted(spark, str(out)).collect()}
+    assert got == {1}
