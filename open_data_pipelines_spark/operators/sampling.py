@@ -258,6 +258,66 @@ def rebalance_to_mix(
     return stratified_sample(df, stratum_col, fracs, key_col, seed=seed, default=0.0)
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    key_col: str,
+    seed: str = "cap",
+    exact: bool = False,
+) -> DataFrame:
+    """Bound every stratum to at most ~``cap`` rows (per-domain
+    document caps — the standard web-curation guard against one
+    registered domain dominating the corpus).
+
+    Unlike :func:`stratified_sample` / :func:`rebalance_to_mix`, no
+    per-stratum dict ever reaches the driver, so this survives
+    MILLIONS of strata (registered domains at 100 TB): the per-stratum
+    counts stay a DataFrame and come back via an equi-join. Strata at
+    or under the cap pass untouched; oversized strata keep the
+    hash-threshold fraction ``cap/n`` — expected, not exact, counts
+    (binomial deviation O(1/sqrt(cap)); same trade, and the same
+    nested-by-seed subset property, as every sampler here). Membership
+    is still a pure function of (seed, key, stratum count), so the
+    kept set is reproducible across runs and engines.
+
+    Plan shape: one map-side-combinable count agg, then corpus ⋈
+    counts on the stratum key. With AQE on, a small counts side
+    auto-broadcasts (zero corpus shuffle) and a shuffle join's
+    hot-domain partitions are skew-split — either way no driver
+    collect and no per-stratum window.
+
+    ``exact=True`` trims oversized strata to exactly ``cap`` via
+    hash-ordered ``row_number`` — each oversized stratum serializes
+    on one task, so reserve it for bounded stratum sizes (rows under
+    the cap never enter the window; they are routed around it by an
+    under-cap/overflow split on the joined count).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    joined = df.join(counts, stratum_col)
+    if not exact:
+        keep = (F.col("__n") <= F.lit(cap)) | (
+            unit_hash(key_col, seed) < F.lit(float(cap)) / F.col("__n")
+        )
+        # the join reorders columns (stratum key first); restore input shape
+        return joined.filter(keep).select(*df.columns)
+    from pyspark.sql import Window
+
+    under = joined.filter(F.col("__n") <= F.lit(cap)).drop("__n")
+    over = joined.filter(F.col("__n") > F.lit(cap)).drop("__n")
+    w = Window.partitionBy(stratum_col).orderBy(
+        unit_hash(key_col, seed), F.col(key_col)
+    )
+    trimmed = (
+        over.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(cap))
+        .drop("__rn")
+    )
+    return under.unionByName(trimmed).select(*df.columns)
+
+
 def temperature_weights(
     df: DataFrame,
     stratum_col: str,

@@ -251,3 +251,87 @@ def test_null_keys_are_deterministic_not_dropped(spark):
     assert sorted(r["split"] for r in labeled.collect()) == sorted(
         r["split"] for r in again.collect()
     )
+
+
+# the sf0.001 documents table is perfectly uniform (20 sources x 25
+# rows), so a binding cap needs a skewed stratum: collapse the
+# single-digit sources into one 250-row "head" domain
+_HEAD = "CASE WHEN length(source) = 4 THEN 'head' ELSE source END"
+
+
+def _skewed(docs):
+    return docs.withColumn("domain", F.expr(_HEAD))
+
+
+def test_cap_per_stratum_matches_duckdb(docs, con):
+    """Expected-mode cap is a pure function of (seed, key, stratum
+    count), so DuckDB reproduces the kept set exactly with a window
+    count + the shared hash expression."""
+    from open_data_pipelines_spark.operators.sampling import cap_per_stratum
+
+    got = {
+        r[0]
+        for r in cap_per_stratum(_skewed(docs), "domain", 40, "doc_id", seed="c1")
+        .select("doc_id")
+        .collect()
+    }
+    u = _U.format(seed="c1")
+    want = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM ("
+            f"  SELECT doc_id, COUNT(*) OVER (PARTITION BY {_HEAD}) AS n,"
+            f" {u} AS u FROM documents"
+            ") WHERE n <= 40 OR u < 40.0 / n"
+        ).fetchall()
+    }
+    assert got == want
+    assert 0 < len(want) < docs.count(), "cap must actually bind on some stratum"
+
+
+def test_cap_per_stratum_invariants(docs):
+    """Under-cap strata untouched; kept sets nested in the cap for a
+    fixed seed; schema/column order preserved; stable under
+    repartitioning; exact mode trims to exactly min(n, cap)."""
+    from open_data_pipelines_spark.operators.sampling import cap_per_stratum
+
+    docs = _skewed(docs)
+    sizes = {r[0]: r[1] for r in docs.groupBy("domain").count().collect()}
+    small_cap, big_cap = 30, 120
+    assert any(n > small_cap for n in sizes.values())  # cap binds
+    assert any(n <= small_cap for n in sizes.values())  # and spares
+
+    capped = cap_per_stratum(docs, "domain", small_cap, "doc_id", seed="s")
+    assert capped.columns == docs.columns
+    out_sizes = {r[0]: r[1] for r in capped.groupBy("domain").count().collect()}
+    for s, n in sizes.items():
+        if n <= small_cap:
+            assert out_sizes.get(s, 0) == n  # untouched
+        else:
+            # expected cap: binomial around small_cap, never above n
+            assert 0 < out_sizes.get(s, 0) <= n
+
+    kept_small = {r[0] for r in capped.select("doc_id").collect()}
+    kept_big = {
+        r[0]
+        for r in cap_per_stratum(docs, "domain", big_cap, "doc_id", seed="s")
+        .select("doc_id")
+        .collect()
+    }
+    assert kept_small <= kept_big  # monotone in cap (nested property)
+
+    again = {
+        r[0]
+        for r in cap_per_stratum(docs.repartition(7), "domain", small_cap, "doc_id", seed="s")
+        .select("doc_id")
+        .collect()
+    }
+    assert again == kept_small
+
+    exact = cap_per_stratum(docs, "domain", small_cap, "doc_id", seed="s", exact=True)
+    exact_sizes = {r[0]: r[1] for r in exact.groupBy("domain").count().collect()}
+    assert exact_sizes == {s: min(n, small_cap) for s, n in sizes.items()}
+    assert exact.columns == docs.columns
+
+    with pytest.raises(ValueError):
+        cap_per_stratum(docs, "source", 0, "doc_id")
