@@ -104,6 +104,7 @@ def prepare_corpus(
     benchmark: DataFrame | None = None,
     contamination_n: int = 8,
     source_weights: dict[str, float] | None = None,
+    domain_cap: int | None = None,
     mix_temperature: float | None = None,
     upsample_weights: dict[str, float] | None = None,
     splits: tuple[tuple[str, float], ...] | None = None,
@@ -130,8 +131,10 @@ def prepare_corpus(
 
     ``benchmark`` is a (bench_id, text) frame of eval items to
     decontaminate against; ``source_weights`` a target domain mix over
-    the raw ``source`` column (downsampling), ``upsample_weights`` the
-    repetition-based alternative; ``splits`` e.g.
+    the raw ``source`` column (downsampling), ``domain_cap`` a
+    per-domain document bound applied post-dedup (driver-dict-free, so
+    it survives web-scale domain cardinality), ``upsample_weights``
+    the repetition-based alternative; ``splits`` e.g.
     ``(("train", .98), ("val", .01), ("test", .01))``.
     """
     if stats_via not in ("count", "observe"):
@@ -207,7 +210,12 @@ def prepare_corpus(
     # spans collapse to identical strings for the dedup stages)
     carry = (
         ["source"]
-        if (source_weights or upsample_weights or mix_temperature is not None)
+        if (
+            source_weights
+            or upsample_weights
+            or mix_temperature is not None
+            or domain_cap is not None
+        )
         else []
     )
     cleaned = docs.select(
@@ -418,6 +426,20 @@ def prepare_corpus(
         surviving = note(
             "decontaminated",
             decontaminate(surviving, benchmark, n=contamination_n),
+        )
+    if domain_cap is not None:
+        from ..operators.sampling import cap_per_stratum
+
+        # per-domain caps run POST-dedup (mass duplicates must not eat
+        # a domain's budget — they're already gone) and BEFORE the mix
+        # derivation, so temperature weights describe the capped
+        # corpus. Counts rejoin as a DataFrame (auto-broadcast), so a
+        # web-scale domain cardinality never reaches the driver.
+        surviving = note(
+            "domain_capped",
+            cap_per_stratum(
+                surviving, "source", domain_cap, "doc_id", seed=f"{seed}-cap"
+            ),
         )
     if mix_temperature is not None:
         from ..operators.sampling import temperature_weights

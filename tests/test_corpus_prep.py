@@ -500,3 +500,58 @@ def test_observe_audit_with_new_text_stages(spark):
     assert observed["paragraph_deduped"] == observed["input"]
     assert observed["substring_deduped"] == observed["input"]
     out.unpersist()
+
+
+def test_domain_cap_stage_bounds_head_domain(spark):
+    """prepare_corpus(domain_cap=N) bounds every source post-dedup:
+    the skewed head domain shrinks toward the cap while under-cap
+    domains pass untouched, the stage is audited under both stats
+    modes, and doc membership is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from open_data_pipelines_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    skewed = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 10 == 0, "books").otherwise("web")
+    )
+
+    def domain_counts(out):
+        return {
+            r["s"]: r["n"]
+            for r in out.select("doc_id")
+            .distinct()
+            .join(skewed.select("doc_id", "source"), "doc_id")
+            .groupBy(F.col("source").alias("s"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    base = prepare_corpus(spark, SF_SMOKE, docs=skewed, near_dup="none")
+    natural = domain_counts(base)
+    cap = 50
+    assert natural["web"] > 2 * cap and natural["books"] <= cap  # cap binds on web only
+
+    out, stats = prepare_corpus(
+        spark, SF_SMOKE, docs=skewed, near_dup="none", domain_cap=cap,
+        with_stats=True, stats_via="count",
+    )
+    capped = domain_counts(out)
+    assert capped["books"] == natural["books"]  # under-cap: untouched
+    # expected-count trim: binomial around cap (sd ~ sqrt(50)); 5-sigma
+    assert 15 <= capped["web"] <= 85
+    assert stats["domain_capped"] < stats["near_deduped"]
+
+    # observe-mode audit sees the same stage
+    out2, stats2 = prepare_corpus(
+        spark, SF_SMOKE, docs=skewed, near_dup="none", domain_cap=cap,
+        with_stats=True, stats_via="observe",
+    )
+    n2 = out2.select("doc_id").distinct().count()
+    out2.unpersist()
+    assert stats2["domain_capped"] == stats["domain_capped"]
+    # and membership is deterministic: same docs survive both runs
+    a = {r[0] for r in out.select("doc_id").distinct().collect()}
+    b = {r[0] for r in out2.select("doc_id").distinct().collect()}
+    assert a == b and len(a) == n2
