@@ -296,7 +296,14 @@ def cap_per_stratum(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
-    joined = df.join(counts, stratum_col)
+    # null-safe key: groupBy counts the NULL stratum as a group, but a
+    # plain equi-join would drop its rows — NULL-domain rows must
+    # travel (capped like any stratum), never silently vanish (the
+    # unit_hash NULL-sentinel rule, module docstring)
+    joined = df.join(
+        counts.withColumnRenamed(stratum_col, "__s"),
+        F.col(stratum_col).eqNullSafe(F.col("__s")),
+    ).drop("__s")
     if not exact:
         keep = (F.col("__n") <= F.lit(cap)) | (
             unit_hash(key_col, seed) < F.lit(float(cap)) / F.col("__n")

@@ -67,6 +67,11 @@ def cluster_domains(
             out_col
         ),
     )
+    # a duplicate vec_id would fan the left join out and duplicate doc
+    # rows; collapse deterministically (min label, not dropDuplicates'
+    # partition-order pick) so row preservation holds unconditionally —
+    # only (id, label) pairs shuffle
+    labels = labels.groupBy(doc_id).agg(F.min(out_col).alias(out_col))
     return docs.join(labels, doc_id, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(unassigned))
     )

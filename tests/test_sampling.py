@@ -335,3 +335,22 @@ def test_cap_per_stratum_invariants(docs):
 
     with pytest.raises(ValueError):
         cap_per_stratum(docs, "source", 0, "doc_id")
+
+
+def test_cap_per_stratum_null_stratum_rows_travel(spark):
+    """A plain equi-join would silently drop NULL-stratum rows; the
+    null-safe key caps them like any other stratum (the unit_hash
+    NULL-sentinel rule)."""
+    from open_data_pipelines_spark.operators.sampling import cap_per_stratum
+
+    df = spark.createDataFrame(
+        [(i, None if i < 6 else "a") for i in range(10)],
+        "doc_id long, domain string",
+    )
+    out = cap_per_stratum(df, "domain", 100, "doc_id")  # cap never binds
+    assert out.count() == 10  # NULL-domain rows all present
+    exact = cap_per_stratum(df, "domain", 2, "doc_id", exact=True)
+    sizes = {
+        r[0]: r[1] for r in exact.groupBy("domain").count().collect()
+    }
+    assert sizes == {None: 2, "a": 2}

@@ -96,3 +96,14 @@ def test_cluster_balanced_mixing_composition(spark, tables):
     capped = cap_per_stratum(labeled, "domain", cap, "doc_id")
     capped_sizes = {r[0]: r[1] for r in capped.groupBy("domain").count().collect()}
     assert capped_sizes[min(sizes, key=sizes.get)] == min(sizes.values())  # untouched
+
+
+def test_duplicate_vec_ids_do_not_fan_out_docs(spark, tables):
+    """A duplicate vec_id must not duplicate doc rows: labels collapse
+    deterministically (min label) before the left join."""
+    docs = tables["documents"]
+    embs = tables["embeddings"]
+    doubled = embs.unionByName(embs.limit(20))
+    out = cluster_domains(docs, doubled, k=4, iters=1)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
