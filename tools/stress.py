@@ -1015,7 +1015,71 @@ def semdedup_scenario(n_vecs: int = 50_000, hot_fraction: float = 0.3) -> None:
     )
 
 
+def domain_cap_scenario(n_rows: int = 4_000_000, n_domains: int = 200_000) -> None:
+    """Round 10 (session 3): per-domain caps under web-shaped domain
+    skew — one mega-domain holds 25% of the corpus, a long tail of
+    200k domains holds the rest, far past what a driver-side fractions
+    dict (stratified_sample / rebalance_to_mix) is built for.
+
+    Measures the expected-mode cap (count agg + auto-broadcast join,
+    zero corpus shuffle) against the exact-mode window (per-stratum
+    row_number — the hot domain serializes on one task), so the
+    docstring's "reserve exact for bounded strata" is a pinned number,
+    not advice.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.sampling import cap_per_stratum
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-domain-cap")
+    spark.sparkContext.setLogLevel("ERROR")
+    hot_n = n_rows // 4
+    rows = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot_n, F.lit("megadomain.example"))
+        .otherwise(
+            F.concat(
+                F.lit("d"),
+                F.pmod(F.xxhash64("id"), F.lit(n_domains)).cast("string"),
+            )
+        )
+        .alias("domain"),
+        # ~200-char payload so the "zero corpus shuffle" claim is
+        # about real row widths, not empty projections
+        F.repeat(F.md5(F.col("id").cast("string")), 6).alias("text"),
+    )
+    rows = rows.localCheckpoint()  # input cost out of both timings
+
+    def timed(exact):
+        t0 = time.perf_counter()
+        out = cap_per_stratum(rows, "domain", 100, "doc_id", exact=exact)
+        n = out.count()
+        return {"kept": n, "sec": round(time.perf_counter() - t0, 2)}
+
+    expected = timed(False)
+    exact = timed(True)
+    print(
+        json.dumps(
+            {
+                "scenario": "domain_cap",
+                "n_rows": n_rows,
+                "n_domains": n_domains,
+                "hot_fraction": 0.25,
+                "expected_mode": expected,
+                "exact_mode": exact,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--domain-cap" in sys.argv:
+        domain_cap_scenario()
+        return
     if "--substring" in sys.argv:
         substring_scenario()
         return
