@@ -107,3 +107,58 @@ def test_paragraph_keep_first_matches_bruteforce(spark, corpus):
         for r in paragraph_keep_flags(df, "text", "doc_id", fast=True).collect()
     }
     assert got == expect, corpus
+
+
+# --- cap_per_stratum against a brute-force oracle -------------------
+
+_cap_corpus = st.lists(
+    st.tuples(st.sampled_from(["w", "x", "y", None]), st.integers(0, 50)),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[1],  # doc_id unique (operator key contract)
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_cap_corpus, st.integers(1, 6))
+def test_cap_per_stratum_matches_bruteforce(spark, rows, cap):
+    """Expected mode == the row-local definition (keep iff the stratum
+    is under cap OR unit_hash(key) < cap/n, NULL strata included);
+    exact mode keeps exactly min(n, cap) per stratum and is a subset
+    of the stratum's rows."""
+    from open_data_pipelines_spark.operators.sampling import (
+        cap_per_stratum,
+        unit_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(d, i) for d, i in rows], "domain string, doc_id long"
+    )
+    hashes = {
+        r["doc_id"]: r["u"]
+        for r in df.select("doc_id", unit_hash("doc_id", "p").alias("u")).collect()
+    }
+    sizes: dict = {}
+    for d, _ in rows:
+        sizes[d] = sizes.get(d, 0) + 1
+    want = {
+        i for d, i in rows if sizes[d] <= cap or hashes[i] < cap / sizes[d]
+    }
+    got = {
+        r[0]
+        for r in cap_per_stratum(df, "domain", cap, "doc_id", seed="p")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+
+    exact = cap_per_stratum(df, "domain", cap, "doc_id", seed="p", exact=True)
+    by_dom: dict = {}
+    for r in exact.collect():
+        by_dom.setdefault(r["domain"], set()).add(r["doc_id"])
+    all_ids = {d: {i for dd, i in rows if dd == d} for d in sizes}
+    assert set(by_dom) <= set(all_ids)
+    for d, n in sizes.items():
+        kept = by_dom.get(d, set())
+        assert len(kept) == min(n, cap)
+        assert kept <= all_ids[d]
