@@ -40,9 +40,22 @@ from ..session import load_tables
 POUNDS_PER_HOUSEHOLD_DAY = 2.10  # emergency_wellbeing.sql:23-26
 RADIUS = 25.0  # 500 m analog on the synthesized grid
 
+# The reference instantiates the wellbeing DAG twice and the twins differ
+# ONLY by the work-category predicate (stg_emergency_works_by_authority
+# .sql:53 `work_category_ref IN ('immediate_urgent','immediate_emergency')`
+# vs stg_major_works_by_authority.sql:53 `work_category_ref = 'major'`).
+# Analog on the harness star schema: order priorities play the category.
+SCOPE_CATEGORIES: dict[str, tuple[str, ...]] = {
+    "emergency": ("1-URGENT", "2-HIGH"),
+    "major": ("3-MEDIUM",),
+}
 
-def stg_emergency_works(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Emergency permits, one row each, with coords + duration days."""
+
+def stg_works(
+    orders: DataFrame, lineitem: DataFrame, categories: tuple[str, ...]
+) -> DataFrame:
+    """Permits in the given categories, one row each, with coords +
+    duration days (stg_{emergency,major}_works_by_authority.sql)."""
     latest_line = top1_per_key(
         lineitem.select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity"),
         ["l_orderkey"],
@@ -53,11 +66,10 @@ def stg_emergency_works(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         ],
     ).select("l_orderkey", F.col("l_shipdate").alias("end_ts"))
 
-    emergency = orders.filter(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        & F.col("o_orderdate").isNotNull()
+    scoped = orders.filter(
+        F.col("o_orderpriority").isin(*categories) & F.col("o_orderdate").isNotNull()
     )
-    out = emergency.join(latest_line, emergency["o_orderkey"] == latest_line["l_orderkey"], "inner")
+    out = scoped.join(latest_line, scoped["o_orderkey"] == latest_line["l_orderkey"], "inner")
     return out.select(
         "o_orderkey",
         "o_custkey",
@@ -81,9 +93,16 @@ def int_postcodes(customer: DataFrame) -> DataFrame:
     )
 
 
-def wellbeing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stg_emergency_works(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Emergency instantiation (stg_emergency_works_by_authority.sql)."""
+    return stg_works(orders, lineitem, SCOPE_CATEGORIES["emergency"])
+
+
+def wellbeing_impact(
+    spark: SparkSession, sf_dir: str, scope: str = "emergency"
+) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
-    works = stg_emergency_works(t["orders"], t["lineitem"])
+    works = stg_works(t["orders"], t["lineitem"], SCOPE_CATEGORIES[scope])
     postcodes = int_postcodes(t["customer"])
 
     # J6: bbox prefilter + exact distance, grid-partitioned (scale path)
@@ -120,7 +139,33 @@ def wellbeing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WELLBEING_ORACLE_SQL = f"""
+def major_wellbeing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Major-works twin (major_wellbeing.sql:1-44) — same DAG, category
+    predicate `work_category_ref = 'major'` re-expressed as the single
+    '3-MEDIUM' priority on the analog schema."""
+    return wellbeing_impact(spark, sf_dir, scope="major")
+
+
+def wellbeing_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both reference instantiations of the wellbeing DAG — emergency
+    (emergency_wellbeing.sql) and major (major_wellbeing.sql) — unioned
+    with a `scope` discriminator, mirroring the two tables the
+    reference's wellbeing_overview model family materializes."""
+    frames = [
+        wellbeing_impact(spark, sf_dir, scope=s).select(
+            F.lit(s).alias("scope"), "*"
+        )
+        for s in SCOPE_CATEGORIES
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _oracle_sql(categories: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{c}'" for c in categories)
+    return f"""
 WITH latest_line AS (
   SELECT l_orderkey, l_shipdate AS end_ts FROM (
     SELECT l_orderkey, l_shipdate, row_number() OVER (
@@ -135,7 +180,7 @@ works AS (
          greatest(date_diff('day', CAST(o.o_orderdate AS DATE),
                             CAST(ll.end_ts AS DATE)), 1) AS duration_days
   FROM orders o JOIN latest_line ll ON o.o_orderkey = ll.l_orderkey
-  WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH') AND o.o_orderdate IS NOT NULL
+  WHERE o.o_orderpriority IN ({in_list}) AND o.o_orderdate IS NOT NULL
 ),
 postcodes AS (
   SELECT c_custkey AS postcode_id, c_nationkey,
@@ -178,3 +223,12 @@ SELECT COALESCE(n_name, 'UNKNOWN') AS authority,
          AS wellbeing_total_impact
 FROM enriched GROUP BY COALESCE(n_name, 'UNKNOWN')
 """
+
+
+WELLBEING_ORACLE_SQL = _oracle_sql(SCOPE_CATEGORIES["emergency"])
+MAJOR_WELLBEING_ORACLE_SQL = _oracle_sql(SCOPE_CATEGORIES["major"])
+
+WELLBEING_OVERVIEW_ORACLE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{scope}' AS scope, * FROM ({_oracle_sql(cats)})"
+    for scope, cats in SCOPE_CATEGORIES.items()
+)

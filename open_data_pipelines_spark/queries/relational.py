@@ -26,7 +26,7 @@ from ..operators.aggregates import (
 from ..operators.dedup import top1_per_key
 from ..operators.joins import anti_join, cast_key_join, overlap_count
 from ..plans.impact import IMPACT_ORACLE_SQL, impact_scores
-from ..plans.wellbeing import WELLBEING_ORACLE_SQL, wellbeing_impact
+from ..plans.wellbeing import WELLBEING_OVERVIEW_ORACLE_SQL, wellbeing_overview
 from ..functions.numeric import round_half_up
 from ..session import pick_tables
 
@@ -370,5 +370,9 @@ QUERIES = {
     "pct_rank_grouped": (q_pct_rank_grouped, ORACLE_PCT_RANK_GROUPED),
     "wellbeing_formula": (q_wellbeing_formula, ORACLE_WELLBEING),
     "impact_score": (impact_scores, IMPACT_ORACLE_SQL),
-    "wellbeing_pipeline": (wellbeing_impact, WELLBEING_ORACLE_SQL),
+    # Both reference instantiations of the wellbeing DAG in one frame
+    # (emergency_wellbeing.sql + major_wellbeing.sql), keyed by `scope`
+    # — one registry row covers the twin models within the driver's
+    # 50-row correctness window.
+    "wellbeing_pipeline": (wellbeing_overview, WELLBEING_OVERVIEW_ORACLE_SQL),
 }
