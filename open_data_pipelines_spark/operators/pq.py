@@ -38,12 +38,14 @@ shortlist — candidates never ship raw vectors, only codes.
 
 from __future__ import annotations
 
+import json
 import warnings
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .index_commit import (
+    _hadoop_fs,
     commit_generation,
     load_existing_index,
     read_index,
@@ -56,6 +58,46 @@ from .ivf import _cell_dists, assign_list_id, probe_list_ids, train_centroids
 from .similarity import as_double_array, dot_int, quantize
 
 Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
+
+#: per-index properties sidecar, written INSIDE the data directory so
+#: it travels with every commit protocol (rename-mode sibling swaps
+#: move it with the data; manifest mode writes one per generation).
+#: The leading underscore hides it from Spark's parquet reader.
+PQ_META_FILE = "_pq_meta.json"
+
+
+def _write_pq_meta(spark, data_dir: str, nbits: int, m: int) -> None:
+    """Persist the index's pinned code geometry next to its data.
+    Write-once per directory: generations are immutable, and the meta
+    never changes within one (appends encode with the same books)."""
+    fs, hpath = _hadoop_fs(spark, data_dir)
+    target = hpath(data_dir.rstrip("/") + "/" + PQ_META_FILE)
+    if fs.exists(target):
+        return
+    out = fs.create(target, True)
+    try:
+        out.write(json.dumps({"nbits": nbits, "m": m}).encode("utf-8"))
+    finally:
+        out.close()
+
+
+def read_pq_meta(spark, path: str) -> dict | None:
+    """The committed index's persisted code geometry
+    (``{"nbits", "m"}``), or None for an index written before the meta
+    existed. Resolves the manifest generation first, so the answer
+    always describes the data a reader would scan."""
+    data_dir = resolve_index_path(spark, path.rstrip("/"))
+    fs, hpath = _hadoop_fs(spark, data_dir)
+    target = hpath(data_dir.rstrip("/") + "/" + PQ_META_FILE)
+    if not fs.exists(target):
+        return None
+    stream = fs.open(target)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    meta = json.loads(raw.decode("utf-8"))
+    return {"nbits": int(meta["nbits"]), "m": int(meta["m"])}
 
 
 def _subvec(vec: Column, j: int, dsub: int) -> Column:
@@ -283,13 +325,22 @@ def build_ivf_pq_index(
     code_col: str = "pq_code",
     list_col: str = "list_id",
     commit: str = "rename",
+    nbits: int | None = None,
 ) -> DataFrame:
     """Corpus + cell assignment + PQ codes in ONE projection pass,
     written ``partitionBy(list_col)`` when ``path`` is given — the
     persisted form :func:`ivf_pq_topk` searches. ``commit="manifest"``
     initializes an object-store-safe manifest-committed index
     (:mod:`.index_commit`) that later retrains/compactions publish new
-    generations of."""
+    generations of.
+
+    The code geometry (``nbits``, subspace count) is persisted as
+    ``_pq_meta.json`` inside the written layout, so a later bare
+    :func:`maintain_ivf_pq_index` call reads the pinned width back
+    from committed state instead of inferring it from in-memory
+    codebooks. Pass ``nbits`` when the configured width exceeds what
+    the current codebooks happen to hold (``train_pq`` seeds at most
+    one centroid per training row)."""
     # validated before the path=None early return (the ivf.py note)
     require_commit_mode(commit)
     encoded = corpus.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
@@ -297,19 +348,23 @@ def build_ivf_pq_index(
     )
     if path is None:
         return encoded
+    if nbits is None:
+        nbits = (len(codebooks[0]) - 1).bit_length()
+    m = len(codebooks)
     spark = corpus.sparkSession
+
+    def _write(gen_dir: str) -> None:
+        encoded.write.mode("overwrite").partitionBy(list_col).parquet(gen_dir)
+        # meta lands before the manifest pointer publishes, so a
+        # committed generation always carries its geometry
+        _write_pq_meta(spark, gen_dir, nbits, m)
+
     if commit == "manifest":
-        commit_generation(
-            spark,
-            path,
-            lambda gen_dir: encoded.write.mode("overwrite")
-            .partitionBy(list_col)
-            .parquet(gen_dir),
-        )
+        commit_generation(spark, path, _write)
         return read_index(spark, path)
     # guard the one remaining rename overwrite (the ivf.py note)
     refuse_rename_on_manifest(spark, path, "rebuild")
-    encoded.write.mode("overwrite").partitionBy(list_col).parquet(path)
+    _write(path)
     return spark.read.parquet(path)
 
 
@@ -340,12 +395,15 @@ def maintain_ivf_pq_index(
     from one model generation (ADC scores against stale codebooks
     would silently degrade recall — the failure mode this guards).
 
-    ``nbits`` pins the retrained code width explicitly; when omitted it
-    is inferred from the current codebook size — with a warning at
-    retrain time, because the inference silently SHRINKS the width if
-    a prior retrain produced fewer than ``2**nbits`` centroids
-    (``train_pq`` seeds at most one centroid per training row) — pass
-    it whenever the configured width matters across generations.
+    ``nbits`` pins the retrained code width explicitly; when omitted,
+    the width persisted in the index's own ``_pq_meta.json`` (written
+    by every :func:`build_ivf_pq_index` layout) is read back, so bare
+    maintenance calls cannot narrow the width across generations. Only
+    a pre-meta legacy index falls back to inferring from the current
+    codebook size — with a warning at retrain time, because that
+    inference silently SHRINKS the width if a prior retrain produced
+    fewer than ``2**nbits`` centroids (``train_pq`` seeds at most one
+    centroid per training row).
 
     ``compact_on_retrain`` mirrors :func:`.ivf.maintain_ivf_index`:
     the retrain rewrite collapses byte-identical replay copies from
@@ -371,7 +429,22 @@ def maintain_ivf_pq_index(
         refuse_rename_on_manifest(new_vectors.sparkSession, path, "maintain")
     nbits_inferred = nbits is None
     if nbits_inferred:
-        nbits = (len(codebooks[0]) - 1).bit_length()
+        # committed state first: every layout build_ivf_pq_index wrote
+        # carries _pq_meta.json, so a bare maintenance call reads the
+        # pinned width back instead of inferring from in-memory books
+        meta = read_pq_meta(new_vectors.sparkSession, path)
+        if meta is not None:
+            if meta["m"] != len(codebooks):
+                raise ValueError(
+                    f"maintain_ivf_pq_index: index at {path!r} persists "
+                    f"m={meta['m']} subspaces but the passed codebooks hold "
+                    f"m={len(codebooks)} — ADC codes are incompatible; pass "
+                    "the index's own codebooks (the sidecar generation)"
+                )
+            nbits = meta["nbits"]
+            nbits_inferred = False
+        else:
+            nbits = (len(codebooks[0]) - 1).bit_length()
     batch_fit = global_mean_dist2(new_vectors, vec_col, centroids)
     if batch_fit <= retrain_factor * baseline_mean_dist2:
         # resolve the commit layout (manifest-mode appends land inside
@@ -382,13 +455,16 @@ def maintain_ivf_pq_index(
         if commit == "manifest" and require_manifest_target(spark, path) is None:
             build_ivf_pq_index(
                 new_vectors, vec_col, id_col, centroids, codebooks, path,
-                code_col, list_col, commit="manifest",
+                code_col, list_col, commit="manifest", nbits=nbits,
             )
         else:
             data_path = resolve_index_path(spark, path)
             new_vectors.withColumn(code_col, pq_encode(vec_col, codebooks)).withColumn(
                 list_col, assign_list_id(vec_col, centroids)
             ).write.mode("append").partitionBy(list_col).parquet(data_path)
+            # upgrade a pre-meta layout in place (write-once: no-op on
+            # any index build_ivf_pq_index produced)
+            _write_pq_meta(spark, data_path, nbits, len(codebooks))
         return {
             "centroids": centroids,
             "codebooks": codebooks,
@@ -446,6 +522,7 @@ def maintain_ivf_pq_index(
                 gen_dir,
                 code_col,
                 list_col,
+                nbits=nbits,
             ),
         )
         return {
@@ -466,7 +543,8 @@ def maintain_ivf_pq_index(
     fs, hpath = _hadoop_fs(full.sparkSession, path)
     fs.delete(hpath(tmp), True)
     build_ivf_pq_index(
-        full, vec_col, id_col, new_centroids, new_books, tmp, code_col, list_col
+        full, vec_col, id_col, new_centroids, new_books, tmp, code_col, list_col,
+        nbits=nbits,
     )
     _swap_directory(
         full.sparkSession, tmp, path.rstrip("/"), path.rstrip("/") + ".retrain.old"

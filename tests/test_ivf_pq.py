@@ -304,3 +304,136 @@ def test_pq_retrain_schema_mismatch_fails_loud(spark, tmp_path):
             retrain_factor=2.0, nbits=2,
         )
     assert spark.read.parquet(path).count() == 60
+
+
+def test_pq_meta_pins_nbits_across_bare_maintenance(spark, tmp_path):
+    """VERDICT r10 task #2: the persisted ``_pq_meta.json`` carries the
+    configured code width, so a bare (no-nbits) maintenance call after
+    a degenerate retrain reads the pinned width back from committed
+    state instead of inferring a NARROWER one from the in-memory
+    codebooks — the silent ADC-width-decay hazard."""
+    import warnings as w
+
+    from open_data_pipelines_spark.operators.ivf import global_mean_dist2
+    from open_data_pipelines_spark.operators.pq import (
+        build_ivf_pq_index,
+        maintain_ivf_pq_index,
+        read_pq_meta,
+    )
+
+    # only 4 training ROWS -> train_pq(nbits=3) seeds at most 4
+    # centroids per subspace; the legacy inference would report
+    # (4-1).bit_length() == 2, narrowing the configured width of 3
+    rows = [(i, [float(i % 4) + 1.0, float((i * 3) % 4) + 1.0]) for i in range(4)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_centroids(base, "embedding", "vec_id", k=2, iters=2)
+    books = train_pq(base, "embedding", "vec_id", m=2, nbits=3, iters=2)
+    assert len(books[0]) < (1 << 3)  # the degenerate premise
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(base, "embedding", "vec_id", cents, books, path, nbits=3)
+    assert read_pq_meta(spark, path) == {"nbits": 3, "m": 2}
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    drifted = spark.createDataFrame(
+        [(1000 + i, [90.0 + i, 95.0 - i]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        st = maintain_ivf_pq_index(
+            drifted, "embedding", "vec_id", cents, books, path, baseline,
+            retrain_factor=2.0,  # nbits deliberately omitted: the bare call
+        )
+    assert st["retrained"] is True
+    assert st["nbits"] == 3  # read back from meta, not inferred as 2
+    assert not [c for c in caught if "inferred" in str(c.message)]
+    # the retrained generation re-persists the pinned width
+    assert read_pq_meta(spark, path) == {"nbits": 3, "m": 2}
+
+    # a second bare call (calm batch) still resolves 3 from the meta
+    calm = spark.createDataFrame(
+        [(2000 + i, [90.0 + i, 95.0 - i]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    st2 = maintain_ivf_pq_index(
+        calm, "embedding", "vec_id", st["centroids"], st["codebooks"], path,
+        st["baseline_mean_dist2"], retrain_factor=2.0,
+    )
+    assert st2["retrained"] is False and st2["nbits"] == 3
+
+
+def test_pq_meta_survives_manifest_generations(spark, tmp_path):
+    """Manifest-mode twin: the meta is written INSIDE each generation
+    directory before the pointer publishes, so read_pq_meta always
+    describes the committed generation a reader would scan."""
+    from open_data_pipelines_spark.operators.ivf import global_mean_dist2
+    from open_data_pipelines_spark.operators.pq import (
+        build_ivf_pq_index,
+        maintain_ivf_pq_index,
+        read_pq_meta,
+    )
+
+    rows = [(i, [float(i % 4) + 1.0, float((i * 3) % 4) + 1.0]) for i in range(40)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_centroids(base, "embedding", "vec_id", k=2, iters=2)
+    books = train_pq(base, "embedding", "vec_id", m=2, nbits=3, iters=2)
+    path = str(tmp_path / "ivfpq_manifest")
+    build_ivf_pq_index(
+        base, "embedding", "vec_id", cents, books, path, commit="manifest", nbits=3
+    )
+    assert read_pq_meta(spark, path) == {"nbits": 3, "m": 2}
+    baseline = global_mean_dist2(base, "embedding", cents)
+
+    drifted = spark.createDataFrame(
+        [(1000 + i, [90.0 + i, 95.0 - i]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    st = maintain_ivf_pq_index(
+        drifted, "embedding", "vec_id", cents, books, path, baseline,
+        retrain_factor=2.0, commit="manifest",
+    )
+    assert st["retrained"] is True and st["nbits"] == 3
+    assert read_pq_meta(spark, path) == {"nbits": 3, "m": 2}
+
+
+def test_pq_meta_legacy_index_still_warns_and_m_mismatch_raises(spark, tmp_path):
+    """A pre-meta layout (meta file removed) falls back to the old
+    inference WITH its warning; and a persisted-m mismatch against the
+    passed codebooks fails loud instead of encoding incompatibly."""
+    import os
+
+    from open_data_pipelines_spark.operators.ivf import global_mean_dist2
+    from open_data_pipelines_spark.operators.pq import (
+        build_ivf_pq_index,
+        maintain_ivf_pq_index,
+        read_pq_meta,
+        train_pq,
+    )
+
+    rows = [(i, [float(i % 4) + 1.0, float((i * 3) % 4) + 1.0]) for i in range(40)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_centroids(base, "embedding", "vec_id", k=2, iters=2)
+    books = train_pq(base, "embedding", "vec_id", m=2, nbits=3, iters=2)
+    path = str(tmp_path / "ivfpq_legacy")
+    build_ivf_pq_index(base, "embedding", "vec_id", cents, books, path, nbits=3)
+    os.remove(os.path.join(path, "_pq_meta.json"))  # simulate a legacy index
+    assert read_pq_meta(spark, path) is None
+    baseline = global_mean_dist2(base, "embedding", cents)
+    drifted = spark.createDataFrame(
+        [(1000 + i, [90.0 + i, 95.0 - i]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.warns(UserWarning, match="inferred"):
+        st = maintain_ivf_pq_index(
+            drifted, "embedding", "vec_id", cents, books, path, baseline,
+            retrain_factor=2.0,
+        )
+    assert st["nbits"] == (len(books[0]) - 1).bit_length()
+
+    # m mismatch vs persisted meta fails loud (retrained index now has meta)
+    wrong_m_books = train_pq(base, "embedding", "vec_id", m=1, nbits=3, iters=1)
+    with pytest.raises(ValueError, match="subspaces"):
+        maintain_ivf_pq_index(
+            base, "embedding", "vec_id", st["centroids"], wrong_m_books, path,
+            st["baseline_mean_dist2"], retrain_factor=2.0,
+        )
