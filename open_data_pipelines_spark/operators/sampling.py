@@ -287,11 +287,18 @@ def cap_per_stratum(
     hot-domain partitions are skew-split — either way no driver
     collect and no per-stratum window.
 
-    ``exact=True`` trims oversized strata to exactly ``cap`` via
-    hash-ordered ``row_number`` — each oversized stratum serializes
-    on one task, so reserve it for bounded stratum sizes (rows under
-    the cap never enter the window; they are routed around it by an
-    under-cap/overflow split on the joined count).
+    ``exact=True`` trims oversized strata to exactly ``cap`` via a
+    salted two-level hash-ordered ``row_number``: a first window over
+    ``(stratum, salt)`` spreads each oversized stratum across
+    ``n_salts`` tasks and keeps the ``cap`` hash-smallest rows per
+    salt, so the final per-stratum window ranks at most ``cap x
+    n_salts`` rows instead of the whole stratum — a mega-domain never
+    serializes on one task (the round-10 VERDICT hazard). The output
+    is identical to the single-window form: the global ``cap``
+    hash-smallest rows of a stratum are a subset of the per-salt
+    ``cap``-smallest, so the pre-trim never drops a winner. Rows under
+    the cap never enter either window; they are routed around by an
+    under-cap/overflow split on the joined count.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
@@ -314,11 +321,24 @@ def cap_per_stratum(
 
     under = joined.filter(F.col("__n") <= F.lit(cap)).drop("__n")
     over = joined.filter(F.col("__n") > F.lit(cap)).drop("__n")
-    w = Window.partitionBy(stratum_col).orderBy(
-        unit_hash(key_col, seed), F.col(key_col)
+    order = [unit_hash(key_col, seed).asc(), F.col(key_col).asc()]
+    # level 1: deterministic salt fans the hot stratum over n_salts
+    # tasks; keeping the cap hash-smallest per salt is a superset of
+    # the stratum's global cap-smallest, so level 2 sees <= cap *
+    # n_salts rows per stratum and the result is unchanged
+    n_salts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
+    salt = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + ":salt")), F.lit(n_salts))
+    w1 = Window.partitionBy(stratum_col, salt).orderBy(*order)
+    pre = (
+        over.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= F.lit(cap))
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(*order)
     trimmed = (
-        over.withColumn("__rn", F.row_number().over(w))
+        pre.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= F.lit(cap))
         .drop("__rn")
     )
