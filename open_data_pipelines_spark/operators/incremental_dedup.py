@@ -73,11 +73,22 @@ def content_signature(
     ``fast`` -> xxhash64 (scale path); otherwise the md5-derived
     cross-engine hash (DuckDB parity: the :func:`..functions.hashing.
     stable_long_hash` docstring's expression over the same concat).
+
+    NULL position is signature-significant: each column is coalesced
+    to the ``'<null-key>'`` sentinel (the :mod:`.sampling` unit_hash
+    pattern) before the join, because ``concat_ws`` SKIPS nulls —
+    without the sentinel ``('a', NULL)``, ``(NULL, 'a')`` and
+    ``('a',)`` would all collapse to the same signature and distinct
+    multi-column rows would silently dedup as identical. Non-null
+    values hash exactly as before, so indexes persisted by earlier
+    rounds stay valid.
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     if normalize:
         cs = [normalize_text(c) for c in cs]
-    joined = F.concat_ws("\x1f", *[c.cast("string") for c in cs])
+    joined = F.concat_ws(
+        "\x1f", *[F.coalesce(c.cast("string"), F.lit("<null-key>")) for c in cs]
+    )
     return fast_long_hash(joined) if fast else stable_long_hash(joined)
 
 
@@ -140,15 +151,22 @@ def read_seen_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(*dirs).select("sig", "bucket")
 
 
-def dedup_within_batch(batch: DataFrame, id_col: str) -> DataFrame:
+def dedup_within_batch(
+    batch: DataFrame, id_col: str, *, broadcast_batch: bool = True
+) -> DataFrame:
     """Deterministic within-batch collapse on ``sig`` (keeper =
     min ``id``): partial-combine groupBy + rejoin on the unique
-    ``(sig, id)`` key, never a window over the signature."""
+    ``(sig, id)`` key, never a window over the signature.
+
+    ``broadcast_batch=True`` (the default, and the
+    :func:`dedup_against_index` contract) forces the winners side of
+    the rejoin to broadcast — correct only when the batch's distinct
+    signatures fit in executor memory. Pass ``False`` for an
+    oversized batch to degrade to a shuffle join instead of an OOM."""
     winners = batch.groupBy("sig").agg(F.min(id_col).alias(id_col))
-    # the batch is broadcast-sized by this operator's contract (the
-    # probe broadcasts its distinct sigs); broadcasting the winners
-    # keeps the whole admission path shuffle-free
-    return batch.join(F.broadcast(winners), ["sig", id_col], "left_semi")
+    if broadcast_batch:
+        winners = F.broadcast(winners)
+    return batch.join(winners, ["sig", id_col], "left_semi")
 
 
 def dedup_against_index(
@@ -162,10 +180,22 @@ def dedup_against_index(
     batch_id: int | None = None,
     update: bool = True,
     write_files: int = 4,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Admit the rows of ``batch`` not already in the seen index at
     ``path``; optionally publish their signatures as a new batch
     directory. Returns the fresh rows (original columns).
+
+    **Contract: the batch must be broadcast-sized** (its distinct
+    signatures fit in executor memory — the normal shape for one
+    arrival against a huge index). The whole admission path hinges on
+    it: the probe broadcasts the batch's signature set against the
+    seen scan, and the anti-join broadcasts the hits, so the 100 TB
+    index is only ever SCANNED, never shuffled. For an oversized
+    batch pass ``broadcast_batch=False`` to degrade every batch-side
+    broadcast to a shuffle join (the index side still only scans) —
+    slower, not wrong (the :func:`.paragraph_dedup` ``broadcast_over``
+    escape-hatch pattern).
 
     ``sig_col`` is a Column (build one with
     :func:`content_signature`). With ``batch_id``, the probe excludes
@@ -175,8 +205,9 @@ def dedup_against_index(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    maybe_broadcast = F.broadcast if broadcast_batch else (lambda df: df)
     sigged = _with_sig_bucket(batch, sig_col, n_buckets)
-    sigged = dedup_within_batch(sigged, id_col)
+    sigged = dedup_within_batch(sigged, id_col, broadcast_batch=broadcast_batch)
 
     base = path.rstrip("/")
     dirs = committed_log_dirs(spark, base)
@@ -191,8 +222,8 @@ def dedup_against_index(
         touched = [r["bucket"] for r in batch_sigs.select("bucket").distinct().collect()]
         if len(touched) < n_buckets:
             seen = seen.where(F.col("bucket").isin(touched))
-        hits = seen.join(F.broadcast(batch_sigs), ["sig", "bucket"], "left_semi")
-        fresh = sigged.join(F.broadcast(hits.select("sig")), "sig", "left_anti")
+        hits = seen.join(maybe_broadcast(batch_sigs), ["sig", "bucket"], "left_semi")
+        fresh = sigged.join(maybe_broadcast(hits.select("sig")), "sig", "left_anti")
     else:
         fresh = sigged
 
@@ -283,12 +314,27 @@ def compact_seen_index(spark: SparkSession, path: str) -> int:
     any partial ``base-<n>`` stray before renaming (a complete one
     would have been counted in ``gens`` and bumped the number).
 
-    Run compaction while no dedup stream is mid-replay: absorbing a
-    batch directory removes the own-directory exclusion a replay of
-    that SAME batch id relies on, so the replay would see its own
-    signatures as already-seen (the streaming wrapper's
-    committed-output skip makes this harmless for completed batches —
-    see :mod:`...streaming.dedup_stream`).
+    Run compaction while no admission is in flight — streaming OR
+    batch:
+
+    - a dedup STREAM mid-replay: absorbing a batch directory removes
+      the own-directory exclusion a replay of that SAME batch id
+      relies on, so the replay would see its own signatures as
+      already-seen (the streaming wrapper's committed-output skip
+      makes this harmless for completed batches — see
+      :mod:`...streaming.dedup_stream`);
+    - a concurrent BATCH-mode :func:`dedup_against_index`: its probe
+      lists segment directories once, then reads them lazily — step
+      (3)'s deletes can land between the listing and the parquet
+      scan, failing the probe mid-flight with FileNotFound (a crash,
+      not corruption; rerun it after compaction). And with
+      ``batch_id=None`` the admission numbers itself ``max+1`` over
+      the directories it listed — a compaction that just absorbed
+      them resets the numbering, so the admission can REUSE a batch
+      id the compacted base already contains, silently merging two
+      logical batches' replay identities. Serialize compaction with
+      admissions per index, the same single-writer posture as
+      :mod:`.index_commit`.
     """
     base = path.rstrip("/")
     dirs = committed_log_dirs(spark, base)

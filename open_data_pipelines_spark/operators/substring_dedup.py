@@ -35,10 +35,15 @@ Pipeline shape (100 TB):
   per-document window — partitioned by doc id, bounded by document
   size, no global sort.
 - ``keep_one=True`` (default) exempts each duplicated window's
-  globally first occurrence (ordered by ``(id, start)``) so one copy
-  of the content survives, like the paper's dedup; ``keep_one=False``
-  marks every occurrence (the "any duplicated text is suspect" audit
-  variant).
+  globally first occurrence (ordered by ``(id, start)``). The
+  guarantee is WINDOW-granular, not span-granular: every k-token
+  window's content survives somewhere, but when overlapping
+  duplicated spans have their first-occurrence windows in DIFFERENT
+  documents, each full copy of a longer span can be partially cut —
+  no single document is guaranteed to retain the span intact (an
+  accepted property of re-expressing the paper's sequential dedup
+  over independent fixed-k windows). ``keep_one=False`` marks every
+  occurrence (the "any duplicated text is suspect" audit variant).
 
 Hashing: ``fast=False`` -> :func:`..functions.hashing.
 stable_long_hash` (DuckDB-computable, parity-testable);
@@ -113,7 +118,8 @@ def duplicated_windows(
     (and, with ``max_occurrences``, <= that cap — beyond it the text
     is degenerate repetition, handled by :mod:`.repetition`). With
     ``keep_one`` the globally first occurrence per hash (min
-    ``(id, start)``) is exempted.
+    ``(id, start)``) is exempted — one copy PER WINDOW HASH, not per
+    merged span (see the module docstring's window-granularity note).
     """
     # reuse cache: the window frame feeds both the duplicate-set agg
     # and the occurrence mark — without it the explode+hash runs twice

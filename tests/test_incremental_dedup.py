@@ -365,3 +365,56 @@ def test_read_admitted_skips_torn_output(spark, tmp_path):
     (out / "batch=1" / "_SUCCESS").unlink()  # torn write
     got = {r["doc_id"] for r in read_admitted(spark, str(out)).collect()}
     assert got == {1}
+
+
+def test_content_signature_null_position_significant(spark):
+    """ADVICE r10: concat_ws skips NULLs, so without a per-position
+    sentinel ('a', NULL), (NULL, 'a') and ('a',) all hashed alike and
+    distinct multi-column rows silently deduped as identical. Each
+    column is now coalesced to '<null-key>' first; non-null values
+    hash exactly as before (persisted-index compatibility)."""
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "a", "a"), (4, "a", None)],
+        "id int, x string, y string",
+    )
+    sigs = df.select(
+        "id", content_signature("x", "y", normalize=False).alias("sig")
+    ).collect()
+    by_id = {r["id"]: r["sig"] for r in sigs}
+    assert by_id[1] != by_id[2]  # NULL position distinguishes
+    assert by_id[1] != by_id[3]
+    assert by_id[1] == by_id[4]  # same shape still matches
+
+    # single non-null column: unchanged vs the raw concat_ws form
+    one = spark.createDataFrame([("hello world",)], "text string")
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.functions.hashing import fast_long_hash
+
+    got, legacy = one.select(
+        content_signature("text", normalize=False).alias("got"),
+        fast_long_hash(F.concat_ws("\x1f", F.col("text"))).alias("legacy"),
+    ).first()
+    assert got == legacy
+
+
+def test_broadcast_escape_hatch_matches_default(spark, tmp_path):
+    """broadcast_batch=False degrades the batch-side joins to shuffle
+    joins with an identical admitted set (the oversized-batch escape
+    hatch the r10 ADVICE asked to surface)."""
+    idx_a, idx_b = str(tmp_path / "a"), str(tmp_path / "b")
+    first = _docs(spark, [(1, "alpha"), (2, "bravo")])
+    second = _docs(spark, [(3, "alpha"), (4, "charlie"), (5, "charlie")])
+    for idx, bb in ((idx_a, True), (idx_b, False)):
+        dedup_against_index(
+            spark, first, idx, content_signature("text"), "doc_id",
+            batch_id=1, broadcast_batch=bb,
+        ).collect()
+        got = {
+            r["doc_id"]
+            for r in dedup_against_index(
+                spark, second, idx, content_signature("text"), "doc_id",
+                batch_id=2, broadcast_batch=bb,
+            ).collect()
+        }
+        assert got == {4}, (bb, got)
