@@ -73,24 +73,21 @@ def _committed_out_dirs(spark, out_path: str) -> list[str]:
     return sorted(out)
 
 
-def stream_dedup_to_parquet(
+def _start_output_first_stream(
     stream: DataFrame,
     index_path: str,
     out_path: str,
     checkpoint_dir: str,
-    text_col: str,
-    id_col: str,
-    *,
-    n_buckets: int = 256,
-    normalize: bool = True,
-    fast: bool = True,
-    trigger_once: bool = True,
+    admit,
+    publish_from_output,
+    trigger_once: bool,
 ):
-    """Start the dedup stream; returns the StreamingQuery.
-
-    ``trigger_once`` runs one drain-the-source pass (the test/batch-
-    cron mode); pass False for a continuous micro-batch stream.
-    """
+    """The shared output-first foreachBatch skeleton (module
+    docstring): fresh-lineage guards, committed-output replay skip +
+    index-segment repair, admit -> commit output -> publish index.
+    ``admit(spark, batch_df, batch_id) -> DataFrame`` probes the index
+    WITHOUT publishing; ``publish_from_output(out_df, batch_id)``
+    derives and publishes the index segment from committed output."""
     spark = stream.sparkSession
     if _checkpoint_is_fresh(spark, checkpoint_dir):
         if _committed_out_dirs(spark, out_path):
@@ -112,11 +109,9 @@ def stream_dedup_to_parquet(
                 f"dedup stream: fresh checkpoint {checkpoint_dir!r} but the "
                 f"index at {index_path!r} holds batch segments from another "
                 "lineage — this stream's restarted batch ids would overwrite "
-                "them and erase their membership. Run "
-                "compact_seen_index(index_path) first, then start."
+                "them and erase their membership. Run the index's compaction "
+                "(compact_seen_index / compact_band_index) first, then start."
             )
-
-    sig = content_signature(text_col, normalize=normalize, fast=fast)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -129,15 +124,42 @@ def stream_dedup_to_parquet(
             # index segment from the committed output if the crash
             # fell between the two writes
             if not has_batch_segment(spark, index_path, batch_id):
-                publish_batch_signatures(
-                    spark.read.parquet(target),
-                    index_path,
-                    sig,
-                    batch_id,
-                    n_buckets=n_buckets,
-                )
+                publish_from_output(spark.read.parquet(target), batch_id)
             return
-        fresh = dedup_against_index(
+        fresh = admit(spark, batch_df, batch_id)
+        fresh.write.mode("overwrite").parquet(target)
+        publish_from_output(spark.read.parquet(target), batch_id)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_to_parquet(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 256,
+    normalize: bool = True,
+    fast: bool = True,
+    trigger_once: bool = True,
+):
+    """Start the EXACT dedup stream; returns the StreamingQuery.
+
+    ``trigger_once`` runs one drain-the-source pass (the test/batch-
+    cron mode); pass False for a continuous micro-batch stream.
+    """
+    sig = content_signature(text_col, normalize=normalize, fast=fast)
+
+    def admit(spark, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return dedup_against_index(
             spark,
             batch_df,
             index_path,
@@ -147,21 +169,76 @@ def stream_dedup_to_parquet(
             batch_id=batch_id,
             update=False,
         )
-        fresh.write.mode("overwrite").parquet(target)
+
+    def publish_from_output(out_df: DataFrame, batch_id: int) -> None:
         publish_batch_signatures(
-            spark.read.parquet(target),
-            index_path,
-            sig,
-            batch_id,
-            n_buckets=n_buckets,
+            out_df, index_path, sig, batch_id, n_buckets=n_buckets
         )
 
-    writer = stream.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_dir
+    return _start_output_first_stream(
+        stream, index_path, out_path, checkpoint_dir, admit,
+        publish_from_output, trigger_once,
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+
+
+def stream_near_dedup_to_parquet(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    fast: bool = True,
+    min_agreement: float | None = None,
+    n_buckets: int = 256,
+    trigger_once: bool = True,
+):
+    """Start the NEAR-dup admission stream (VERDICT r10 task #4):
+    each micro-batch is admitted through
+    :func:`..operators.minhash_index.near_dedup_against_index` — a
+    document is rejected when it shares an LSH band (optionally
+    verified by minhash agreement >= ``min_agreement``) with an
+    already-admitted document, or loses the within-batch cluster
+    keeper — under the exact crash protocol of
+    :func:`stream_dedup_to_parquet` (output-first, replay skip,
+    index-segment repair from committed output). Greedy-vs-batch
+    semantics are in :mod:`..operators.minhash_index`'s docstring."""
+    from ..operators.minhash_index import (
+        near_dedup_against_index,
+        publish_band_rows,
+    )
+
+    def admit(spark, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return near_dedup_against_index(
+            spark,
+            batch_df,
+            index_path,
+            text_col,
+            id_col,
+            n=n,
+            k=k,
+            bands=bands,
+            fast=fast,
+            min_agreement=min_agreement,
+            n_buckets=n_buckets,
+            batch_id=batch_id,
+            update=False,
+        )
+
+    def publish_from_output(out_df: DataFrame, batch_id: int) -> None:
+        publish_band_rows(
+            out_df, index_path, text_col, id_col, batch_id,
+            n=n, k=k, bands=bands, fast=fast, n_buckets=n_buckets,
+        )
+
+    return _start_output_first_stream(
+        stream, index_path, out_path, checkpoint_dir, admit,
+        publish_from_output, trigger_once,
+    )
 
 
 def read_admitted(spark, out_path: str) -> DataFrame:
