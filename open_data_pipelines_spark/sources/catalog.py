@@ -490,24 +490,65 @@ def run_source(
             )
             return silver
 
+    # the remaining kinds share one epilogue: bronze frame(s) ->
+    # month-partitioned warehouse write (dynamic overwrite, idempotent
+    # re-runs) -> one processing_logs row — the same contract the
+    # zip_json/zip_csv paths guarantee, so EVERY catalogued kind lands
+    # and logs uniformly (reference: street_manager.py:202-265 rebuild
+    # + metadata_logger.py evidence row per run)
     if cfg.ingest == "gtfs":
-        local = download_to_landing(resolved, landing_dir, opener=opener)
-        return load_gtfs_bundle(spark, local, landing_dir)
 
-    if cfg.ingest in ("ods", "encrypted_xls"):
+        def load(local: str):
+            return load_gtfs_bundle(spark, local, landing_dir)
+
+    elif cfg.ingest in ("ods", "encrypted_xls"):
         from .spreadsheet import load_spreadsheet_bronze
 
-        local = download_to_landing(resolved, landing_dir, opener=opener)
-        return load_spreadsheet_bronze(spark, local, **cfg.ingest_args)
+        def load(local: str):
+            return load_spreadsheet_bronze(spark, local, **cfg.ingest_args)
 
-    if cfg.ingest == "geopackage":
+    elif cfg.ingest == "geopackage":
         from .geopackage import gpkg_to_parquet, load_geoparquet
 
-        local = download_to_landing(resolved, landing_dir, opener=opener)
-        pq = gpkg_to_parquet(local, f"{landing_dir}/geo.parquet")
-        return load_geoparquet(spark, pq)
+        def load(local: str):
+            pq = gpkg_to_parquet(local, f"{landing_dir}/geo.parquet")
+            return load_geoparquet(spark, pq)
 
-    raise KeyError(f"unknown ingest kind {cfg.ingest!r}")
+    else:
+        raise KeyError(f"unknown ingest kind {cfg.ingest!r}")
+
+    from pyspark.sql import functions as F
+
+    from ..sinks.metadata import MetadataLogger
+    from ..sinks.writers import write_month_partition
+
+    with MetadataLogger(
+        spark,
+        log_path,
+        data_source=cfg.name,
+        table_name=cfg.table_template.format(year=year, month=month),
+        processor_type="catalog_ingest",
+        url=resolved,
+    ) as meta:
+        local = download_to_landing(resolved, landing_dir, opener=opener)
+        out = load(local)
+        frames = out if isinstance(out, dict) else {None: out}
+        total = 0
+        for table, frame in frames.items():
+            silver = (
+                frame.withColumn("year", F.lit(year))
+                .withColumn("month", F.lit(month))
+                .withColumn("date_time_processed", F.current_timestamp())
+            )
+            target = warehouse_path if table is None else f"{warehouse_path.rstrip('/')}/{table}"
+            write_month_partition(silver, target)
+            total += (
+                spark.read.parquet(target)
+                .filter((F.col("year") == year) & (F.col("month") == month))
+                .count()
+            )
+        meta.rows_processed = total
+        return out
 
 
 def run_source_backfill(
