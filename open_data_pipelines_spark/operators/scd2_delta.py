@@ -32,6 +32,17 @@ s.record_hash <> d.record_hash`` (the I4 late/duplicate-event guard,
 ``section_58.py:288-291``). One shuffle on the entity key at scale —
 identical to the rewrite path's merge join — but only touched files
 are rewritten, which is the point of the transactional variant.
+
+Environment blocker (round 11, VERDICT r10 task #8): exercising the
+real ``MERGE INTO`` was attempted and is NOT possible in this
+container — no ``delta`` Python package, no delta-spark/delta-core
+jars anywhere on disk, package installs prohibited, and Spark cannot
+fetch the ``io.delta`` artifacts without network access. The
+import-gated :func:`scd2_merge_delta` plus the row-identical
+:func:`simulate_merge` (asserted against the oracle-checked
+``scd2_merge`` in ``tests/test_scd2_delta.py``) remain the verified
+surface; on a cluster with delta-spark the real call is one
+``configure_spark_with_delta_pip`` away.
 """
 
 from __future__ import annotations

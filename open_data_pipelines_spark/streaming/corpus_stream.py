@@ -20,6 +20,13 @@ The streaming/batch split falls out of Spark's own execution model:
   stream-ingest + batch-compact layout, same as the reference's
   monthly re-build converging with its streaming-ish ingest
   (I2/I4 idempotency, ``section_58.py:233-246``).
+- **online near-dup admission** (round 11, optional): near-dup
+  REJECTION — unlike clustering — needs no self-join, only a probe
+  against the admitted set, so
+  :func:`stream_corpus_with_near_dedup` composes the funnel prefix
+  with :mod:`..operators.minhash_index`'s persisted band index and
+  rejects near-duplicates at ingest; batch compaction then has only
+  the genuinely global stages (mixing, packing) left.
 
 Deduplication keeps the FIRST-SEEN copy of a fingerprint (arrival
 order), where the batch stage keeps the min doc id — both are valid
@@ -135,6 +142,34 @@ def stream_corpus_to_bronze(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stream_corpus_with_near_dedup(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    funnel_kwargs: dict | None = None,
+    **near_kwargs,
+):
+    """The online-admission variant (VERDICT r10 task #4 applied to
+    the corpus front end): the streaming-safe funnel prefix (clean ->
+    annotate -> filter -> watermarked exact dedup) feeds
+    :func:`..streaming.dedup_stream.stream_near_dedup_to_parquet`, so
+    near-duplicates of previously ADMITTED documents are rejected AT
+    INGEST against the persisted MinHash band index instead of
+    waiting for batch compaction. ``near_kwargs`` pass through to the
+    admission stream (n/k/bands/min_agreement/...); crash protocol
+    and greedy-vs-batch semantics are documented there. Returns the
+    StreamingQuery; read results with
+    :func:`..streaming.dedup_stream.read_admitted`."""
+    from .dedup_stream import stream_near_dedup_to_parquet
+
+    bronze = streaming_corpus_bronze(stream, **(funnel_kwargs or {}))
+    return stream_near_dedup_to_parquet(
+        bronze, index_path, out_path, checkpoint_dir, "text", "doc_id",
+        **near_kwargs,
     )
 
 

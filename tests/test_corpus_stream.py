@@ -199,3 +199,59 @@ def test_compact_bronze_runs_domain_mix_over_bronze_source(spark):
         source_weights={"src0": 0.4, "src1": 0.3, "src2": 0.3},
     )
     assert out.count() > 0
+
+
+def test_stream_corpus_with_near_dedup_rejects_at_ingest(spark, tmp_path):
+    """Round-11 online admission: a second crawl drop's near-duplicate
+    of an ADMITTED document is rejected at ingest by the persisted
+    band index — no batch compaction needed — while fresh content and
+    shingle-less shorts pass."""
+    import time
+
+    from open_data_pipelines_spark.streaming.corpus_stream import (
+        stream_corpus_with_near_dedup,
+    )
+    from open_data_pipelines_spark.streaming.dedup_stream import read_admitted
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then naps "
+        "in the warm afternoon sun beside the old garden wall"
+    )
+    fresh = (
+        "colorless green ideas sleep furiously beneath heavy winter rain "
+        "while distant thunder rolls across the silent valley floor"
+    )
+    rows1 = [(1, base, "en", "web", len(base))]
+    # doc 2 is byte-identical (exact watermark dedup inside the batch
+    # prefix), doc 3 is the SAME text re-keyed in a LATER drop (the
+    # cross-drop near/exact dup the index must reject), doc 4 fresh
+    rows2 = [(3, base, "en", "web", len(base)), (4, fresh, "en", "web", len(fresh))]
+    landing = str(tmp_path / "landing")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(landing)
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode("append").parquet(
+        landing
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+    q = stream_corpus_with_near_dedup(
+        stream,
+        str(tmp_path / "idx"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        funnel_kwargs={"quality_min": 0.0},
+    )
+    q.awaitTermination(120)
+    admitted = {
+        r["doc_id"] for r in read_admitted(spark, str(tmp_path / "out")).collect()
+    }
+    assert admitted == {1, 4}
+    # the funnel prefix's annotations ride into the admitted output
+    cols = set(read_admitted(spark, str(tmp_path / "out")).columns)
+    assert {"doc_id", "text", "lang", "quality", "n_tokens", "source"} <= cols
