@@ -98,11 +98,13 @@ def stg_emergency_works(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return stg_works(orders, lineitem, SCOPE_CATEGORIES["emergency"])
 
 
-def wellbeing_impact(
-    spark: SparkSession, sf_dir: str, scope: str = "emergency"
+def _wellbeing_rollup(
+    t: dict, works: DataFrame, group_prefix: tuple[str, ...] = ()
 ) -> DataFrame:
-    t = load_tables(spark, sf_dir, register_views=False)
-    works = stg_works(t["orders"], t["lineitem"], SCOPE_CATEGORIES[scope])
+    """Shared downstream of both twins: range join to postcodes,
+    per-work cost, per-authority rollup. ``group_prefix`` threads an
+    optional discriminator column (``scope``) through both
+    aggregations, so the overview runs the expensive stages ONCE."""
     postcodes = int_postcodes(t["customer"])
 
     # J6: bbox prefilter + exact distance, grid-partitioned (scale path)
@@ -111,7 +113,7 @@ def wellbeing_impact(
     # o_custkey rides the group keys (functionally dependent on
     # o_orderkey) — avoids re-joining the orders table afterwards just
     # to recover it
-    per_work = pairs.groupBy("o_orderkey", "o_custkey", "duration_days").agg(
+    per_work = pairs.groupBy(*group_prefix, "o_orderkey", "o_custkey", "duration_days").agg(
         F.count(F.lit(1)).alias("n_postcodes"),
         F.sum("households").alias("total_households"),
     )
@@ -132,11 +134,21 @@ def wellbeing_impact(
         "left",
     ).join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"), "left")
 
-    return enriched.groupBy(F.coalesce("n_name", F.lit("UNKNOWN")).alias("authority")).agg(
+    return enriched.groupBy(
+        *group_prefix, F.coalesce("n_name", F.lit("UNKNOWN")).alias("authority")
+    ).agg(
         F.count(F.lit(1)).alias("n_works"),
         F.sum("total_households").alias("total_households"),
         decimal_sum("wellbeing_cost", 2, "wellbeing_total_impact"),
     )
+
+
+def wellbeing_impact(
+    spark: SparkSession, sf_dir: str, scope: str = "emergency"
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    works = stg_works(t["orders"], t["lineitem"], SCOPE_CATEGORIES[scope])
+    return _wellbeing_rollup(t, works)
 
 
 def major_wellbeing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,19 +160,47 @@ def major_wellbeing_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def wellbeing_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both reference instantiations of the wellbeing DAG — emergency
-    (emergency_wellbeing.sql) and major (major_wellbeing.sql) — unioned
-    with a `scope` discriminator, mirroring the two tables the
-    reference's wellbeing_overview model family materializes."""
-    frames = [
-        wellbeing_impact(spark, sf_dir, scope=s).select(
-            F.lit(s).alias("scope"), "*"
-        )
-        for s in SCOPE_CATEGORIES
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    (emergency_wellbeing.sql) and major (major_wellbeing.sql) — keyed
+    by a `scope` discriminator, mirroring the two tables the
+    reference's wellbeing_overview model family materializes.
+
+    Single-pass plan: the scopes are DISJOINT category predicates, so
+    instead of running the DAG per scope and unioning (two lineitem
+    dedups, two range joins), the scope is assigned as a CASE column
+    on the one orders scan and threads through the shared rollup as an
+    extra group key — value-identical to the union-of-twins form
+    (pinned by test) at half the work."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    scope_expr = F.lit(None).cast("string")
+    for scope, cats in reversed(SCOPE_CATEGORIES.items()):
+        scope_expr = F.when(
+            F.col("o_orderpriority").isin(*cats), F.lit(scope)
+        ).otherwise(scope_expr)
+    latest_line = top1_per_key(
+        t["lineitem"].select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity"),
+        ["l_orderkey"],
+        [
+            F.col("l_shipdate").desc(),
+            F.col("l_linenumber").desc(),
+            F.col("l_quantity").desc(),
+        ],
+    ).select("l_orderkey", F.col("l_shipdate").alias("end_ts"))
+    scoped = t["orders"].withColumn("scope", scope_expr).filter(
+        F.col("scope").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    works = scoped.join(
+        latest_line, scoped["o_orderkey"] == latest_line["l_orderkey"], "inner"
+    ).select(
+        "scope",
+        "o_orderkey",
+        "o_custkey",
+        ((F.col("o_orderkey") * 37) % 500).alias("wx"),
+        ((F.col("o_orderkey") * 91) % 500).alias("wy"),
+        F.greatest(F.datediff(F.col("end_ts"), F.col("o_orderdate")), F.lit(1)).alias(
+            "duration_days"
+        ),
+    )
+    return _wellbeing_rollup(t, works, group_prefix=("scope",))
 
 
 def _oracle_sql(categories: tuple[str, ...]) -> str:
