@@ -268,10 +268,14 @@ def near_dedup_against_index(
             ]
             batch_id = (max(nums) + 1) if nums else 1
         fresh = lazy_checkpoint(fresh)
-        publish_band_rows(
-            fresh, base, text_col, id_col, batch_id,
-            n=n, k=k, bands=bands, fast=fast, n_buckets=n_buckets,
-            write_files=write_files,
+        # reuse the batch's already-computed band rows for the publish
+        # (a semi-join on admitted ids) instead of re-shingling the
+        # admitted text like the output-derived streaming publish must
+        admitted_bands = bnd.join(
+            F.broadcast(fresh.select(id_col)), id_col, "left_semi"
+        )
+        _write_band_segment(
+            admitted_bands, f"{base}/{_BATCH_PREFIX}{batch_id}", write_files
         )
     return fresh
 
