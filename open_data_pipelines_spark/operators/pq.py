@@ -463,8 +463,11 @@ def maintain_ivf_pq_index(
                 list_col, assign_list_id(vec_col, centroids)
             ).write.mode("append").partitionBy(list_col).parquet(data_path)
             # upgrade a pre-meta layout in place (write-once: no-op on
-            # any index build_ivf_pq_index produced)
-            _write_pq_meta(spark, data_path, nbits, len(codebooks))
+            # any index build_ivf_pq_index produced) — but never
+            # persist an INFERRED width: pinning a possibly-narrowed
+            # inference into state would be worse than re-inferring
+            if not nbits_inferred:
+                _write_pq_meta(spark, data_path, nbits, len(codebooks))
         return {
             "centroids": centroids,
             "codebooks": codebooks,

@@ -320,3 +320,31 @@ def test_streaming_replay_of_committed_batch_skips_probe(spark, tmp_path):
         crc.unlink()
     drain()  # replays the last batch
     assert {r["doc_id"] for r in read_admitted(spark, out).collect()} == {1, 2, 4}
+
+
+def test_streaming_all_duplicate_batch_commits_empty_output(spark, tmp_path):
+    """A micro-batch that is ENTIRELY near-duplicates commits an empty
+    (schema-carrying) output directory and an empty index segment —
+    the stream keeps draining and later batches still admit."""
+    landing = str(tmp_path / "landing")
+    idx, out, ckpt = (
+        str(tmp_path / "idx"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = _docs(spark, [(1, ALPHA)]).schema
+    _docs(spark, [(1, ALPHA)]).repartition(1).write.parquet(landing)
+    time.sleep(1.1)
+    _docs(spark, [(2, ALPHA)]).repartition(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    _docs(spark, [(3, BRAVO)]).repartition(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+    q = stream_near_dedup_to_parquet(stream, idx, out, ckpt, "text", "doc_id")
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in read_admitted(spark, out).collect()} == {1, 3}
