@@ -1015,6 +1015,81 @@ def semdedup_scenario(n_vecs: int = 50_000, hot_fraction: float = 0.3) -> None:
     )
 
 
+def near_dedup_scenario(
+    corpus_sizes=(50_000, 200_000, 800_000), batch_n: int = 5_000
+) -> None:
+    """Round 11: the band-index scale claim, the near-dup twin of
+    ``--incremental-dedup`` — admitting a fixed batch against the
+    persisted MinHash band index stays ~O(batch + index scan) as the
+    index grows, while the batch-mode alternative
+    (minhash_lsh_candidates over corpus+batch) re-shingles and
+    re-bands the whole corpus every arrival. The probe broadcasts
+    only the batch's band keys; the index side is an 8-byte-ish
+    band-row scan, never shuffled."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.minhash_index import (
+        near_dedup_against_index,
+    )
+    from open_data_pipelines_spark.operators.text_dedup import (
+        minhash_lsh_candidates,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-near-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ~15-token synthetic docs, half the batch near-duplicating seen
+    # docs (same token stream, one token changed), half fresh
+    def corpus(n, offset=0, mutate=False):
+        base = spark.range(n).select((F.col("id") + offset).alias("doc_id"))
+        words = [
+            F.concat(F.lit(f"w{j}_"), F.pmod(F.xxhash64(F.col("doc_id") + j), F.lit(5000)).cast("string"))
+            for j in range(15)
+        ]
+        if mutate:
+            words[7] = F.lit("mutated_token")
+        return base.select("doc_id", F.concat_ws(" ", *words).alias("text"))
+
+    corpus(5_000).count()  # warmup
+
+    results = {}
+    for n in corpus_sizes:
+        seen = corpus(n)
+        # batch: half near-dups of seen rows (re-keyed + one-token
+        # mutation), half brand-new content past the corpus range
+        near = corpus(batch_n // 2, offset=0, mutate=True).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+        fresh_half = corpus(batch_n // 2, offset=n + 1_000_000)
+        batch = near.unionByName(fresh_half)
+        with tempfile.TemporaryDirectory() as td:
+            idx = td + "/bands"
+            near_dedup_against_index(
+                spark, seen, idx, "text", "doc_id", batch_id=1, fast=True
+            ).count()
+            t0 = time.perf_counter()
+            admitted = near_dedup_against_index(
+                spark, batch, idx, "text", "doc_id", batch_id=2, fast=True
+            ).count()
+            probe_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_candidates(
+            seen.unionByName(batch), "text", "doc_id", fast=True
+        ).count()
+        full_sec = round(time.perf_counter() - t0, 2)
+        results[n] = {
+            "probe_and_publish_sec": probe_sec,
+            "full_rebanding_sec": full_sec,
+            "admitted_rows": admitted,
+            "full_candidate_pairs": pairs,
+        }
+    print(json.dumps({"scenario": "near_dedup", "batch_n": batch_n, "sizes": results}))
+
+
 def domain_cap_scenario(n_rows: int = 4_000_000, n_domains: int = 200_000) -> None:
     """Round 10 (session 3): per-domain caps under web-shaped domain
     skew — one mega-domain holds 25% of the corpus, a long tail of
@@ -1085,6 +1160,9 @@ def main() -> None:
         return
     if "--incremental-dedup" in sys.argv:
         incremental_dedup_scenario()
+        return
+    if "--near-dedup" in sys.argv:
+        near_dedup_scenario()
         return
     if "--semdedup" in sys.argv:
         semdedup_scenario()
