@@ -204,3 +204,64 @@ def perplexity_filter(
         F.exp("avg_neg_logp") <= max_perplexity
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lm: NgramLM,
+    bounds: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    by_lang: str | None = None,
+    broadcast_model: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: label every scoreable document
+    by where its perplexity falls in the CORPUS distribution —
+    ``head`` (lowest perplexity, most reference-like) up to
+    ``bounds[0]``, ``middle`` up to ``bounds[1]``, ``tail`` above.
+    CCNet computes the cutoffs per language; pass ``by_lang`` to do
+    the same here (one cutoff row per language, broadcast back).
+
+    Shapes: the shared per-doc scoring core, then ONE
+    ``percentile_approx`` aggregation for the cutoffs (global or
+    per-language — either way a dim-sized frame broadcast onto the
+    scores; no sort, no window). The cutoffs are approximate with
+    error ~1/``accuracy`` of rank — the same trade CCNet itself makes
+    with its binned distributions; documents within that sliver of a
+    boundary may land on either side, so tests should pin proportions
+    and monotonicity, not exact membership at the boundary.
+
+    Returns (id, perplexity, bucket) plus the ``by_lang`` column when
+    given. Empty documents have no score row and are absent — CCNet
+    drops them too.
+    """
+    lo, hi = bounds
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"bounds must satisfy 0 < lo < hi < 1, got {bounds}")
+    keys = [by_lang] if by_lang else []
+    if by_lang:
+        scored_in = df.select(id_col, text_col, by_lang)
+    else:
+        scored_in = df.select(id_col, text_col)
+    per_doc = _per_doc_scores(scored_in, text_col, id_col, lm, broadcast_model)
+    scored = per_doc.select(
+        id_col, F.exp("avg_neg_logp").alias("perplexity")
+    )
+    if by_lang:
+        scored = scored.join(
+            F.broadcast(df.select(id_col, by_lang)), id_col, "inner"
+        )
+    cuts = scored.groupBy(*keys).agg(
+        F.percentile_approx("perplexity", F.lit(lo), F.lit(accuracy)).alias("__lo"),
+        F.percentile_approx("perplexity", F.lit(hi), F.lit(accuracy)).alias("__hi"),
+    )
+    labeled = scored.join(F.broadcast(cuts), keys) if keys else scored.crossJoin(
+        F.broadcast(cuts)
+    )
+    bucket = (
+        F.when(F.col("perplexity") <= F.col("__lo"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("__hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return labeled.select(id_col, *keys, "perplexity", bucket.alias("bucket"))

@@ -112,3 +112,66 @@ def test_funnel_composition_perplexity_stage(spark, lm):
     )
     assert stats["perplexity_kept"] < stats["quality_kept"]
     assert out.filter(F.col("doc_id") >= 90000).count() == 0
+
+
+def test_perplexity_buckets_split_and_monotone(spark, lm):
+    """Head/middle/tail proportions follow the bounds (within the
+    approx-quantile sliver) and bucket perplexities are monotone:
+    max(head) <= min(middle-above-head) etc. by construction of the
+    cutoffs."""
+    from open_data_pipelines_spark.operators.lm_score import perplexity_buckets
+
+    rnd = random.Random(11)
+    docs = spark.createDataFrame(
+        [(i, _sentence(rnd, rnd.randint(15, 40))) for i in range(300)]
+        + [(1000 + i, " ".join(f"zz{j}q{i}" for j in range(20))) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    out = perplexity_buckets(docs, "text", "doc_id", lm).collect()
+    by_bucket: dict[str, list[float]] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["perplexity"])
+    n = len(out)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert abs(len(by_bucket["head"]) / n - 1 / 3) < 0.05
+    assert abs(len(by_bucket["tail"]) / n - 1 / 3) < 0.05
+    assert max(by_bucket["head"]) <= min(by_bucket["tail"])
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # the junk docs are overwhelmingly in the tail
+    junk_buckets = [r["bucket"] for r in out if r["doc_id"] >= 1000]
+    assert junk_buckets.count("tail") >= 0.9 * len(junk_buckets)
+
+
+def test_perplexity_buckets_per_language_cutoffs(spark, lm):
+    """CCNet computes cutoffs PER LANGUAGE: a language whose docs are
+    uniformly junk still splits ~evenly within itself instead of
+    landing wholly in the global tail."""
+    from open_data_pipelines_spark.operators.lm_score import perplexity_buckets
+
+    rnd = random.Random(12)
+    good = [(i, _sentence(rnd, rnd.randint(15, 40)), "en") for i in range(150)]
+    # vary the in-domain fraction so per-doc perplexities DIFFER (an
+    # all-OOV corpus ties on one perplexity and collapses into one
+    # bucket — quantile cutoffs need an actual distribution)
+    junk = [
+        (
+            1000 + i,
+            " ".join(
+                [_sentence(rnd, 3 + i % 10)]
+                + [f"xx{j}p{i}" for j in range(10, 30)]
+            ),
+            "xx",
+        )
+        for i in range(150)
+    ]
+    docs = spark.createDataFrame(good + junk, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(docs, "text", "doc_id", lm, by_lang="lang").collect()
+    xx = [r for r in out if r["lang"] == "xx"]
+    heads = sum(1 for r in xx if r["bucket"] == "head")
+    assert abs(heads / len(xx) - 1 / 3) < 0.07  # junk splits within itself
+    # and boundaries stay per-language: every en head <= every en tail
+    en = [r for r in out if r["lang"] == "en"]
+    assert max(r["perplexity"] for r in en if r["bucket"] == "head") <= min(
+        r["perplexity"] for r in en if r["bucket"] == "tail"
+    )
