@@ -89,7 +89,11 @@ def prepare_corpus(
     quality_model_min: float = 0.5,
     perplexity_lm=None,
     perplexity_max: float | None = None,
+    perplexity_keep_buckets: tuple[str, ...] | None = None,
     repetition_thresholds: dict[str, float] | None = None,
+    url_col: str | None = None,
+    url_blocklist=None,
+    url_quality: bool = False,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
     embedding_threshold: float = 0.95,
@@ -129,6 +133,14 @@ def prepare_corpus(
     so the caller's own write/collect reuses that execution; call
     ``.unpersist()`` on it when done).
 
+    ``url_col`` (+ ``url_blocklist`` / ``url_quality=True``) enables
+    the web-curation URL gate as the FIRST stage (pure expressions +
+    broadcast anti-join; the later ``input`` audit then counts gate
+    survivors). ``perplexity_keep_buckets`` (e.g. ``("head",
+    "middle")``) is the CCNet distribution-relative alternative to
+    ``perplexity_max``: per-language head/middle/tail cutoffs from
+    the corpus itself.
+
     ``benchmark`` is a (bench_id, text) frame of eval items to
     decontaminate against; ``source_weights`` a target domain mix over
     the raw ``source`` column (downsampling), ``domain_cap`` a
@@ -155,6 +167,20 @@ def prepare_corpus(
             return df.observe(obs, F.count(F.lit(1)).alias("rows"))
         stats[name] = df.count()
         return df
+
+    if url_col is not None and (url_blocklist is not None or url_quality):
+        from ..operators.url_filter import filter_domain_blocklist, filter_url_quality
+
+        # URL gating is the cheapest cut there is (no text touched:
+        # pure expressions + a broadcast anti-join), so it runs FIRST
+        # — before boilerplate/paragraph stages ever see the rows
+        if url_blocklist is not None:
+            docs = filter_domain_blocklist(docs, url_col, url_blocklist)
+        if url_quality:
+            docs = filter_url_quality(docs, url_col)
+        docs = note("url_kept", docs)
+    elif (url_blocklist is not None or url_quality) and url_col is None:
+        raise ValueError("url_blocklist/url_quality need url_col")
 
     # the observed frame MUST flow into the plan (a dangling observe
     # node never executes, and its Observation.get would block forever)
@@ -281,11 +307,16 @@ def prepare_corpus(
         )
 
     if perplexity_lm is not None:
-        from ..operators.lm_score import perplexity_filter
+        from ..operators.lm_score import perplexity_buckets, perplexity_filter
 
-        if perplexity_max is None:
+        if perplexity_max is None and perplexity_keep_buckets is None:
             raise ValueError("perplexity_lm needs perplexity_max (pick it from "
-                             "the scored distribution's quantiles)")
+                             "the scored distribution's quantiles) or "
+                             "perplexity_keep_buckets (the CCNet head/middle/"
+                             "tail form)")
+        if perplexity_max is not None and perplexity_keep_buckets is not None:
+            raise ValueError("pass perplexity_max OR perplexity_keep_buckets, "
+                             "not both")
         # CCNet-style LM filter: one explode + broadcast model joins +
         # per-doc agg — runs after the pure projections, before the
         # shuffling dedup stages. The filter consumes its input THREE
@@ -300,10 +331,25 @@ def prepare_corpus(
         # 0 (measured rule, caching.lazy_checkpoint docstring;
         # regression: test_observe_audit_with_perplexity_stage)
         kept = lazy_checkpoint(kept, eager=with_stats and stats_via == "observe")
-        kept = note(
-            "perplexity_kept",
-            perplexity_filter(kept, "text", "doc_id", perplexity_lm, perplexity_max),
-        )
+        if perplexity_keep_buckets is not None:
+            # CCNet's distribution-relative form: label head/middle/
+            # tail by corpus quantiles (per language — `kept` carries
+            # the annotate stage's lang column) and keep the named
+            # buckets; a semi-join on the kept ids preserves schema
+            buckets = perplexity_buckets(
+                kept, "text", "doc_id", perplexity_lm, by_lang="lang"
+            )
+            keep_ids = buckets.filter(
+                F.col("bucket").isin(*perplexity_keep_buckets)
+            ).select("doc_id")
+            kept = note(
+                "perplexity_kept", kept.join(keep_ids, "doc_id", "left_semi")
+            )
+        else:
+            kept = note(
+                "perplexity_kept",
+                perplexity_filter(kept, "text", "doc_id", perplexity_lm, perplexity_max),
+            )
 
     if repetition_thresholds is not None:
         from ..operators.repetition import repetition_filter

@@ -175,3 +175,87 @@ def test_perplexity_buckets_per_language_cutoffs(spark, lm):
     assert max(r["perplexity"] for r in en if r["bucket"] == "head") <= min(
         r["perplexity"] for r in en if r["bucket"] == "tail"
     )
+
+
+def test_funnel_perplexity_bucket_stage(spark, lm):
+    """The CCNet bucket form of the funnel's perplexity stage: keeping
+    ("head", "middle") drops roughly the worst third per language —
+    and junk planted INSIDE the en cohort (stopword-laced so lang-id
+    says en, OOV-heavy so the LM hates it) lands in that dropped
+    tail. The cutoffs are per predicted language, so junk must share
+    the cohort to be droppable — its own cohort would split within
+    itself (that semantic is pinned by the per-language test)."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from tests.conftest import SF_SMOKE
+
+    rnd = random.Random(13)
+    good = [
+        (i, _sentence(rnd, rnd.randint(20, 40)), "en", "web", 200)
+        for i in range(300)
+    ]
+    junk = [
+        (
+            90000 + i,
+            " ".join(f"the qz{i}x{j} and wv{j}v of kj{i}j" for j in range(6)),
+            "en",
+            "web",
+            200,
+        )
+        for i in range(30)
+    ]
+    planted = spark.createDataFrame(
+        good + junk, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with pytest.raises(ValueError, match="not both"):
+        prepare_corpus(
+            spark, SF_SMOKE, docs=planted, perplexity_lm=lm,
+            perplexity_max=10.0, perplexity_keep_buckets=("head",),
+        )
+    out, stats = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        docs=planted,
+        near_dup="none",
+        quality_min=0.0,
+        keep_langs=("en", "fr", "de", "und"),
+        perplexity_lm=lm,
+        perplexity_keep_buckets=("head", "middle"),
+        with_stats=True,
+    )
+    kept_frac = stats["perplexity_kept"] / stats["quality_kept"]
+    assert 0.55 < kept_frac < 0.8  # ~2/3, quantile sliver + per-lang wiggle
+    assert out.filter(F.col("doc_id") >= 90000).count() == 0
+
+
+def test_funnel_url_gate_runs_first(spark, lm):
+    """URL gating: blocked domains and junk-shaped URLs drop before
+    any text stage; the input audit counts gate survivors."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from tests.conftest import SF_SMOKE
+
+    rnd = random.Random(14)
+    rows = [
+        (1, _sentence(rnd, 30), "en", "web", 200, "https://good.org/a"),
+        (2, _sentence(rnd, 30), "en", "web", 200, "https://spam.example.com/b"),
+        (3, _sentence(rnd, 30), "en", "web", 200, "https://203.0.113.7/c"),
+        (4, _sentence(rnd, 30), "en", "web", 200, "https://fine.net/d"),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars", "url"]
+    )
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_corpus(spark, SF_SMOKE, docs=docs, url_blocklist=["example.com"])
+    out, stats = prepare_corpus(
+        spark,
+        SF_SMOKE,
+        docs=docs,
+        near_dup="none",
+        quality_min=0.0,
+        keep_langs=("en", "und"),
+        url_col="url",
+        url_blocklist=["example.com"],
+        url_quality=True,
+        with_stats=True,
+    )
+    assert stats["url_kept"] == stats["input"] == 2
+    assert {r["doc_id"] for r in out.select("doc_id").distinct().collect()} == {1, 4}
