@@ -55,9 +55,15 @@ class NgramLM:
     lam: float
 
 
-def _token_pairs(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+def _token_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(prev, tok) pairs per document with a BOS sentinel — one
-    explode, all expression-level."""
+    explode, all expression-level. ``carry`` columns (functionally
+    dependent on the id, e.g. a language label) ride the explode."""
     toks = F.filter(
         whitespace_tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
     )
@@ -66,9 +72,10 @@ def _token_pairs(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
         F.slice(padded, 1, F.size(padded) - 1).alias("prev"),
         F.slice(padded, 2, F.size(padded) - 1).alias("tok"),
     )
-    cols = [F.col(id_col)] if id_col else []
+    cols = ([F.col(id_col)] if id_col else []) + [F.col(c) for c in carry]
+    names = ([id_col] if id_col else []) + list(carry)
     return df.select(*cols, F.explode(pairs).alias("__p")).select(
-        *([id_col] if id_col else []),
+        *names,
         F.col("__p.prev").alias("prev"),
         F.col("__p.tok").alias("tok"),
     )
@@ -137,11 +144,15 @@ def _per_doc_scores(
     id_col: str,
     lm: NgramLM,
     broadcast_model: bool,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, n_tokens, avg_neg_logp) for every NON-empty document —
-    the shared core of score and filter. Empty docs simply have no
-    token pairs and no row here."""
-    pairs = _token_pairs(df, text_col, id_col)
+    """(id, *carry, n_tokens, avg_neg_logp) for every NON-empty
+    document — the shared core of score, filter and buckets. Empty
+    docs simply have no token pairs and no row here. ``carry``
+    columns (functionally dependent on the id) ride the explode and
+    the group keys, so callers never re-join the corpus to recover
+    them."""
+    pairs = _token_pairs(df, text_col, id_col, carry)
     uni = lm.unigrams
     bi = lm.bigrams.select("prev", "tok", "bi_n", "prev_n")
     if broadcast_model:
@@ -149,9 +160,13 @@ def _per_doc_scores(
     scored = (
         pairs.join(uni, "tok", "left")
         .join(bi, ["prev", "tok"], "left")
-        .select(F.col(id_col), _interp_logp(lm, F.col("bi_n"), F.col("prev_n"), F.col("uni_n")).alias("__lp"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            _interp_logp(lm, F.col("bi_n"), F.col("prev_n"), F.col("uni_n")).alias("__lp"),
+        )
     )
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col, *carry).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (-F.avg("__lp")).alias("avg_neg_logp"),
     )
@@ -234,31 +249,35 @@ def perplexity_buckets(
 
     Returns (id, perplexity, bucket) plus the ``by_lang`` column when
     given. Empty documents have no score row and are absent — CCNet
-    drops them too.
+    drops them too. Rows with a NULL ``by_lang`` value form their own
+    cohort (null-safe cutoff join), they do not vanish.
     """
     lo, hi = bounds
     if not 0.0 < lo < hi < 1.0:
         raise ValueError(f"bounds must satisfy 0 < lo < hi < 1, got {bounds}")
     keys = [by_lang] if by_lang else []
-    if by_lang:
-        scored_in = df.select(id_col, text_col, by_lang)
-    else:
-        scored_in = df.select(id_col, text_col)
-    per_doc = _per_doc_scores(scored_in, text_col, id_col, lm, broadcast_model)
-    scored = per_doc.select(
-        id_col, F.exp("avg_neg_logp").alias("perplexity")
+    per_doc = _per_doc_scores(
+        df, text_col, id_col, lm, broadcast_model, carry=tuple(keys)
     )
-    if by_lang:
-        scored = scored.join(
-            F.broadcast(df.select(id_col, by_lang)), id_col, "inner"
-        )
+    # the language label rides the scoring explode/groupBy (carry), so
+    # no corpus-sized join — and certainly no corpus-sized broadcast —
+    # is ever needed to recover it. Checkpoint: the scored frame feeds
+    # BOTH the cutoff aggregation and the labeled output (the
+    # perplexity_filter three-consumers rule, one subtree execution).
+    scored = lazy_checkpoint(
+        per_doc.select(id_col, *keys, F.exp("avg_neg_logp").alias("perplexity"))
+    )
     cuts = scored.groupBy(*keys).agg(
         F.percentile_approx("perplexity", F.lit(lo), F.lit(accuracy)).alias("__lo"),
         F.percentile_approx("perplexity", F.lit(hi), F.lit(accuracy)).alias("__hi"),
     )
-    labeled = scored.join(F.broadcast(cuts), keys) if keys else scored.crossJoin(
-        F.broadcast(cuts)
-    )
+    if keys:
+        # NULL-safe on the lang key: rows with NULL language form
+        # their own cohort and must not vanish through an equi-join
+        cond = scored[by_lang].eqNullSafe(cuts[by_lang])
+        labeled = scored.join(F.broadcast(cuts), cond).drop(cuts[by_lang])
+    else:
+        labeled = scored.crossJoin(F.broadcast(cuts))
     bucket = (
         F.when(F.col("perplexity") <= F.col("__lo"), F.lit("head"))
         .when(F.col("perplexity") <= F.col("__hi"), F.lit("middle"))

@@ -348,8 +348,22 @@ def build_ivf_pq_index(
     )
     if path is None:
         return encoded
+    persist_meta = True
     if nbits is None:
         nbits = (len(codebooks[0]) - 1).bit_length()
+        if len(codebooks[0]) != 1 << nbits:
+            # the books are not exactly full, so the inference may be
+            # NARROWER than the configured width — persisting it would
+            # permanently suppress the maintenance-time warning this
+            # meta exists to make unnecessary (the append-path rule)
+            persist_meta = False
+            warnings.warn(
+                f"build_ivf_pq_index: nbits={nbits} inferred from codebooks "
+                f"holding {len(codebooks[0])} centroids (not a full 2**nbits) "
+                "— NOT persisting the inferred width; pass nbits explicitly "
+                "to pin the configured width in the index meta",
+                stacklevel=2,
+            )
     m = len(codebooks)
     spark = corpus.sparkSession
 
@@ -357,7 +371,8 @@ def build_ivf_pq_index(
         encoded.write.mode("overwrite").partitionBy(list_col).parquet(gen_dir)
         # meta lands before the manifest pointer publishes, so a
         # committed generation always carries its geometry
-        _write_pq_meta(spark, gen_dir, nbits, m)
+        if persist_meta:
+            _write_pq_meta(spark, gen_dir, nbits, m)
 
     if commit == "manifest":
         commit_generation(spark, path, _write)

@@ -152,9 +152,18 @@ def url_quality_flags(
     digitish = F.length(F.regexp_replace(host, r"[^0-9]", "")) >= (
         F.length(host) * 0.4
     )
-    badword_hit = F.lit(False)
-    for w in badwords:
-        badword_hit = badword_hit | lowered.contains(w)
+    # token-boundary match, not raw substring: 'sussex.ac.uk' or
+    # '/essex/' must NOT hit 'sex' (the C4 badword lists are
+    # word-boundary matched for exactly this reason). A badword
+    # embedded in a longer token ('pornhub') needs its own list entry.
+    import re as _re
+
+    alternation = "|".join(_re.escape(w.lower()) for w in badwords)
+    badword_hit = (
+        lowered.rlike(rf"(^|[^a-z0-9])({alternation})([^a-z0-9]|$)")
+        if badwords
+        else F.lit(False)
+    )
     n_params = F.when(
         parsed["query"].isNull(), F.lit(0)
     ).otherwise(F.size(F.split(parsed["query"], "&")))

@@ -317,6 +317,15 @@ def prepare_corpus(
         if perplexity_max is not None and perplexity_keep_buckets is not None:
             raise ValueError("pass perplexity_max OR perplexity_keep_buckets, "
                              "not both")
+        if perplexity_keep_buckets is not None:
+            # fail loud on a typo ("midle") — isin would otherwise
+            # silently erase the corpus
+            bad = set(perplexity_keep_buckets) - {"head", "middle", "tail"}
+            if bad or not perplexity_keep_buckets:
+                raise ValueError(
+                    f"perplexity_keep_buckets must be non-empty and drawn from "
+                    f"('head', 'middle', 'tail'); got {perplexity_keep_buckets!r}"
+                )
         # CCNet-style LM filter: one explode + broadcast model joins +
         # per-doc agg — runs after the pure projections, before the
         # shuffling dedup stages. The filter consumes its input THREE

@@ -52,10 +52,24 @@ SCOPE_CATEGORIES: dict[str, tuple[str, ...]] = {
 
 
 def stg_works(
-    orders: DataFrame, lineitem: DataFrame, categories: tuple[str, ...]
+    orders: DataFrame,
+    lineitem: DataFrame,
+    categories: tuple[str, ...] | None = None,
+    scope_expr=None,
 ) -> DataFrame:
-    """Permits in the given categories, one row each, with coords +
-    duration days (stg_{emergency,major}_works_by_authority.sql)."""
+    """Permits with coords + duration days
+    (stg_{emergency,major}_works_by_authority.sql). Exactly one of:
+
+    - ``categories`` — keep permits in those categories (one twin);
+    - ``scope_expr`` — a Column labeling each permit's scope (NULL =
+      out of every scope, dropped); the label rides the output as
+      ``scope`` so the overview runs the whole DAG once for all twins.
+
+    The coordinate/duration analog formulas live ONLY here — both
+    call forms share them, so they cannot drift apart.
+    """
+    if (categories is None) == (scope_expr is None):
+        raise ValueError("pass exactly one of categories / scope_expr")
     latest_line = top1_per_key(
         lineitem.select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity"),
         ["l_orderkey"],
@@ -66,11 +80,18 @@ def stg_works(
         ],
     ).select("l_orderkey", F.col("l_shipdate").alias("end_ts"))
 
-    scoped = orders.filter(
-        F.col("o_orderpriority").isin(*categories) & F.col("o_orderdate").isNotNull()
-    )
+    if categories is not None:
+        scoped = orders.filter(F.col("o_orderpriority").isin(*categories))
+        scope_cols: list = []
+    else:
+        scoped = orders.withColumn("scope", scope_expr).filter(
+            F.col("scope").isNotNull()
+        )
+        scope_cols = ["scope"]
+    scoped = scoped.filter(F.col("o_orderdate").isNotNull())
     out = scoped.join(latest_line, scoped["o_orderkey"] == latest_line["l_orderkey"], "inner")
     return out.select(
+        *scope_cols,
         "o_orderkey",
         "o_custkey",
         ((F.col("o_orderkey") * 37) % 500).alias("wx"),
@@ -176,30 +197,7 @@ def wellbeing_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         scope_expr = F.when(
             F.col("o_orderpriority").isin(*cats), F.lit(scope)
         ).otherwise(scope_expr)
-    latest_line = top1_per_key(
-        t["lineitem"].select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity"),
-        ["l_orderkey"],
-        [
-            F.col("l_shipdate").desc(),
-            F.col("l_linenumber").desc(),
-            F.col("l_quantity").desc(),
-        ],
-    ).select("l_orderkey", F.col("l_shipdate").alias("end_ts"))
-    scoped = t["orders"].withColumn("scope", scope_expr).filter(
-        F.col("scope").isNotNull() & F.col("o_orderdate").isNotNull()
-    )
-    works = scoped.join(
-        latest_line, scoped["o_orderkey"] == latest_line["l_orderkey"], "inner"
-    ).select(
-        "scope",
-        "o_orderkey",
-        "o_custkey",
-        ((F.col("o_orderkey") * 37) % 500).alias("wx"),
-        ((F.col("o_orderkey") * 91) % 500).alias("wy"),
-        F.greatest(F.datediff(F.col("end_ts"), F.col("o_orderdate")), F.lit(1)).alias(
-            "duration_days"
-        ),
-    )
+    works = stg_works(t["orders"], t["lineitem"], scope_expr=scope_expr)
     return _wellbeing_rollup(t, works, group_prefix=("scope",))
 
 
