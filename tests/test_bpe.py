@@ -1,0 +1,142 @@
+"""BPE tokenizer: trainer parity against a naive reference
+implementation, encode/detokenize round-trip, determinism across
+partitionings, count consistency, and the cap's tie-safety."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.bpe import (
+    EOW,
+    _train_merges,
+    _word_symbols,
+    bpe_encode,
+    detokenize,
+    token_count_bpe,
+    train_bpe,
+    word_counts,
+)
+
+
+def naive_train(freqs: dict[str, int], num_merges: int):
+    """The textbook O(merges x vocab) trainer (Sennrich 2016 fig. 1) —
+    the oracle the incremental trainer must match exactly."""
+    words = {w: list(_word_symbols(w)) for w in freqs}
+    merges = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + freqs[w]
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        if counts[pair] < 2:
+            break
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for w, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == pair:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = out
+    return merges
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_incremental_trainer_matches_naive(seed):
+    rng = random.Random(seed)
+    alphabet = "abcdef"
+    freqs = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))): rng.randint(1, 50)
+        for _ in range(60)
+    }
+    assert _train_merges(dict(freqs), 40) == naive_train(dict(freqs), 40)
+
+
+def test_train_on_spark_corpus_and_stats(spark):
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest new " * 3) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    tok = train_bpe(docs, "text", num_merges=50)
+    assert tok["stats"]["distinct_words"] == 6
+    assert tok["stats"]["trained_on_words"] == 6
+    assert tok["stats"]["token_mass"] == 6 * 3 * 20
+    # classic Sennrich example: 'lo', 'low', 'ne'/'new' family merges emerge
+    merged_strings = {a + b for a, b in tok["merges"]}
+    assert "lo" in merged_strings
+    assert any(m.startswith("ne") for m in merged_strings)
+    # every merge product is in the vocab
+    assert set(merged_strings) <= set(tok["vocab"])
+
+
+def test_trainer_is_partitioning_invariant(spark):
+    rows = [(i, f"alpha beta gam{i % 7}ma delta " * 2) for i in range(50)]
+    one = train_bpe(spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1), "text", 30)
+    many = train_bpe(
+        spark.createDataFrame(rows, ["doc_id", "text"]).repartition(13), "text", 30
+    )
+    assert one["merges"] == many["merges"]
+
+
+def test_encode_roundtrip_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "the new newest"), (3, None), (4, "")],
+        ["doc_id", "text"],
+    )
+    tok = train_bpe(docs, "text", num_merges=30)
+    enc = bpe_encode(docs, "text", tok["merges"])
+    counted = token_count_bpe(enc, "text", tok["merges"])
+    rows = {r["doc_id"]: r for r in counted.collect()}
+    # round-trip: detokenize(encode(text)) == lowercased whitespace-normal text
+    assert detokenize(rows[1]["bpe_tokens"]) == "low lower lowest"
+    assert detokenize(rows[2]["bpe_tokens"]) == "the new newest"
+    assert rows[3]["bpe_tokens"] == [] and rows[3]["n_bpe_tokens"] == 0
+    assert rows[4]["bpe_tokens"] == [] and rows[4]["n_bpe_tokens"] == 0
+    # count column == len(tokens) always
+    for r in rows.values():
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+    # every token ends a word iff it carries the EOW sentinel; word
+    # count is preserved
+    assert sum(t.endswith(EOW) for t in rows[1]["bpe_tokens"]) == 3
+
+
+def test_word_counts_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "A a  b"), (2, "b c")], ["doc_id", "text"]
+    )
+    got = {r["word"]: r["n"] for r in word_counts(docs, "text").collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_max_words_cap_keeps_head(spark):
+    """With the cap at 2, training sees only the two most frequent
+    words — the stats record what was dropped, nothing is silent."""
+    docs = spark.createDataFrame(
+        [(1, "aaa " * 50 + "bbb " * 40 + "ccc " * 2 + "ddd")],
+        ["doc_id", "text"],
+    )
+    tok = train_bpe(docs, "text", num_merges=10, max_words=2)
+    assert tok["stats"]["trained_on_words"] == 2
+    assert tok["stats"]["distinct_words"] == 4
+    assert tok["stats"]["trained_mass"] == 90
+    assert tok["stats"]["token_mass"] == 93
+    # merges come only from the head words
+    for a, b in tok["merges"]:
+        assert set((a + b).replace(EOW, "")) <= {"a", "b"}
+
+
+def test_rare_singleton_pairs_never_merge():
+    """A pair occurring once (count < 2) never becomes a merge — the
+    loop stops instead of memorizing hapaxes."""
+    merges = _train_merges({"xy": 1}, 10)
+    assert merges == []
