@@ -113,6 +113,7 @@ def prepare_corpus(
     upsample_weights: dict[str, float] | None = None,
     splits: tuple[tuple[str, float], ...] | None = None,
     pack_budget: int | None = None,
+    bpe_merges: list | None = None,
     seed: str = "corpus",
     stats_via: str = "count",
     docs: DataFrame | None = None,
@@ -140,6 +141,11 @@ def prepare_corpus(
     "middle")``) is the CCNet distribution-relative alternative to
     ``perplexity_max``: per-language head/middle/tail cutoffs from
     the corpus itself.
+
+    ``bpe_merges`` (a trained :func:`..operators.bpe.train_bpe` merge
+    table) makes the packing stage budget in LEARNED subword tokens
+    instead of whitespace tokens — the budget the training run
+    actually pays when its tokenizer is BPE.
 
     ``benchmark`` is a (bench_id, text) frame of eval items to
     decontaminate against; ``source_weights`` a target domain mix over
@@ -581,7 +587,16 @@ def prepare_corpus(
             F.format_string(
                 "%s#%010d", F.col("doc_id").cast("string"), F.col("chunk_idx")
             ),
-        ).withColumn("__ct", token_count_ws("chunk"))
+        )
+        if bpe_merges is not None:
+            # budget in LEARNED subwords: when training uses a BPE
+            # tokenizer, whitespace counts undercount rare words that
+            # fragment — pack by the tokenizer's own counts instead
+            from ..operators.bpe import token_count_bpe
+
+            keyed = token_count_bpe(keyed, "chunk", bpe_merges, out_col="__ct")
+        else:
+            keyed = keyed.withColumn("__ct", token_count_ws("chunk"))
         chunked = (
             pack_chunks(keyed, "__ck", "__ct", pack_budget, group_col="__dom")
             .drop("__dom", "__ck", "__ct")

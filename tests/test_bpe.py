@@ -140,3 +140,50 @@ def test_rare_singleton_pairs_never_merge():
     loop stops instead of memorizing hapaxes."""
     merges = _train_merges({"xy": 1}, 10)
     assert merges == []
+
+
+def test_funnel_packs_by_bpe_budget(spark):
+    """With bpe_merges, the packing stage budgets in learned subwords:
+    every pack's BPE token total respects the budget (singleton
+    oversize excepted), and whitespace-based packing would differ on
+    fragmenting text."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from tests.conftest import SF_SMOKE
+
+    # rare compound words fragment under BPE: whitespace counts say 8
+    # tokens/chunk, BPE says far more, so BPE packs must be smaller.
+    # Docs are DISTINCT (the i-suffixed token) so exact dedup keeps
+    # them all, and long enough to produce several chunks each.
+    rows = [
+        (
+            i,
+            (f"antidisestablishmentarianism{i} floccinaucinihilipilification " * 4)
+            * 8,
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("web")).withColumn("n_chars", F.length("text"))
+    tok = train_bpe(docs, "text", num_merges=5)  # tiny: words stay fragmented
+
+    def run(merges):
+        return prepare_corpus(
+            spark, SF_SMOKE, docs=docs, near_dup="none", quality_min=0.0,
+            keep_langs=("en", "und"), chunk_size=8, overlap=0,
+            pack_budget=60, bpe_merges=merges,
+        )
+
+    bpe_packed = run(tok["merges"])
+    ws_packed = run(None)
+    # the BPE budget must be respected in BPE tokens
+    enc = token_count_bpe(bpe_packed, "chunk", tok["merges"])
+    per_pack = enc.groupBy("pack_id").agg(
+        F.sum("n_bpe_tokens").alias("t"), F.count(F.lit(1)).alias("rows")
+    )
+    over = per_pack.filter((F.col("t") > 60) & (F.col("rows") > 1)).count()
+    assert over == 0
+    # whitespace packing crams more chunks per pack on this corpus
+    n_bpe_packs = bpe_packed.select("pack_id").distinct().count()
+    n_ws_packs = ws_packed.select("pack_id").distinct().count()
+    assert n_bpe_packs > n_ws_packs
