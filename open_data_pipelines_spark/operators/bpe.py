@@ -42,17 +42,43 @@ from pyspark.sql import functions as F
 #: Sennrich "</w>" marker) — makes detokenization unambiguous
 EOW = "</w>"
 
+#: words longer than this bypass merge application (char symbols as
+#: is): the greedy merge loop is O(len^2) per word, and a megabyte
+#: whitespace-free run (base64 blob, URL) would stall a task — the
+#: same cap HF-style tokenizers apply before merging
+MAX_WORD_LEN = 100
+
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, n) over whitespace-split, lowercased text — one explode
-    + one map-side-combinable groupBy; empty tokens dropped."""
-    toks = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    + one map-side-combinable groupBy; NULL/blank rows contribute
+    nothing (the shared :func:`.text_analysis.tokens_or_empty`
+    guard)."""
+    from .text_analysis import tokens_or_empty
+
+    toks = F.explode(tokens_or_empty(text_col, lower=True)).alias("word")
     return (
         df.select(toks)
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _py_words(text: str | None) -> list[str]:
+    """The PYTHON mirror of the JVM-side tokenization word_counts
+    trains on (``split(trim(lower(c)), r"\\s+")``): Java's ``\\s`` is
+    the ASCII class, so the mirror must NOT use ``str.split()``'s full
+    Unicode whitespace — training would count 'foo\\u00a0bar' as one
+    word while encode split it in two, silently diverging the learned
+    distribution from what encode applies. (Residual edge: Java vs
+    Python lowercasing differs on a handful of locale-sensitive
+    codepoints; accepted and documented.)"""
+    import re
+
+    if not text:
+        return []
+    return [w for w in re.split("[ \t\n\x0b\f\r]+", text.lower()) if w]
 
 
 def _word_symbols(word: str) -> tuple[str, ...]:
@@ -62,24 +88,40 @@ def _word_symbols(word: str) -> tuple[str, ...]:
 
 
 def _train_merges(freqs: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
-    """The merge loop over a word-frequency dict. Incremental: pair
-    counts are maintained per merge by re-scanning only the words that
-    contain the winning pair (indexed), never the whole vocabulary."""
+    """The merge loop over a word-frequency dict. Incremental twice
+    over: pair counts are maintained per merge by re-scanning only the
+    words that contain the winning pair (indexed), never the whole
+    vocabulary; and the winner comes from a lazy-deletion max-heap —
+    every count CHANGE (increment or decrement) pushes the new value,
+    stale entries are discarded on pop when they disagree with the
+    live count, so selection is O(log pairs) amortized instead of a
+    full pair-table scan per merge. Tie-break identical to the naive
+    form: highest count, then lexicographically smallest pair. Words
+    longer than :data:`MAX_WORD_LEN` are excluded (same cap encode
+    applies, so the trained distribution matches what encode sees)."""
+    import heapq
+
     words: list[tuple[str, ...]] = []
     wfreq: list[int] = []
     for w, n in freqs.items():
         syms = _word_symbols(w)
-        if len(syms) >= 2:
+        if 2 <= len(syms) and len(w) <= MAX_WORD_LEN:
             words.append(syms)
             wfreq.append(n)
 
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
 
     def add_word(i: int, sign: int) -> None:
         syms, n = words[i], wfreq[i]
         for a, b in zip(syms, syms[1:]):
-            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + sign * n
+            new = pair_counts.get((a, b), 0) + sign * n
+            if new > 0:
+                pair_counts[(a, b)] = new
+                heapq.heappush(heap, (-new, (a, b)))
+            else:
+                pair_counts.pop((a, b), None)  # prune, don't accumulate zeros
             if sign > 0:
                 pair_words.setdefault((a, b), set()).add(i)
 
@@ -87,17 +129,15 @@ def _train_merges(freqs: dict[str, int], num_merges: int) -> list[tuple[str, str
         add_word(i, +1)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        best = None
-        for pair, cnt in pair_counts.items():
-            if cnt <= 0:
-                continue
-            key = (-cnt, pair)
-            if best is None or key < best[0]:
-                best = (key, pair, cnt)
-        if best is None or best[2] < 2:
+    while len(merges) < num_merges:
+        pair = None
+        while heap:
+            neg, cand = heapq.heappop(heap)
+            if pair_counts.get(cand) == -neg:  # live entry
+                pair = cand
+                break
+        if pair is None or pair_counts[pair] < 2:
             break  # nothing left worth merging
-        pair = best[1]
         merges.append(pair)
         merged = pair[0] + pair[1]
         for i in list(pair_words.get(pair, ())):
@@ -137,17 +177,27 @@ def train_bpe(
     choices; ``stats`` records how many words (and what count mass)
     the cap dropped so the trade is never silent.
     """
-    counts = word_counts(df, text_col)
-    totals = counts.agg(
-        F.count(F.lit(1)).alias("w"), F.sum("n").alias("mass")
-    ).first()
-    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(
-        max_words
-    ).collect()
+    # persist: the word-count aggregation feeds BOTH the stats action
+    # and the top-k collect — without it the corpus-wide explode scan
+    # (the expensive stage) runs twice
+    counts = word_counts(df, text_col).persist()
+    try:
+        totals = counts.agg(
+            F.count(F.lit(1)).alias("w"), F.sum("n").alias("mass")
+        ).first()
+        top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(
+            max_words
+        ).collect()
+    finally:
+        counts.unpersist()
     freqs = {r["word"]: r["n"] for r in top}
     merges = _train_merges(freqs, num_merges)
     alphabet = sorted({s for w in freqs for s in _word_symbols(w)})
-    vocab = alphabet + [a + b for a, b in merges]
+    # dedup while preserving merge order: two distinct merges can
+    # concatenate to the same string (('a','bc') and ('ab','c') both
+    # yield 'abc') and a duplicated vocab entry would shift/collide
+    # any enumerate()-assigned token ids downstream
+    vocab = list(dict.fromkeys(alphabet + [a + b for a, b in merges]))
     return {
         "merges": merges,
         "vocab": vocab,
@@ -164,7 +214,10 @@ def train_bpe(
 def _encoder(merges: list[tuple[str, str]]):
     """word -> tuple of BPE tokens, with the classic rank-greedy merge
     application and an LRU cache (Zipf: the cache hits almost every
-    word in real text)."""
+    word in real text). Words longer than :data:`MAX_WORD_LEN` skip
+    merge application (char symbols as is) — the O(len^2) loop on a
+    megabyte whitespace-free blob would stall the task, and the
+    trainer excluded such words too."""
     from functools import lru_cache
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
@@ -172,6 +225,8 @@ def _encoder(merges: list[tuple[str, str]]):
     @lru_cache(maxsize=65536)
     def encode_word(word: str) -> tuple[str, ...]:
         syms = list(_word_symbols(word))
+        if len(word) > MAX_WORD_LEN:
+            return tuple(syms)
         while len(syms) >= 2:
             best_rank, best_j = None, None
             for j in range(len(syms) - 1):
@@ -186,6 +241,21 @@ def _encoder(merges: list[tuple[str, str]]):
     return encode_word
 
 
+#: per-worker-process encoder memo: a pandas UDF body runs once per
+#: Arrow batch, so building the rank dict + LRU cache inside it would
+#: reset both every ~10k rows — the memo keys on the merge table and
+#: survives across batches within one Python worker
+_WORKER_ENCODERS: dict = {}
+
+
+def _encoder_for(merges_key: tuple) -> object:
+    enc = _WORKER_ENCODERS.get(merges_key)
+    if enc is None:
+        enc = _encoder([tuple(p) for p in merges_key])
+        _WORKER_ENCODERS[merges_key] = enc
+    return enc
+
+
 def bpe_encode(
     df: DataFrame, text_col: str, merges: list[tuple[str, str]],
     out_col: str = "bpe_tokens",
@@ -197,18 +267,15 @@ def bpe_encode(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    merges = [tuple(p) for p in merges]
+    merges_key = tuple(tuple(p) for p in merges)
 
     def _encode(texts):
-        enc = _encoder(merges)
+        enc = _encoder_for(merges_key)
 
         def run(t):
-            if t is None:
-                return []
             out: list[str] = []
-            for w in t.lower().split():
-                if w:
-                    out.extend(enc(w))
+            for w in _py_words(t):
+                out.extend(enc(w))
             return out
 
         return texts.map(run)
@@ -220,25 +287,29 @@ def bpe_encode(
     return df.withColumn(out_col, encode(F.col(text_col)))
 
 
-def token_count_bpe(
+def bpe_token_count(
     df: DataFrame, text_col: str, merges: list[tuple[str, str]],
     out_col: str = "n_bpe_tokens",
 ) -> DataFrame:
     """Append the learned-subword token count — the budget a packing /
     chunking stage should use when the training tokenizer is BPE
-    (whitespace counts undercount rare words that fragment)."""
+    (whitespace counts undercount rare words that fragment).
+
+    Named ``bpe_token_count`` (DataFrame in, DataFrame out) to avoid
+    colliding with :func:`.text_analysis.token_count_bpe`, the
+    Column-valued REGEX approximation used where no trained merge
+    table exists — same-named imports with different signatures and
+    different semantics would be a silent-wrong-counts hazard."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    merges = [tuple(p) for p in merges]
+    merges_key = tuple(tuple(p) for p in merges)
 
     def _count(texts):
-        enc = _encoder(merges)
+        enc = _encoder_for(merges_key)
 
         def run(t):
-            if t is None:
-                return 0
-            return sum(len(enc(w)) for w in t.lower().split() if w)
+            return sum(len(enc(w)) for w in _py_words(t))
 
         return texts.map(run)
 
@@ -248,6 +319,21 @@ def token_count_bpe(
 
 
 def detokenize(tokens: list[str]) -> str:
-    """Inverse of encode for a token list (test/debug helper): join
-    and split on the end-of-word sentinel."""
-    return "".join(tokens).replace(EOW, " ").rstrip(" ")
+    """Inverse of encode for a token list (test/debug helper). Only a
+    token-FINAL sentinel ends a word — a blanket substring replace
+    would corrupt corpus text that literally contains '</w>' (its
+    symbols carry the sentinel as a suffix after a real '>'). Residual
+    Sennrich-inherited ambiguity: a merge could assemble a mid-word
+    token whose chars happen to END with '</w>' — byte-level BPE is
+    the published fix; out of scope for a debug helper."""
+    words: list[str] = []
+    buf = ""
+    for t in tokens:
+        if t.endswith(EOW):
+            words.append(buf + t[: -len(EOW)])
+            buf = ""
+        else:
+            buf += t
+    if buf:
+        words.append(buf)
+    return " ".join(words)

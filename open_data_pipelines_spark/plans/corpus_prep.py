@@ -157,6 +157,11 @@ def prepare_corpus(
     """
     if stats_via not in ("count", "observe"):
         raise ValueError(f"unknown stats_via {stats_via!r}")
+    if bpe_merges is not None and pack_budget is None:
+        # fail loud: the merge table only drives the PACKING budget —
+        # silently ignoring it would let a caller believe BPE budgeting
+        # was applied
+        raise ValueError("bpe_merges drives the packing budget — pass pack_budget")
     if mix_temperature is not None and source_weights:
         raise ValueError("mix_temperature derives source_weights - pass one, not both")
     if docs is None:
@@ -592,9 +597,9 @@ def prepare_corpus(
             # budget in LEARNED subwords: when training uses a BPE
             # tokenizer, whitespace counts undercount rare words that
             # fragment — pack by the tokenizer's own counts instead
-            from ..operators.bpe import token_count_bpe
+            from ..operators.bpe import bpe_token_count
 
-            keyed = token_count_bpe(keyed, "chunk", bpe_merges, out_col="__ct")
+            keyed = bpe_token_count(keyed, "chunk", bpe_merges, out_col="__ct")
         else:
             keyed = keyed.withColumn("__ct", token_count_ws("chunk"))
         chunked = (

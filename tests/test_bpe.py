@@ -15,7 +15,7 @@ from open_data_pipelines_spark.operators.bpe import (
     _word_symbols,
     bpe_encode,
     detokenize,
-    token_count_bpe,
+    bpe_token_count,
     train_bpe,
     word_counts,
 )
@@ -95,7 +95,7 @@ def test_encode_roundtrip_and_counts(spark):
     )
     tok = train_bpe(docs, "text", num_merges=30)
     enc = bpe_encode(docs, "text", tok["merges"])
-    counted = token_count_bpe(enc, "text", tok["merges"])
+    counted = bpe_token_count(enc, "text", tok["merges"])
     rows = {r["doc_id"]: r for r in counted.collect()}
     # round-trip: detokenize(encode(text)) == lowercased whitespace-normal text
     assert detokenize(rows[1]["bpe_tokens"]) == "low lower lowest"
@@ -177,7 +177,7 @@ def test_funnel_packs_by_bpe_budget(spark):
     bpe_packed = run(tok["merges"])
     ws_packed = run(None)
     # the BPE budget must be respected in BPE tokens
-    enc = token_count_bpe(bpe_packed, "chunk", tok["merges"])
+    enc = bpe_token_count(bpe_packed, "chunk", tok["merges"])
     per_pack = enc.groupBy("pack_id").agg(
         F.sum("n_bpe_tokens").alias("t"), F.count(F.lit(1)).alias("rows")
     )
@@ -187,3 +187,61 @@ def test_funnel_packs_by_bpe_budget(spark):
     n_bpe_packs = bpe_packed.select("pack_id").distinct().count()
     n_ws_packs = ws_packed.select("pack_id").distinct().count()
     assert n_bpe_packs > n_ws_packs
+
+
+def test_train_encode_agree_on_unicode_whitespace(spark):
+    """Java's \\s is ASCII-only: training counts 'foo\\u00a0bar' as ONE
+    word, and the encode-side Python mirror must split identically —
+    str.split() (full Unicode whitespace) would silently diverge."""
+    text = "foo bar foo bar baz"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {r["word"]: r["n"] for r in word_counts(docs, "text").collect()}
+    assert got == {"foo bar": 2, "baz": 1}
+    tok = train_bpe(docs, "text", num_merges=20)
+    enc = bpe_encode(docs, "text", tok["merges"]).first()["bpe_tokens"]
+    # round-trip preserves the NBSP inside the word
+    assert detokenize(enc) == text.lower()
+
+
+def test_long_word_cap_is_consistent_and_fast(spark):
+    """A whitespace-free blob longer than MAX_WORD_LEN bypasses merge
+    application on BOTH sides: the trainer never learns from it and
+    encode returns its raw char symbols promptly."""
+    from open_data_pipelines_spark.operators.bpe import MAX_WORD_LEN
+
+    blob = "a" * (MAX_WORD_LEN * 10)
+    docs = spark.createDataFrame(
+        [(1, f"{blob} {blob} hello hello world")], ["doc_id", "text"]
+    )
+    tok = train_bpe(docs, "text", num_merges=20)
+    for a, b in tok["merges"]:  # no merge learned from the blob
+        assert set((a + b).replace(EOW, "")) <= set("helowrd")
+    enc = bpe_encode(docs, "text", tok["merges"]).first()["bpe_tokens"]
+    assert detokenize(enc) == f"{blob} {blob} hello hello world"
+
+
+def test_detokenize_preserves_literal_sentinel_text():
+    """Only a token-final sentinel ends a word: tokens from a corpus
+    word literally containing '</w>' survive the round trip."""
+    # word "</w>" -> char symbols with EOW suffixed to the last one
+    toks = list(_word_symbols("</w>"))
+    assert detokenize(toks) == "</w>"
+    # two words, the first ending mid-buffer
+    toks2 = list(_word_symbols("ab")) + list(_word_symbols("</w>"))
+    assert detokenize(toks2) == "ab </w>"
+
+
+def test_vocab_has_no_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc ab abde c cq " * 5)], ["doc_id", "text"]
+    )
+    tok = train_bpe(docs, "text", num_merges=40)
+    assert len(tok["vocab"]) == len(set(tok["vocab"]))
+
+
+def test_bpe_merges_without_pack_budget_fails_loud(spark):
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from tests.conftest import SF_SMOKE
+
+    with pytest.raises(ValueError, match="pack_budget"):
+        prepare_corpus(spark, SF_SMOKE, bpe_merges=[("a", "b")])
