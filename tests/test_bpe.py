@@ -245,3 +245,31 @@ def test_bpe_merges_without_pack_budget_fails_loud(spark):
 
     with pytest.raises(ValueError, match="pack_budget"):
         prepare_corpus(spark, SF_SMOKE, bpe_merges=[("a", "b")])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcd", min_size=1, max_size=7),
+            st.integers(min_value=1, max_value=30),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(min_value=0, max_value=25),
+    )
+    def test_trainer_heap_matches_naive_property(freqs, num_merges):
+        """Hypothesis twin of the seeded parity test: the lazy-deletion
+        heap (pushed on every increment AND decrement) must select the
+        exact same merge sequence as the naive full-scan trainer on
+        arbitrary word-frequency dicts — including tie-heavy and
+        single-word corpora where stale heap entries abound."""
+        assert _train_merges(dict(freqs), num_merges) == naive_train(
+            dict(freqs), num_merges
+        )
+
+except ImportError:  # pragma: no cover - hypothesis is in the env
+    pass
