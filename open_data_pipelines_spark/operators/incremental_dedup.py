@@ -336,6 +336,18 @@ def compact_seen_index(spark: SparkSession, path: str) -> int:
       admissions per index, the same single-writer posture as
       :mod:`.index_commit`.
     """
+    return compact_segment_log(
+        spark, path, lambda df, target: _write_segment(df, target, write_files=4)
+    )
+
+
+def compact_segment_log(spark: SparkSession, path: str, write_fn) -> int:
+    """The generic publish-before-delete compaction every segment-log
+    index shares (exact signatures, MinHash bands, media bands):
+    ``write_fn(union_df, target_dir)`` writes the deduped union of all
+    complete segments in the index's own layout; the protocol and
+    crash argument are :func:`compact_seen_index`'s. Returns the
+    compacted row count."""
     base = path.rstrip("/")
     dirs = committed_log_dirs(spark, base)
     if not dirs:
@@ -350,7 +362,7 @@ def compact_seen_index(spark: SparkSession, path: str) -> int:
     final = f"{base}/{_BASE_PREFIX}{gen:08d}"
     tmp = final + ".tmp"
     fs.delete(hp(tmp), True)  # stale stray from a crashed attempt
-    _write_segment(spark.read.parquet(*dirs), tmp, write_files=4)
+    write_fn(spark.read.parquet(*dirs), tmp)
     n = spark.read.parquet(tmp).count()
     # a partial `final` from a crashed earlier publish (object-store
     # rename is copy-per-object) would make rename nest tmp UNDER it;
@@ -358,7 +370,7 @@ def compact_seen_index(spark: SparkSession, path: str) -> int:
     # `gens` and bump the number), so clearing it is safe
     fs.delete(hp(final), True)
     if not fs.rename(hp(tmp), hp(final)):
-        raise IOError(f"compact_seen_index: publishing {final!r} failed")
+        raise IOError(f"compact_segment_log: publishing {final!r} failed")
     for d in dirs:
         fs.delete(hp(d), True)
     return n

@@ -69,8 +69,7 @@ from pyspark.sql import functions as F
 
 from ..caching import lazy_checkpoint
 from .graph import keep_cluster_representatives
-from .incremental_dedup import _BATCH_PREFIX, _BASE_PREFIX, committed_log_dirs
-from .index_commit import _hadoop_fs
+from .incremental_dedup import _BATCH_PREFIX, committed_log_dirs
 from .text_dedup import (
     base_hashes,
     lsh_bands,
@@ -315,25 +314,8 @@ def compact_band_index(spark: SparkSession, path: str) -> int:
     as :func:`.incremental_dedup.compact_seen_index` (publish under a
     FRESH name before deleting inputs; run only while no admission —
     streaming or batch — is in flight on this index)."""
-    base = path.rstrip("/")
-    dirs = committed_log_dirs(spark, base)
-    if not dirs:
-        return 0
-    fs, hp = _hadoop_fs(spark, base)
-    gens = [
-        int(d.rsplit("/", 1)[1][len(_BASE_PREFIX):])
-        for d in dirs
-        if d.rsplit("/", 1)[1].startswith(_BASE_PREFIX)
-    ]
-    gen = (max(gens) + 1) if gens else 1
-    final = f"{base}/{_BASE_PREFIX}{gen:08d}"
-    tmp = final + ".tmp"
-    fs.delete(hp(tmp), True)
-    _write_band_segment(spark.read.parquet(*dirs), tmp, write_files=4)
-    n_rows = spark.read.parquet(tmp).count()
-    fs.delete(hp(final), True)
-    if not fs.rename(hp(tmp), hp(final)):
-        raise IOError(f"compact_band_index: publishing {final!r} failed")
-    for d in dirs:
-        fs.delete(hp(d), True)
-    return n_rows
+    from .incremental_dedup import compact_segment_log
+
+    return compact_segment_log(
+        spark, path, lambda df, target: _write_band_segment(df, target, write_files=4)
+    )

@@ -241,6 +241,63 @@ def stream_near_dedup_to_parquet(
     )
 
 
+def stream_media_near_dedup_to_parquet(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    sig_col: str,
+    id_col: str,
+    kind_col: str,
+    *,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+    n_buckets: int = 256,
+    trigger_once: bool = True,
+):
+    """The MEDIA twin of :func:`stream_near_dedup_to_parquet`: each
+    micro-batch is admitted through
+    :func:`..operators.media_band_index.near_dedup_media_against_index`
+    — a media item is rejected when its 64-bit perceptual signature is
+    within ``max_hamming`` of an already-admitted item of the same
+    kind (Hamming-band probe + exact verification), or loses the
+    per-kind within-batch cluster keeper — under the same output-first
+    crash protocol. The incoming stream must already carry
+    ``kind_col`` + ``sig_col`` (the bronze form
+    :func:`.media_stream.with_media_signature` produces on arrival);
+    NULL-signature quarantine rows always pass."""
+    from ..operators.media_band_index import (
+        near_dedup_media_against_index,
+        publish_media_band_rows,
+    )
+
+    def admit(spark, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return near_dedup_media_against_index(
+            spark,
+            batch_df,
+            index_path,
+            sig_col,
+            id_col,
+            kind_col,
+            band_bits=band_bits,
+            max_hamming=max_hamming,
+            n_buckets=n_buckets,
+            batch_id=batch_id,
+            update=False,
+        )
+
+    def publish_from_output(out_df: DataFrame, batch_id: int) -> None:
+        publish_media_band_rows(
+            out_df, index_path, sig_col, id_col, kind_col, batch_id,
+            band_bits=band_bits, n_buckets=n_buckets,
+        )
+
+    return _start_output_first_stream(
+        stream, index_path, out_path, checkpoint_dir, admit,
+        publish_from_output, trigger_once,
+    )
+
+
 def read_admitted(spark, out_path: str) -> DataFrame:
     """All admitted rows across COMMITTED batches (a torn write's
     visible part files are not admitted output — round-10 review
