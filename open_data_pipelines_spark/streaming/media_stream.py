@@ -141,3 +141,43 @@ def stream_media_to_bronze(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_media_with_near_dedup(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    decoder=None,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dedup_watermark: str = "24 hours",
+    **near_kwargs,
+):
+    """Online-admission variant of the media funnel (round 11 — the
+    multimodal twin of
+    :func:`.corpus_stream.stream_corpus_with_near_dedup`): the
+    streaming-safe prefix (perceptual signature on arrival +
+    watermarked exact-signature dedup) feeds
+    :func:`.dedup_stream.stream_media_near_dedup_to_parquet`, so
+    perceptual near-duplicates of previously ADMITTED media are
+    rejected at ingest against the persisted Hamming band index
+    instead of waiting for batch compaction. ``near_kwargs`` pass
+    through (band_bits / max_hamming / ...); quarantine rows (NULL
+    signature) are admitted, to be split off by batch policy. Returns
+    the StreamingQuery; read results with
+    :func:`.dedup_stream.read_admitted`."""
+    from .dedup_stream import stream_media_near_dedup_to_parquet
+
+    bronze = streaming_media_bronze(
+        stream,
+        dedup_watermark=dedup_watermark,
+        decoder=decoder,
+        content_col=content_col,
+        id_col=id_col,
+    )
+    return stream_media_near_dedup_to_parquet(
+        bronze, index_path, out_path, checkpoint_dir,
+        "signature", id_col, "kind", **near_kwargs,
+    )

@@ -148,3 +148,64 @@ def test_stream_media_dedup_survives_checkpoint_restart(spark):
     assert 11 not in kept_ids and 13 not in kept_ids  # state restored
     assert 12 in kept_ids  # new media still lands
     assert {r["media_id"] for r in out if r["signature"] is None} == {9}
+
+
+def test_stream_media_with_near_dedup_rejects_at_ingest(spark, tmp_path):
+    """Round-11 online admission over REAL decoded media: a later
+    drop's near-identical image (one pixel-block nudged — aHash within
+    the Hamming threshold) is rejected against the persisted band
+    index at ingest; distinct content and undecodable rows pass."""
+    import time
+
+    from open_data_pipelines_spark.streaming.dedup_stream import read_admitted
+    from open_data_pipelines_spark.streaming.media_stream import (
+        stream_media_with_near_dedup,
+    )
+
+    def bmp_variant(nudge):
+        # flat gradient with a small local nudge: aHash flips few bits
+        w, h = 16, 12
+        rgb = bytearray(
+            (x * 16) % 256 for _ in range(h) for x in range(w) for _ in range(3)
+        )
+        for i in range(nudge):
+            rgb[i * 3] = 255
+        return encode_bmp(w, h, bytes(rgb))
+
+    rows1 = [(1, bmp_variant(0)), (2, _wav(440))]
+    rows2 = [(3, bmp_variant(2)), (4, _bmp(seed=97)), (5, b"junk-bytes")]
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(rows1, MEDIA_SCHEMA).repartition(1).write.parquet(landing)
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, MEDIA_SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+    q = stream_media_with_near_dedup(
+        stream,
+        str(tmp_path / "idx"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    admitted = {
+        r["media_id"] for r in read_admitted(spark, str(tmp_path / "out")).collect()
+    }
+    # sanity on the premise: 3 is within hamming 3 of 1; 4 is not
+    from open_data_pipelines_spark.streaming.media_stream import with_media_signature
+
+    sigs = {
+        r["media_id"]: r["signature"]
+        for r in with_media_signature(
+            spark.createDataFrame(rows1 + rows2, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert bin(sigs[1] ^ sigs[3]).count("1") <= 3
+    assert bin(sigs[1] ^ sigs[4]).count("1") > 3
+    assert admitted == {1, 2, 4, 5}
