@@ -159,6 +159,38 @@ def with_image_ahash(
     )
 
 
+def hamming_bands(sig, band_bits: int = 8):
+    """Array of the ``64 // band_bits`` band values of a 64-bit
+    signature — THE band layout shared by the batch pair generator
+    below and the incremental :mod:`.media_band_index`; one
+    definition so the two paths can never band differently. Validates
+    that ``band_bits`` divides 64 (the silent-truncation hazard a
+    non-dividing width would cause)."""
+    if 64 % band_bits != 0:
+        raise ValueError(f"band_bits must divide 64, got {band_bits}")
+    n_bands = 64 // band_bits
+    return F.array(
+        *[
+            F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(
+                F.lit(2**band_bits - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def require_pigeonhole(max_hamming: int, band_bits: int) -> None:
+    """Shared guard: two 64-bit signatures within Hamming distance
+    ``d < 64/band_bits`` ALWAYS share a band, so the banded equi-join
+    is lossless only below that bound."""
+    n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} not guaranteed by {n_bands} bands; "
+            f"lower band_bits"
+        )
+
+
 def image_near_dup_pairs(
     hashed: DataFrame,
     id_col: str = "media_id",
@@ -171,28 +203,16 @@ def image_near_dup_pairs(
     band, so ``band_bits=8`` (8 bands) is lossless up to hamming 7 —
     candidates come from a hash equi-join, verification is one
     popcount expression."""
-    n_bands = 64 // band_bits
-    if max_hamming >= n_bands:
-        raise ValueError(
-            f"max_hamming {max_hamming} not guaranteed by {n_bands} bands; "
-            f"lower band_bits"
-        )
+    require_pigeonhole(max_hamming, band_bits)
     sig = hashed.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col), F.col(hash_col).alias("__sh")
     )
     banded = sig.select(
         id_col,
         "__sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sh"), b * band_bits).bitwiseAND(
-                        F.lit(2**band_bits - 1)
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_id", "band_value"),
+        F.posexplode(hamming_bands(F.col("__sh"), band_bits)).alias(
+            "band_id", "band_value"
+        ),
     )
     a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"), "band_id", "band_value")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"), "band_id", "band_value")

@@ -69,28 +69,30 @@ def media_band_rows(
 ) -> DataFrame:
     """One row per (media item, band): ``(id, kind, signature,
     band_id, band_value, bucket)`` from the 64-bit perceptual
-    signature — the banding of :func:`.image_dedup.image_near_dup_pairs`
-    persisted instead of self-joined. NULL-signature rows are excluded
-    (quarantine: no perceptual evidence, always admitted)."""
-    if 64 % band_bits != 0:
-        raise ValueError(f"band_bits must divide 64, got {band_bits}")
-    n_bands = 64 // band_bits
+    signature — THE SAME band layout as the batch pair generator
+    (shared :func:`.image_dedup.hamming_bands`; one definition, so the
+    batch and incremental paths can never band differently).
+    NULL-signature rows are excluded (quarantine: no perceptual
+    evidence, always admitted). A NULL ``kind`` with a real signature
+    coalesces to the ``'<null-kind>'`` sentinel so such rows dedup
+    within their own cohort — a raw NULL never matches itself in the
+    equi-joins, so byte-identical signatures would BOTH be admitted
+    while their dead band rows accumulated forever (the
+    content_signature '<null-key>' rule)."""
+    from .image_dedup import hamming_bands
+
     sig = F.col(sig_col).cast("long")
-    bands = F.array(
-        *[
-            F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(
-                F.lit(2**band_bits - 1)
-            )
-            for b in range(n_bands)
-        ]
-    )
     return (
         df.filter(F.col(sig_col).isNotNull())
         .select(
             F.col(id_col),
-            F.col(kind_col).alias("kind"),
+            F.coalesce(F.col(kind_col).cast("string"), F.lit("<null-kind>")).alias(
+                "kind"
+            ),
             sig.alias("signature"),
-            F.posexplode(bands).alias("band_id", "band_value"),
+            F.posexplode(hamming_bands(sig, band_bits)).alias(
+                "band_id", "band_value"
+            ),
         )
         .withColumn(
             "bucket",
@@ -128,7 +130,7 @@ def near_dedup_media_against_index(
     kind_col: str,
     *,
     band_bits: int = 8,
-    max_hamming: int = 3,
+    max_hamming: int = 6,
     n_buckets: int = 256,
     batch_id: int | None = None,
     update: bool = True,
@@ -141,13 +143,15 @@ def near_dedup_media_against_index(
     the admitted rows' band rows as the ``batch=<id>`` segment.
     Returns the admitted rows (original columns; NULL-signature
     quarantine rows always pass). See the module docstring for the
-    broadcast-sized-batch contract and pigeonhole guarantee."""
-    n_bands = 64 // band_bits
-    if max_hamming >= n_bands:
-        raise ValueError(
-            f"max_hamming {max_hamming} not guaranteed by {n_bands} bands; "
-            "lower band_bits"
-        )
+    broadcast-sized-batch contract and pigeonhole guarantee.
+
+    ``max_hamming`` defaults to 6 — the SAME threshold as the batch
+    media funnel (``image_near_dup_pairs``/``media_prep``), so
+    migrating from batch compaction to online admission does not
+    silently weaken the dedup standard."""
+    from .image_dedup import require_pigeonhole
+
+    require_pigeonhole(max_hamming, band_bits)
     bnd = lazy_checkpoint(
         media_band_rows(
             batch, sig_col, id_col, kind_col,

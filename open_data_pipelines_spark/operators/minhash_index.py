@@ -69,7 +69,11 @@ from pyspark.sql import functions as F
 
 from ..caching import lazy_checkpoint
 from .graph import keep_cluster_representatives
-from .incremental_dedup import _BATCH_PREFIX, committed_log_dirs
+from .incremental_dedup import (
+    _BATCH_PREFIX,
+    committed_log_dirs,
+    compact_segment_log,
+)
 from .text_dedup import (
     base_hashes,
     lsh_bands,
@@ -314,8 +318,6 @@ def compact_band_index(spark: SparkSession, path: str) -> int:
     as :func:`.incremental_dedup.compact_seen_index` (publish under a
     FRESH name before deleting inputs; run only while no admission —
     streaming or batch — is in flight on this index)."""
-    from .incremental_dedup import compact_segment_log
-
     return compact_segment_log(
         spark, path, lambda df, target: _write_band_segment(df, target, write_files=4)
     )

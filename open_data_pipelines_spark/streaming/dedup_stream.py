@@ -109,8 +109,10 @@ def _start_output_first_stream(
                 f"dedup stream: fresh checkpoint {checkpoint_dir!r} but the "
                 f"index at {index_path!r} holds batch segments from another "
                 "lineage — this stream's restarted batch ids would overwrite "
-                "them and erase their membership. Run the index's compaction "
-                "(compact_seen_index / compact_band_index) first, then start."
+                "them and erase their membership. Run THIS index's own "
+                "compaction (compact_seen_index / compact_band_index / "
+                "compact_media_band_index — match it to the index layout) "
+                "first, then start."
             )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -251,7 +253,7 @@ def stream_media_near_dedup_to_parquet(
     kind_col: str,
     *,
     band_bits: int = 8,
-    max_hamming: int = 3,
+    max_hamming: int = 6,  # the batch media funnel threshold — online == batch standard
     n_buckets: int = 256,
     trigger_once: bool = True,
 ):

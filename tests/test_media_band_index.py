@@ -171,7 +171,7 @@ def test_incremental_matches_greedy_oracle(spark, tmp_path):
         fresh = near_dedup_media_against_index(
             spark,
             _rows(spark, [(i, items[i][0], items[i][1]) for i in batch]),
-            idx, "signature", "media_id", "kind", batch_id=bi,
+            idx, "signature", "media_id", "kind", batch_id=bi, max_hamming=3,
         )
         got |= {r["media_id"] for r in fresh.collect()}
     assert got == want
@@ -192,7 +192,7 @@ def test_compaction_preserves_membership(spark, tmp_path):
     fresh = near_dedup_media_against_index(
         spark,
         _rows(spark, [(20, "image", BASE ^ 0b1), (21, "image", BASE ^ (0x3F << 40))]),
-        idx, "signature", "media_id", "kind", batch_id=50,
+        idx, "signature", "media_id", "kind", batch_id=50, max_hamming=3,
     )
     assert sorted(r["media_id"] for r in fresh.collect()) == [21]
 
@@ -222,12 +222,16 @@ def test_streaming_media_near_dedup_kill_resume(spark, tmp_path):
             )
             q.awaitTermination(120)
 
-        drain()
         if kill:
+            # drain the first two files, STOP (the "kill"), land more
+            # data, resume from the same checkpoint
+            drain()
             time.sleep(1.1)
             _rows(spark, rows3).repartition(1).write.mode("append").parquet(landing)
             drain()
         else:
+            # uninterrupted reference run: all three files land before
+            # the one and only drain
             time.sleep(1.1)
             _rows(spark, rows3).repartition(1).write.mode("append").parquet(landing)
             drain()

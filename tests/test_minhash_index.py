@@ -260,14 +260,16 @@ def test_streaming_near_dedup_with_kill_resume(spark, tmp_path):
             )
             q.awaitTermination(120)
 
-        drain()
         if stop_after_two:
-            # the "kill": the query has fully stopped; land more data
-            # and resume from the same checkpoint
+            # the "kill": drain the first two files, stop, land more
+            # data, resume from the same checkpoint
+            drain()
             time.sleep(1.1)
             _docs(spark, rows3).repartition(1).write.mode("append").parquet(landing)
             drain()
         else:
+            # uninterrupted reference run: all three files land before
+            # the one and only drain
             time.sleep(1.1)
             _docs(spark, rows3).repartition(1).write.mode("append").parquet(landing)
             drain()
