@@ -283,3 +283,52 @@ def chunk_tokens(
     return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
         F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_size)))
     )
+
+
+def sentence_chunks(col: Column | str, budget: int) -> Column:
+    """Array of SENTENCE-boundary chunks, each holding consecutive
+    whole sentences up to ``budget`` whitespace tokens — the
+    semantic-boundary alternative to :func:`chunk_tokens`' fixed
+    windows (standard practice when chunks feed retrieval or
+    instruction-tuning corpora, where cutting mid-sentence hurts).
+
+    Pure expressions: split on terminal punctuation
+    (``(?<=[.!?])\\s+`` — Java regex lookbehind), then ONE
+    ``aggregate`` fold that either opens a new chunk or extends the
+    last one. Sentences are never split: a single sentence longer
+    than ``budget`` becomes its own oversized chunk (the downstream
+    policy decision, exactly like :func:`..packing.pack_chunks`'
+    singleton-oversize rule; feed such corpora the fixed-window
+    chunker instead). NULL/blank text yields an empty array.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    c = F.col(col) if isinstance(col, str) else col
+    sents = F.filter(
+        F.split(c, r"(?<=[.!?])\s+"), lambda s: F.trim(s) != F.lit("")
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("used"),
+        F.array().cast("array<string>").alias("chunks"),
+    )
+
+    def merge(acc, s):
+        n = F.size(whitespace_tokens(F.trim(s)))
+        start_new = (F.size(acc["chunks"]) == F.lit(0)) | (
+            (acc["used"] + n) > F.lit(budget)
+        )
+        appended = F.concat(acc["chunks"], F.array(F.trim(s)))
+        merged_last = F.concat(
+            F.slice(acc["chunks"], 1, F.size(acc["chunks"]) - 1),
+            F.array(
+                F.concat_ws(" ", F.element_at(acc["chunks"], -1), F.trim(s))
+            ),
+        )
+        return F.struct(
+            F.when(start_new, n).otherwise(acc["used"] + n).alias("used"),
+            F.when(start_new, appended).otherwise(merged_last).alias("chunks"),
+        )
+
+    return F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.aggregate(sents, acc0, merge, lambda acc: acc["chunks"]))

@@ -110,3 +110,83 @@ def test_bulk_invariants_chunking_and_redaction(spark):
             assert left.split()[-2:] == right.split()[:2]
         # (c) idempotence
         assert r["r1"] == r["r2"]
+
+
+def test_sentence_chunks_respects_budget_and_boundaries(spark):
+    """Sentence-boundary chunking: whole sentences only, budget
+    respected except single oversized sentences, content preserved."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.text_analysis import sentence_chunks
+
+    rows = [
+        (1, "One two three. Four five. Six seven eight nine! Ten?"),
+        (2, "A single enormously long sentence with eleven whole tokens inside here."),
+        (3, ""),
+        (4, None),
+        (5, "Short. " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", sentence_chunks("text", 6).alias("c")).collect()
+    }
+    assert got[1] == [
+        "One two three. Four five.",
+        "Six seven eight nine! Ten?",
+    ]
+    # a single over-budget sentence is kept whole as its own chunk
+    assert got[2] == [rows[1][1]]
+    assert got[3] == [] and got[4] == []
+    # budget respected on every multi-sentence chunk; content preserved
+    for doc_id, chunks in got.items():
+        text = dict(rows)[doc_id]
+        if not text:
+            continue
+        for ch in chunks:
+            n = len(ch.split())
+            assert n <= 6 or "." not in ch.rstrip(".")  # oversized = one sentence
+        assert " ".join(chunks).split() == text.split()
+
+    with pytest.raises(ValueError, match="budget"):
+        df.select(sentence_chunks("text", 0))
+
+
+def test_sentence_chunks_greedy_oracle(spark):
+    """Randomized parity with a pure-Python greedy fold."""
+    import random
+
+    from open_data_pipelines_spark.operators.text_analysis import sentence_chunks
+
+    rng = random.Random(21)
+    docs = []
+    for i in range(40):
+        sents = [
+            " ".join(f"w{rng.randrange(30)}" for _ in range(rng.randint(1, 9))) + "."
+            for _ in range(rng.randint(1, 12))
+        ]
+        docs.append((i, " ".join(sents)))
+
+    def oracle(text, budget):
+        import re
+
+        sents = [s for s in re.split(r"(?<=[.!?])\s+", text) if s.strip()]
+        chunks, used = [], 0
+        for s in sents:
+            n = len(s.split())
+            if not chunks or used + n > budget:
+                chunks.append(s.strip())
+                used = n
+            else:
+                chunks[-1] = chunks[-1] + " " + s.strip()
+                used += n
+        return chunks
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", sentence_chunks("text", 12).alias("c")).collect()
+    }
+    for i, text in docs:
+        assert got[i] == oracle(text, 12), i
