@@ -104,6 +104,7 @@ def prepare_corpus(
     max_bucket_size: int | None = 1000,
     chunk_size: int = 64,
     overlap: int = 8,
+    chunking: str = "window",
     with_stats: bool = False,
     benchmark: DataFrame | None = None,
     contamination_n: int = 8,
@@ -564,14 +565,25 @@ def prepare_corpus(
             ).drop("copy_idx"),
         )
 
+    if chunking == "sentence":
+        from ..operators.text_analysis import sentence_chunks
+
+        # semantic-boundary variant: whole sentences packed to the
+        # chunk_size token budget; overlap does not apply (sentences
+        # are never split, so there is nothing to re-quote)
+        if overlap:
+            raise ValueError("chunking='sentence' does not take overlap")
+        chunk_expr = sentence_chunks("text", chunk_size)
+    elif chunking == "window":
+        chunk_expr = chunk_tokens("text", chunk_size, overlap)
+    else:
+        raise ValueError(f"unknown chunking {chunking!r} (window|sentence)")
     chunked = surviving.select(
         "doc_id",
         "lang",
         "quality",
         *split_cols,
-        F.posexplode(chunk_tokens("text", chunk_size, overlap)).alias(
-            "chunk_idx", "chunk"
-        ),
+        F.posexplode(chunk_expr).alias("chunk_idx", "chunk"),
     )
     chunked = note("chunks", chunked)
 

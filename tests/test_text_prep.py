@@ -190,3 +190,35 @@ def test_sentence_chunks_greedy_oracle(spark):
     }
     for i, text in docs:
         assert got[i] == oracle(text, 12), i
+
+
+def test_funnel_sentence_chunking_option(spark):
+    """chunking='sentence' swaps the fixed-window split for whole-
+    sentence packing; chunks respect the budget (oversized single
+    sentences excepted) and never cut mid-sentence."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from tests.conftest import SF_SMOKE
+
+    rows = [
+        (i, " ".join(f"sent{i} number {j} says hello world." for j in range(8)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("web")).withColumn("n_chars", F.length("text"))
+    with pytest.raises(ValueError, match="overlap"):
+        prepare_corpus(
+            spark, SF_SMOKE, docs=docs, chunking="sentence", chunk_size=12, overlap=4
+        )
+    out = prepare_corpus(
+        spark, SF_SMOKE, docs=docs, near_dup="none", quality_min=0.0,
+        keep_langs=("en", "und"), chunking="sentence", chunk_size=12, overlap=0,
+    )
+    chunks = [r["chunk"] for r in out.collect()]
+    assert chunks
+    for ch in chunks:
+        assert ch.endswith(".")  # whole sentences only
+        assert len(ch.split()) <= 12
