@@ -244,8 +244,17 @@ def _encoder(merges: list[tuple[str, str]]):
 #: per-worker-process encoder memo: a pandas UDF body runs once per
 #: Arrow batch, so building the rank dict + LRU cache inside it would
 #: reset both every ~10k rows — the memo keys on the merge table and
-#: survives across batches within one Python worker
-_WORKER_ENCODERS: dict = {}
+#: survives across batches within one Python worker. BOUNDED at
+#: _MAX_WORKER_ENCODERS entries with LRU eviction (round-11 advice:
+#: an unbounded memo pins every merge table a long-lived executor
+#: ever sees — each with a rank dict + 65k-entry word cache — so a
+#: standing cluster that retrains weekly would accrete dead encoders
+#: forever). OrderedDict, not lru_cache: eviction must drop the big
+#: encoder object itself, not just a wrapper entry.
+from collections import OrderedDict as _OrderedDict  # noqa: E402
+
+_MAX_WORKER_ENCODERS = 4
+_WORKER_ENCODERS: "_OrderedDict[tuple, object]" = _OrderedDict()
 
 
 def _encoder_for(merges_key: tuple) -> object:
@@ -253,6 +262,10 @@ def _encoder_for(merges_key: tuple) -> object:
     if enc is None:
         enc = _encoder([tuple(p) for p in merges_key])
         _WORKER_ENCODERS[merges_key] = enc
+        while len(_WORKER_ENCODERS) > _MAX_WORKER_ENCODERS:
+            _WORKER_ENCODERS.popitem(last=False)
+    else:
+        _WORKER_ENCODERS.move_to_end(merges_key)
     return enc
 
 

@@ -81,7 +81,13 @@ def content_signature(
     ``('a',)`` would all collapse to the same signature and distinct
     multi-column rows would silently dedup as identical. Non-null
     values hash exactly as before, so indexes persisted by earlier
-    rounds stay valid.
+    rounds stay valid FOR ALL-NON-NULL KEYS ONLY: a row whose key
+    columns contain NULL now signs differently than it did before the
+    sentinel, so against a pre-sentinel persisted index such a
+    duplicate is re-admitted ONCE (and deduped correctly from then
+    on). If an existing index's key columns can be NULL, do a
+    one-time rebuild/compaction of its segments with the current
+    signature before relying on it (round-11 advice).
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     if normalize:

@@ -43,6 +43,10 @@ BOS = "<s>"
 # literals; retuning here retunes both engines together
 DEFAULT_ALPHA = 0.1
 DEFAULT_LAM = 0.7
+# perplexity_buckets default head/middle and middle/tail quantiles —
+# module-level for the same reason: the corpus_funnel DuckDB mirror
+# imports these exact doubles into its quantile_cont calls
+DEFAULT_BUCKET_BOUNDS = (1.0 / 3.0, 2.0 / 3.0)
 
 
 @dataclass(frozen=True)
@@ -226,10 +230,11 @@ def perplexity_buckets(
     text_col: str,
     id_col: str,
     lm: NgramLM,
-    bounds: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    bounds: tuple[float, float] = DEFAULT_BUCKET_BOUNDS,
     by_lang: str | None = None,
     broadcast_model: bool = True,
     accuracy: int = 10_000,
+    exact: bool = False,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: label every scoreable document
     by where its perplexity falls in the CORPUS distribution —
@@ -246,6 +251,13 @@ def perplexity_buckets(
     with its binned distributions; documents within that sliver of a
     boundary may land on either side, so tests should pin proportions
     and monotonicity, not exact membership at the boundary.
+
+    ``exact=True`` swaps in exact ``percentile`` (linear
+    interpolation at rank ``p*(n-1)``, bit-identical to DuckDB's
+    ``quantile_cont`` — verified in the corpus_funnel oracle fold) so
+    cross-engine parity checks can pin exact membership. The exact
+    form sorts each cohort's perplexities inside the aggregation —
+    fine at test scale, not the 100 TB default.
 
     Returns (id, perplexity, bucket) plus the ``by_lang`` column when
     given. Empty documents have no score row and are absent — CCNet
@@ -267,10 +279,16 @@ def perplexity_buckets(
     scored = lazy_checkpoint(
         per_doc.select(id_col, *keys, F.exp("avg_neg_logp").alias("perplexity"))
     )
-    cuts = scored.groupBy(*keys).agg(
-        F.percentile_approx("perplexity", F.lit(lo), F.lit(accuracy)).alias("__lo"),
-        F.percentile_approx("perplexity", F.lit(hi), F.lit(accuracy)).alias("__hi"),
-    )
+    if exact:
+        cuts = scored.groupBy(*keys).agg(
+            F.percentile("perplexity", F.lit(lo)).alias("__lo"),
+            F.percentile("perplexity", F.lit(hi)).alias("__hi"),
+        )
+    else:
+        cuts = scored.groupBy(*keys).agg(
+            F.percentile_approx("perplexity", F.lit(lo), F.lit(accuracy)).alias("__lo"),
+            F.percentile_approx("perplexity", F.lit(hi), F.lit(accuracy)).alias("__hi"),
+        )
     if keys:
         # NULL-safe on the lang key: rows with NULL language form
         # their own cohort and must not vanish through an equi-join

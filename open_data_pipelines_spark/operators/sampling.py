@@ -325,10 +325,18 @@ def cap_per_stratum(
     # level 1: deterministic salt fans the hot stratum over n_salts
     # tasks; keeping the cap hash-smallest per salt is a superset of
     # the stratum's global cap-smallest, so level 2 sees <= cap *
-    # n_salts rows per stratum and the result is unchanged
-    n_salts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-    )
+    # n_salts rows per stratum and the result is unchanged. The conf
+    # can be non-numeric under managed AQE ('auto') — fall back to 64
+    # — and a conf of '1' would silently disable the fan-out the
+    # salting exists for — clamp to >= 8 (round-11 advice). The salt
+    # count only shapes parallelism, never the kept set.
+    try:
+        n_salts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+    except (TypeError, ValueError):
+        n_salts = 64
+    n_salts = max(8, n_salts)
     salt = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + ":salt")), F.lit(n_salts))
     w1 = Window.partitionBy(stratum_col, salt).orderBy(*order)
     pre = (

@@ -106,6 +106,143 @@ def registered_domain(
     )
 
 
+class PSLRules:
+    """Parsed public-suffix-list rules (publicsuffix.org format).
+
+    ``entries`` maps a join key to ``(ps_labels, is_exception)``:
+    - normal rule ``co.uk``      -> key ``E:co.uk``,  ps = rule labels
+    - exception rule ``!www.ck`` -> key ``E:www.ck``, ps = labels - 1
+    - wildcard rule ``*.ck``     -> key ``W:ck`` — matched against a
+      candidate suffix's PARENT (its tail minus the first label), so a
+      k-label candidate matches iff k = rule labels + 1; ps = k always,
+      which is why the stored value (labels + 1) needs no k check.
+    ``max_labels`` bounds the candidate lengths worth probing.
+    """
+
+    def __init__(self, entries: dict, max_labels: int):
+        self.entries = dict(entries)
+        self.max_labels = int(max_labels)
+
+    @classmethod
+    def parse(cls, text: str) -> "PSLRules":
+        entries: dict[str, tuple[int, bool]] = {}
+        max_labels = 1
+        for raw in text.splitlines():
+            line = raw.strip()
+            # spec: everything after the first whitespace is a comment
+            if not line or line.startswith("//"):
+                continue
+            token = line.split()[0].lower()
+            if token.startswith("!"):
+                body = token[1:]
+                n = body.count(".") + 1
+                entries[f"E:{body}"] = (n - 1, True)
+                max_labels = max(max_labels, n)
+            elif token.startswith("*."):
+                body = token[2:]
+                n = body.count(".") + 1
+                entries[f"W:{body}"] = (n + 1, False)
+                max_labels = max(max_labels, n + 1)
+            else:
+                n = token.count(".") + 1
+                entries[f"E:{token}"] = (n, False)
+                max_labels = max(max_labels, n)
+        return cls(entries, max_labels)
+
+    @classmethod
+    def load(cls, path: str) -> "PSLRules":
+        with open(path, encoding="utf-8") as fh:
+            return cls.parse(fh.read())
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    rules: PSLRules,
+    out_col: str = "registered_domain",
+) -> DataFrame:
+    """Full public-suffix-list eTLD+1 (the scale-path alternative to
+    the :func:`registered_domain` heuristic — publicsuffix.org
+    algorithm: prevailing rule = matching exception if any, else the
+    matching rule with the most labels, else ``*``; registrable
+    domain = prevailing public suffix + one label, NULL when the host
+    IS a public suffix).
+
+    Spark shape: NO shuffle and NO explode — one broadcast hash join
+    per candidate suffix length (the rule table is joined
+    ``max_labels+1`` times on derived key columns; Spark reuses the
+    single broadcast exchange). Hosts with empty labels (leading dot),
+    NULL hosts, and raw-IP hosts yield NULL (PSL semantics differ
+    from the heuristic's pass-through here: an IP has no registrable
+    domain). ASCII/punycode hosts only — IDN inputs must be
+    IDNA-encoded upstream.
+    """
+    spark = df.sparkSession
+    rule_rows = [
+        (k, ps, exc) for k, (ps, exc) in sorted(rules.entries.items())
+    ]
+    rule_df = spark.createDataFrame(
+        rule_rows, "psl_key string, psl_ps int, psl_exc boolean"
+    )
+    # temp/probe column names derived to avoid collisions
+    pfx = "__psl"
+    while any(c.startswith(pfx) for c in df.columns):
+        pfx += "_"
+    h = F.lower(F.col(host_col))
+    bad = (
+        h.isNull()
+        | h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+        | h.rlike(r"(^\.)|(\.\.)|(\.$)")
+        | (h == "")
+    )
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+
+    def suffix(k: int):
+        # last k labels joined; NULL when the host is shorter
+        return F.when(
+            n >= k, F.array_join(F.slice(parts, -k, k), ".")
+        )
+
+    out = df.withColumn(f"{pfx}_n", F.when(~bad, n))
+    probes: list[tuple[str, str]] = []  # (col, kind)
+    for k in range(1, rules.max_labels + 1):
+        ecol, wcol = f"{pfx}_e{k}", f"{pfx}_w{k}"
+        out = out.withColumn(ecol, F.concat(F.lit("E:"), suffix(k)))
+        probes.append((ecol, "exact"))
+        # wildcard probe for (k+1)-label candidates keyed by their
+        # k-label parent — only useful while k+1 <= host labels
+        out = out.withColumn(
+            wcol, F.when(n >= k + 1, F.concat(F.lit("W:"), suffix(k)))
+        )
+        probes.append((wcol, "wild"))
+    ps_cols, exc_cols = [], []
+    for col, _kind in probes:
+        r = F.broadcast(
+            rule_df.select(
+                F.col("psl_key").alias(col),
+                F.col("psl_ps").alias(f"{col}_ps"),
+                F.col("psl_exc").alias(f"{col}_exc"),
+            )
+        )
+        out = out.join(r, col, "left")
+        ps_cols.append(F.when(~F.col(f"{col}_exc"), F.col(f"{col}_ps")))
+        exc_cols.append(F.when(F.col(f"{col}_exc"), F.col(f"{col}_ps")))
+    # prevailing: any exception wins; else deepest match; else '*' (1)
+    exc_ps = F.greatest(*exc_cols) if len(exc_cols) > 1 else exc_cols[0]
+    norm_ps = F.greatest(*ps_cols, F.lit(1))
+    ps = F.coalesce(exc_ps, norm_ps)
+    nn = F.col(f"{pfx}_n")
+    reg = F.when(
+        ~bad & nn.isNotNull() & (nn > ps),
+        F.array_join(F.slice(parts, -(ps + F.lit(0)).cast("int") - 1, ps + 1), "."),
+    )
+    out = out.withColumn(out_col, reg)
+    drop = [f"{pfx}_n"] + [c for c, _ in probes]
+    drop += [f"{c}_ps" for c, _ in probes] + [f"{c}_exc" for c, _ in probes]
+    return out.drop(*drop)
+
+
 def filter_domain_blocklist(
     df: DataFrame,
     url_col: str,
@@ -119,19 +256,24 @@ def filter_domain_blocklist(
     millions, a few MB of strings). Subdomains of a blocked domain are
     blocked with it (the match key IS the registered domain).
     Unparseable URLs (no host) drop unless ``keep_unparseable``."""
+    # temp-column name derived from the input's columns so a caller's
+    # own '__dom' is never silently destroyed (round-11 advice)
+    dom_col = "__dom"
+    while dom_col in df.columns:
+        dom_col += "_"
     dom = registered_domain(parse_url(url_col)["host"])
-    with_dom = df.withColumn("__dom", dom)
+    with_dom = df.withColumn(dom_col, dom)
     if isinstance(blocked, DataFrame):
-        bl = blocked.select(F.lower(F.col(blocked.columns[0])).alias("__dom")).distinct()
+        bl = blocked.select(F.lower(F.col(blocked.columns[0])).alias(dom_col)).distinct()
     else:
         spark = df.sparkSession
         bl = spark.createDataFrame(
-            [(d.lower(),) for d in blocked], "__dom string"
+            [(d.lower(),) for d in blocked], f"{dom_col} string"
         ).distinct()
-    kept = with_dom.join(F.broadcast(bl), "__dom", "left_anti")
+    kept = with_dom.join(F.broadcast(bl), dom_col, "left_anti")
     if not keep_unparseable:
-        kept = kept.filter(F.col("__dom").isNotNull())
-    return kept.drop("__dom")
+        kept = kept.filter(F.col(dom_col).isNotNull())
+    return kept.drop(dom_col)
 
 
 def url_quality_flags(

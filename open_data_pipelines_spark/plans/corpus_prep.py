@@ -14,6 +14,10 @@ Stages, in the order a production corpus pipeline runs them:
 3. **exact dedup FIRST** — fingerprint ``top1_per_key``; collapses
    mass duplicates in one linear pass so the near-dup stage's LSH
    bucket cap is lossless in practice (see ``STRESS.md``).
+3b. **LM perplexity stage** (opt-in) — CCNet threshold filter or
+   head/middle/tail buckets over the DEDUPLICATED docs (round 12:
+   moved after exact dedup — the token explode must not pay for mass
+   duplicates, and CCNet's cutoffs describe the deduped corpus).
 4. **near-dup clustering** — MinHash-LSH pairs (bucket-capped) →
    connected components → keep each cluster's canonical minimum.
 5. **decontaminate** (opt-in) — drop docs sharing n-grams with a
@@ -90,6 +94,7 @@ def prepare_corpus(
     perplexity_lm=None,
     perplexity_max: float | None = None,
     perplexity_keep_buckets: tuple[str, ...] | None = None,
+    perplexity_bucket_exact: bool = False,
     repetition_thresholds: dict[str, float] | None = None,
     url_col: str | None = None,
     url_blocklist=None,
@@ -103,7 +108,7 @@ def prepare_corpus(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
     chunk_size: int = 64,
-    overlap: int = 8,
+    overlap: int | None = None,
     chunking: str = "window",
     with_stats: bool = False,
     benchmark: DataFrame | None = None,
@@ -141,7 +146,13 @@ def prepare_corpus(
     survivors). ``perplexity_keep_buckets`` (e.g. ``("head",
     "middle")``) is the CCNet distribution-relative alternative to
     ``perplexity_max``: per-language head/middle/tail cutoffs from
-    the corpus itself.
+    the corpus itself. ``perplexity_bucket_exact=True`` swaps the
+    cutoff aggregation from ``percentile_approx`` to exact
+    ``percentile`` — the cross-engine-reproducible form the driver
+    oracle uses; approx stays the 100 TB default.
+
+    ``overlap`` defaults to 8 in window chunking; sentence chunking
+    takes no overlap (passing an explicit nonzero value errors).
 
     ``bpe_merges`` (a trained :func:`..operators.bpe.train_bpe` merge
     table) makes the packing stage budget in LEARNED subword tokens
@@ -319,8 +330,6 @@ def prepare_corpus(
         )
 
     if perplexity_lm is not None:
-        from ..operators.lm_score import perplexity_buckets, perplexity_filter
-
         if perplexity_max is None and perplexity_keep_buckets is None:
             raise ValueError("perplexity_lm needs perplexity_max (pick it from "
                              "the scored distribution's quantiles) or "
@@ -338,39 +347,6 @@ def prepare_corpus(
                     f"perplexity_keep_buckets must be non-empty and drawn from "
                     f"('head', 'middle', 'tail'); got {perplexity_keep_buckets!r}"
                 )
-        # CCNet-style LM filter: one explode + broadcast model joins +
-        # per-doc agg — runs after the pure projections, before the
-        # shuffling dedup stages. The filter consumes its input THREE
-        # times (the token-explode scoring side, the distinct-id base,
-        # and the left side of the keep semi-join): checkpoint the
-        # cleaned/annotated/filtered prefix so the regex-heavy
-        # annotate executes once per funnel run, not three times
-        # (round-9 trim). In observe-stats mode the checkpoint must be
-        # EAGER: the input/quality observations sit below it with no
-        # shuffle in between, and an observation under a LAZY
-        # checkpoint without an intervening shuffle is fulfilled with
-        # 0 (measured rule, caching.lazy_checkpoint docstring;
-        # regression: test_observe_audit_with_perplexity_stage)
-        kept = lazy_checkpoint(kept, eager=with_stats and stats_via == "observe")
-        if perplexity_keep_buckets is not None:
-            # CCNet's distribution-relative form: label head/middle/
-            # tail by corpus quantiles (per language — `kept` carries
-            # the annotate stage's lang column) and keep the named
-            # buckets; a semi-join on the kept ids preserves schema
-            buckets = perplexity_buckets(
-                kept, "text", "doc_id", perplexity_lm, by_lang="lang"
-            )
-            keep_ids = buckets.filter(
-                F.col("bucket").isin(*perplexity_keep_buckets)
-            ).select("doc_id")
-            kept = note(
-                "perplexity_kept", kept.join(keep_ids, "doc_id", "left_semi")
-            )
-        else:
-            kept = note(
-                "perplexity_kept",
-                perplexity_filter(kept, "text", "doc_id", perplexity_lm, perplexity_max),
-            )
 
     if repetition_thresholds is not None:
         from ..operators.repetition import repetition_filter
@@ -385,8 +361,10 @@ def prepare_corpus(
         )
 
     exact = dedup_exact_text(kept, "text", "doc_id")
-    if near_dup != "none":
-        # `exact` is consumed twice on any near-dup path — once to
+    if near_dup != "none" or perplexity_lm is not None:
+        # `exact` is consumed at least twice downstream — the LM stage
+        # scores it three ways (token-explode side, cutoff aggregation,
+        # keep semi-join), and any near-dup path reads it once to
         # build the candidate pairs (shingle/signature side) and once
         # as the survivors side of the final anti-join. A LAZY local
         # checkpoint materializes the whole cleaned/filtered/deduped
@@ -409,6 +387,47 @@ def prepare_corpus(
         # implementation shuffling.
         exact = lazy_checkpoint(exact, eager=with_stats and stats_via == "observe")
     exact = note("exact_deduped", exact)
+
+    if perplexity_lm is not None:
+        from ..operators.lm_score import perplexity_buckets, perplexity_filter
+
+        # CCNet-style LM stage runs AFTER exact dedup (round 12 — it
+        # ran before, between the quality gates): (a) at 100 TB the
+        # token-explode + model joins must not pay for mass
+        # duplicates, (b) CCNet computes its head/middle/tail cutoffs
+        # over the deduplicated corpus, and (c) duplicate-text docs
+        # carry ulp-identical perplexities whose arbitrary order
+        # around an exact-percentile cutoff would make the bucket
+        # boundary engine-nondeterministic — deduping first removes
+        # the tie entirely (measured: a planted exact copy straddled
+        # the sf0.1 hi cut at |ppl-cut| ~ 1e-14 pre-reorder).
+        if perplexity_keep_buckets is not None:
+            # CCNet's distribution-relative form: label head/middle/
+            # tail by corpus quantiles (per language — `exact` carries
+            # the annotate stage's lang column) and keep the named
+            # buckets; a semi-join on the kept ids preserves schema
+            buckets = perplexity_buckets(
+                exact, "text", "doc_id", perplexity_lm, by_lang="lang",
+                exact=perplexity_bucket_exact,
+            )
+            keep_ids = buckets.filter(
+                F.col("bucket").isin(*perplexity_keep_buckets)
+            ).select("doc_id")
+            exact = note(
+                "perplexity_kept", exact.join(keep_ids, "doc_id", "left_semi")
+            )
+        else:
+            exact = note(
+                "perplexity_kept",
+                perplexity_filter(exact, "text", "doc_id", perplexity_lm, perplexity_max),
+            )
+        if near_dup != "none":
+            # the LM-kept frame is itself consumed twice by the
+            # near-dup path (pairs side + anti-join side); without
+            # this the whole scoring subtree would execute twice
+            exact = lazy_checkpoint(
+                exact, eager=with_stats and stats_via == "observe"
+            )
 
     # near-dup pair generation is pluggable; every backend is banded
     # (equi-joins on hash keys, never a product) and feeds the same
@@ -570,11 +589,17 @@ def prepare_corpus(
 
         # semantic-boundary variant: whole sentences packed to the
         # chunk_size token budget; overlap does not apply (sentences
-        # are never split, so there is nothing to re-quote)
+        # are never split, so there is nothing to re-quote). Only an
+        # EXPLICIT nonzero overlap errors — the default (None) means
+        # "caller said nothing", not a window request (round-11
+        # advice: the old int default forced every sentence-mode
+        # caller to type overlap=0 for a parameter documented as not
+        # applying).
         if overlap:
             raise ValueError("chunking='sentence' does not take overlap")
         chunk_expr = sentence_chunks("text", chunk_size)
     elif chunking == "window":
+        overlap = 8 if overlap is None else overlap  # resolved here so the manifest records it
         chunk_expr = chunk_tokens("text", chunk_size, overlap)
     else:
         raise ValueError(f"unknown chunking {chunking!r} (window|sentence)")

@@ -599,17 +599,41 @@ FROM ranked r JOIN per_doc p USING (doc_id)
 _FUNNEL_CHUNK, _FUNNEL_OVERLAP = 64, 8
 _FUNNEL_BANNER = "Accept Cookies To Continue"
 _FUNNEL_BL_MIN_DOCS = 3
-# CCNet-style LM stage (round 8: the last flagship LLM stage folded
-# into the oracle row — the 50-row driver window is full, so its
-# driver-green evidence rides here). The interpolated-bigram LM trains
-# on the 1-in-10 raw-document reference slice; 40.0 keeps the head of
-# the scored distribution at every SF (drops 21/605 kept docs at
-# sf0.001, 33/594 at sf0.01, 440/5908 at sf0.1 — load-bearing
-# everywhere) with a measured min |ppl - thr| margin of 0.018 absolute
-# (~4e-4 relative) — five orders of magnitude above the ~1e-9
-# cross-engine float noise the LM parity test pinned, so kept-set
-# parity can never flip on libm/summation-order differences.
-_FUNNEL_PPL_MAX = 40.0
+# CCNet-style LM stage (round 8 folded the threshold filter into the
+# oracle row; round 12 upgraded it to the distribution-relative
+# head/middle/tail BUCKET form — perplexity_keep_buckets — so the
+# bucket operator gets driver-green evidence too; the scoring core
+# `_per_doc_scores` is shared by both forms, so the threshold path
+# stays transitively covered). The interpolated-bigram LM trains on
+# the 1-in-10 raw-document reference slice; keeping ("head",
+# "middle") drops the worst-scoring third of each language cohort at
+# every SF — load-bearing everywhere by construction. Cutoffs use
+# EXACT percentile in BOTH engines (Spark `percentile` ==
+# DuckDB `quantile_cont`, bit-identical on the same doubles —
+# verified in tests/test_funnel_bucket_margin.py, which also pins the
+# min |ppl - cutoff| boundary margin far above the ~1e-9
+# cross-engine float noise the LM parity test allows); the 100 TB
+# default stays percentile_approx.
+_FUNNEL_PPL_BUCKETS = ("head", "middle")
+
+# Round-12 URL gate fold (RefinedWeb §3.1-style front gate): the
+# documents table carries no URL, so the funnel plants a
+# deterministic one per doc_id covering every gate branch —
+# blocklisted domain (residue 3), blocked SUBDOMAIN (4), blocked via
+# two-level public suffix (9 → shop.co.uk), raw-IP host (5),
+# token-boundary badword (7), unparseable (11), clean survivors
+# (rest). The expression is dialect-shared: Spark runs it via
+# F.expr, DuckDB verbatim — one definition, zero drift.
+_FUNNEL_URL_SQL = """CASE
+  WHEN doc_id % 17 = 3  THEN 'https://spamfarm.example/p/' || CAST(doc_id AS STRING)
+  WHEN doc_id % 17 = 4  THEN 'https://cdn.spamfarm.example/q?a=1&b=2'
+  WHEN doc_id % 17 = 5  THEN 'http://93.184.216.34/raw/' || CAST(doc_id AS STRING)
+  WHEN doc_id % 17 = 7  THEN 'https://freebies.example/casino/' || CAST(doc_id AS STRING)
+  WHEN doc_id % 17 = 9  THEN 'https://x' || CAST(doc_id % 3 AS STRING) || '.shop.co.uk/p'
+  WHEN doc_id % 17 = 11 THEN 'not a url ' || CAST(doc_id AS STRING)
+  ELSE 'https://site' || CAST(doc_id % 5 AS STRING) || '.example.org/page/' || CAST(doc_id AS STRING)
+END"""
+_FUNNEL_BLOCKLIST = ("spamfarm.example", "shop.co.uk")
 
 
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,13 +664,21 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = planted.withColumn(
         "text", F.concat(F.lit(_FUNNEL_BANNER + "\n"), F.col("text"))
     )
+    # deterministic per-doc URL so the web-curation gate (blocklist +
+    # shape flags) is load-bearing in the oracle hash — see
+    # _FUNNEL_URL_SQL for the branch coverage
+    planted = planted.withColumn("url", F.expr(_FUNNEL_URL_SQL))
     return prepare_corpus(
         spark,
         sf_dir,
         docs=planted,
+        url_col="url",
+        url_blocklist=_FUNNEL_BLOCKLIST,
+        url_quality=True,
         boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
         perplexity_lm=lm,
-        perplexity_max=_FUNNEL_PPL_MAX,
+        perplexity_keep_buckets=_FUNNEL_PPL_BUCKETS,
+        perplexity_bucket_exact=True,
         chunk_size=_FUNNEL_CHUNK,
         overlap=_FUNNEL_OVERLAP,
         # cap-free so the Spark algebra is EXACTLY the oracle SQL at
@@ -699,11 +731,66 @@ from ..operators.lm_score import DEFAULT_LAM as _PPL_LAM  # noqa: E402
 _PPL_TOKS = (
     "list_filter(string_split_regex(trim(lower({t})), '\\s+'), t -> t <> '')"
 )
+
+# URL-gate mirror (operators/url_filter): the regexes, suffix set,
+# badword list and blocklist are IMPORTED from the operator/constants
+# — not retyped — so the engines cannot drift (the _PII_PATTERNS
+# discipline). regexp semantics verified shared: Java regex and RE2
+# agree on every construct used here (escaped slash, non-capturing
+# groups, char classes, bounded repetition).
+import re as _re  # noqa: E402
+
+from ..operators.lm_score import DEFAULT_BUCKET_BOUNDS as _PPL_BOUNDS  # noqa: E402
+from ..operators.url_filter import _URL_RE as _URL_REGEX  # noqa: E402
+from ..operators.url_filter import DEFAULT_URL_BADWORDS as _URL_BADWORDS  # noqa: E402
+from ..operators.url_filter import TWO_LEVEL_SUFFIXES as _URL_SUFFIXES  # noqa: E402
+
+_URL_SUFFIX_LIST = ", ".join(f"'{s}'" for s in _URL_SUFFIXES)
+_URL_BLOCK_LIST = ", ".join(f"'{d}'" for d in _FUNNEL_BLOCKLIST)
+_URL_BADWORD_ALT = "|".join(_re.escape(w.lower()) for w in _URL_BADWORDS)
+_FUNNEL_BUCKET_IN = ", ".join(f"'{b}'" for b in _FUNNEL_PPL_BUCKETS)
+# host = authority, userinfo stripped greedily to the LAST @, :port
+# stripped, lowercased, '' -> NULL (parse_url mirror)
+_URL_HOST_SQL = (
+    "nullif(lower(regexp_replace(regexp_replace("
+    f"regexp_extract(url, '{_URL_REGEX}', 2), '^.*@', ''), ':\\d+$', '')), '')"
+)
+_HOST_PARTS = "string_split(host, '.')"
+_URL_IP_RE = "^\\d{1,3}(\\.\\d{1,3}){3}$"
+# registered_domain mirror: raw-IP / <=2-label hosts pass through;
+# two-level public suffix takes three labels; else two
+_URL_DOM_SQL = f"""CASE
+    WHEN host IS NULL THEN NULL
+    WHEN regexp_matches(host, '{_URL_IP_RE}') OR len({_HOST_PARTS}) <= 2 THEN host
+    WHEN ({_HOST_PARTS}[-2] || '.' || {_HOST_PARTS}[-1]) IN ({_URL_SUFFIX_LIST})
+      THEN {_HOST_PARTS}[-3] || '.' || {_HOST_PARTS}[-2] || '.' || {_HOST_PARTS}[-1]
+    ELSE {_HOST_PARTS}[-2] || '.' || {_HOST_PARTS}[-1]
+  END"""
+# filter_domain_blocklist (dom non-null, not blocked) then
+# filter_url_quality (no shape flag set), in pipeline order
+_URL_GATE_SQL = f"""dom IS NOT NULL
+    AND dom NOT IN ({_URL_BLOCK_LIST})
+    AND length(url) <= 2048
+    AND NOT regexp_matches(host, '{_URL_IP_RE}')
+    AND length(regexp_replace(host, '[^0-9]', '', 'g')) < length(host) * 0.4
+    AND NOT regexp_matches(lower(url), '(^|[^a-z0-9])({_URL_BADWORD_ALT})([^a-z0-9]|$)')
+    AND (CASE WHEN query IS NULL THEN 0 ELSE len(string_split(query, '&')) END) <= 12"""
+
 ORACLE_CORPUS_FUNNEL = f"""
 WITH RECURSIVE
 planted_raw AS ({_FUNNEL_PLANTED_SQL}),
+planted_url AS (
+  SELECT doc_id, text, {_FUNNEL_URL_SQL} AS url FROM planted_raw
+),
+url_parsed AS (
+  SELECT doc_id, text, url, {_URL_HOST_SQL} AS host,
+         nullif(regexp_extract(url, '{_URL_REGEX}', 4), '') AS query
+  FROM planted_url
+),
+url_dom AS (SELECT *, {_URL_DOM_SQL} AS dom FROM url_parsed),
+url_gated AS (SELECT doc_id, text FROM url_dom WHERE {_URL_GATE_SQL}),
 planted_bannered AS (
-  SELECT doc_id, '{_FUNNEL_BANNER}' || chr(10) || text AS text FROM planted_raw
+  SELECT doc_id, '{_FUNNEL_BANNER}' || chr(10) || text AS text FROM url_gated
 ),
 bl_lines AS (
   SELECT doc_id, idx, line, md5({_BL_NORM}) AS fp
@@ -742,10 +829,21 @@ kept AS MATERIALIZED (
   SELECT * FROM annotated
   WHERE quality >= 0.5 AND lang IN ('en', 'fr', 'de')
 ),
--- CCNet-style interpolated-bigram LM filter, mirrored from
+exact AS MATERIALIZED (
+  SELECT doc_id, text, lang, quality FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5({_NORM.format(t='text')}) ORDER BY doc_id ASC
+    ) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+-- CCNet-style interpolated-bigram LM stage, mirrored from
 -- operators/lm_score (train on the 1-in-10 raw-doc slice, score the
--- quality-kept docs, keep perplexity <= threshold). Formula constants
--- interpolated via repr() so both engines evaluate the SAME doubles.
+-- exact-DEDUPLICATED docs — pipeline order as of round 12 — bucket
+-- head/middle/tail by per-language EXACT percentile cutoffs
+-- (quantile_cont == Spark percentile, bit-identical) and keep the
+-- named buckets). Formula constants interpolated via repr() so both
+-- engines evaluate the SAME doubles.
 lm_toks AS (
   SELECT {_PPL_TOKS.format(t='text')} AS toks
   FROM documents WHERE doc_id % 10 = 0
@@ -763,14 +861,14 @@ lm_tot AS (
   FROM lm_uni
 ),
 ppl_pairs AS (
-  SELECT doc_id, list_prepend('{_PPL_BOS}', toks)[i] AS prev, toks[i] AS tok
+  SELECT doc_id, lang, list_prepend('{_PPL_BOS}', toks)[i] AS prev, toks[i] AS tok
   FROM (
-    SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
-    FROM (SELECT doc_id, {_PPL_TOKS.format(t='text')} AS toks FROM kept)
+    SELECT doc_id, lang, toks, unnest(generate_series(1, len(toks))) AS i
+    FROM (SELECT doc_id, lang, {_PPL_TOKS.format(t='text')} AS toks FROM exact)
   )
 ),
 ppl_scored AS (
-  SELECT p.doc_id,
+  SELECT p.doc_id, p.lang,
          ln({_PPL_LAM!r} * CASE WHEN b.bi_n IS NOT NULL
                   THEN CAST(b.bi_n AS DOUBLE) / CAST(pv.prev_n AS DOUBLE)
                   ELSE 0.0 END
@@ -782,22 +880,25 @@ ppl_scored AS (
   LEFT JOIN lm_bi b ON b.prev = p.prev AND b.tok = p.tok
   LEFT JOIN lm_prev pv ON pv.prev = p.prev
 ),
+ppl_doc AS (
+  SELECT doc_id, lang, exp(-avg(lp)) AS ppl
+  FROM ppl_scored GROUP BY doc_id, lang
+),
+ppl_cuts AS (
+  SELECT lang, quantile_cont(ppl, {_PPL_BOUNDS[0]!r}) AS lo,
+         quantile_cont(ppl, {_PPL_BOUNDS[1]!r}) AS hi
+  FROM ppl_doc GROUP BY lang
+),
 ppl_keep AS (
-  SELECT doc_id FROM ppl_scored GROUP BY doc_id
-  HAVING exp(-avg(lp)) <= {_FUNNEL_PPL_MAX!r}
+  SELECT d.doc_id FROM ppl_doc d JOIN ppl_cuts c USING (lang)
+  WHERE (CASE WHEN d.ppl <= c.lo THEN 'head'
+              WHEN d.ppl <= c.hi THEN 'middle'
+              ELSE 'tail' END) IN ({_FUNNEL_BUCKET_IN})
 ),
 ppl_kept AS MATERIALIZED (
-  SELECT * FROM kept WHERE doc_id IN (SELECT doc_id FROM ppl_keep)
+  SELECT * FROM exact WHERE doc_id IN (SELECT doc_id FROM ppl_keep)
 ),
-exact AS MATERIALIZED (
-  SELECT doc_id, text, lang, quality FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY md5({_NORM.format(t='text')}) ORDER BY doc_id ASC
-    ) AS rn
-    FROM ppl_kept
-  ) WHERE rn = 1
-),
-{_minhash_ctes("SELECT doc_id, text FROM exact")},
+{_minhash_ctes("SELECT doc_id, text FROM ppl_kept")},
 near_pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM near_pairs
@@ -812,7 +913,7 @@ reach(node, lab) AS (
 comp AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node),
 drops AS (SELECT node AS doc_id FROM comp WHERE node != rep),
 survivors AS (
-  SELECT e.* FROM exact e
+  SELECT e.* FROM ppl_kept e
   WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)
 ),
 tokd AS (

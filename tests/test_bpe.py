@@ -231,6 +231,36 @@ def test_detokenize_preserves_literal_sentinel_text():
     assert detokenize(toks2) == "ab </w>"
 
 
+def test_worker_encoder_memo_is_bounded():
+    """N distinct merge tables leave <= _MAX_WORKER_ENCODERS entries
+    (LRU eviction — round-11 advice: the unbounded memo pinned every
+    merge table a long-lived executor ever saw), and eviction does not
+    change what an encoder produces (a rebuilt encoder is
+    deterministic in its merge table)."""
+    from open_data_pipelines_spark.operators import bpe as B
+
+    saved = dict(B._WORKER_ENCODERS)
+    B._WORKER_ENCODERS.clear()
+    try:
+        tables = [
+            tuple((f"a{i}", f"b{i}") for i in range(k + 1)) for k in range(10)
+        ]
+        first = B._encoder_for(tables[0])("a0b0word")
+        for t in tables:
+            B._encoder_for(t)
+        assert len(B._WORKER_ENCODERS) <= B._MAX_WORKER_ENCODERS
+        # tables[0] was evicted; a rebuilt encoder gives the same tokens
+        assert tables[0] not in B._WORKER_ENCODERS
+        assert B._encoder_for(tables[0])("a0b0word") == first
+        # most-recently-USED survives: touch an old entry, add a new one
+        B._encoder_for(tables[-B._MAX_WORKER_ENCODERS])
+        B._encoder_for(tuple((f"x{i}", f"y{i}") for i in range(3)))
+        assert tables[-B._MAX_WORKER_ENCODERS] in B._WORKER_ENCODERS
+    finally:
+        B._WORKER_ENCODERS.clear()
+        B._WORKER_ENCODERS.update(saved)
+
+
 def test_vocab_has_no_duplicates(spark):
     docs = spark.createDataFrame(
         [(1, "abc abc abc ab abde c cq " * 5)], ["doc_id", "text"]

@@ -213,6 +213,13 @@ def test_funnel_sentence_chunking_option(spark):
         prepare_corpus(
             spark, SF_SMOKE, docs=docs, chunking="sentence", chunk_size=12, overlap=4
         )
+    # the DEFAULT overlap (None) must NOT trip the sentence-mode guard
+    # (round-11 advice: the old int default forced overlap=0 on every
+    # sentence caller); window mode still resolves the default to 8
+    prepare_corpus(
+        spark, SF_SMOKE, docs=docs, near_dup="none", quality_min=0.0,
+        keep_langs=("en", "und"), chunking="sentence", chunk_size=12,
+    )
     out = prepare_corpus(
         spark, SF_SMOKE, docs=docs, near_dup="none", quality_min=0.0,
         keep_langs=("en", "und"), chunking="sentence", chunk_size=12, overlap=0,

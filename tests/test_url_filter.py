@@ -126,3 +126,18 @@ def test_url_quality_rules(spark):
     # the audit struct is one expression pass: no exchange in the plan
     audit = df.select(url_quality_flags("url").alias("f"))
     assert "Exchange" not in audit._jdf.queryExecution().executedPlan().toString()
+
+
+def test_blocklist_preserves_callers_dom_column(spark):
+    """A pre-existing '__dom' column on the input survives the gate
+    untouched (round-11 advice: the operator's temp column used to
+    shadow and silently destroy it)."""
+    rows = [
+        (1, "https://ok.example.com/a", "mine-1"),
+        (2, "https://spam.example.org/b", "mine-2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, __dom string")
+    kept = filter_domain_blocklist(df, "url", ["example.org"])
+    assert kept.columns == ["doc_id", "url", "__dom"]
+    got = {r["doc_id"]: r["__dom"] for r in kept.collect()}
+    assert got == {1: "mine-1"}
