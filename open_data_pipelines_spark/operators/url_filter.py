@@ -233,9 +233,10 @@ def registered_domain_psl(
     norm_ps = F.greatest(*ps_cols, F.lit(1))
     ps = F.coalesce(exc_ps, norm_ps)
     nn = F.col(f"{pfx}_n")
+    k_reg = ps + F.lit(1)  # registrable domain = public suffix + 1 label
     reg = F.when(
         ~bad & nn.isNotNull() & (nn > ps),
-        F.array_join(F.slice(parts, -(ps + F.lit(0)).cast("int") - 1, ps + 1), "."),
+        F.array_join(F.slice(parts, -k_reg, k_reg), "."),
     )
     out = out.withColumn(out_col, reg)
     drop = [f"{pfx}_n"] + [c for c, _ in probes]
@@ -249,20 +250,38 @@ def filter_domain_blocklist(
     blocked,
     *,
     keep_unparseable: bool = False,
+    psl: PSLRules | None = None,
 ) -> DataFrame:
     """Drop rows whose URL's registered domain is in ``blocked`` (a
     Python iterable of domains or a one-column DataFrame — always the
     broadcast side: blocklists are dim-sized even when they are UT1's
     millions, a few MB of strings). Subdomains of a blocked domain are
     blocked with it (the match key IS the registered domain).
-    Unparseable URLs (no host) drop unless ``keep_unparseable``."""
+    Unparseable URLs (no host) drop unless ``keep_unparseable``.
+
+    ``psl`` switches the eTLD+1 split from the inlined two-level
+    heuristic to the full public-suffix-list algorithm
+    (:func:`registered_domain_psl` — ``PSLRules.load(path)`` a real
+    list for web corpora whose multi-level suffixes the ~40-entry
+    subset missplits). Hosts that ARE a public suffix have a NULL
+    registered domain under PSL semantics and follow
+    ``keep_unparseable``."""
     # temp-column name derived from the input's columns so a caller's
     # own '__dom' is never silently destroyed (round-11 advice)
     dom_col = "__dom"
     while dom_col in df.columns:
         dom_col += "_"
-    dom = registered_domain(parse_url(url_col)["host"])
-    with_dom = df.withColumn(dom_col, dom)
+    if psl is not None:
+        host_col = dom_col + "h"
+        with_dom = registered_domain_psl(
+            df.withColumn(host_col, parse_url(url_col)["host"]),
+            host_col,
+            psl,
+            out_col=dom_col,
+        ).drop(host_col)
+    else:
+        dom = registered_domain(parse_url(url_col)["host"])
+        with_dom = df.withColumn(dom_col, dom)
     if isinstance(blocked, DataFrame):
         bl = blocked.select(F.lower(F.col(blocked.columns[0])).alias(dom_col)).distinct()
     else:
