@@ -120,6 +120,29 @@ EXTRA = {
 }
 
 
+def _calibration(spark):
+    """Fixed-work CPU probe: 40M rows x 64 chained xxhash64 rounds,
+    summed mod 1e6 (ANSI-safe), through the noop sink — no repo code,
+    no I/O, no shuffle beyond the final scalar agg. Its ONLY purpose
+    is cross-round normalization: this container's ambient load has
+    repeatedly shifted untouched queries by 15-40% between rounds
+    (STRESS.md round-8/9/11/12 attribution entries, each earned with
+    a same-day interleaved A/B of old-round code). A future round that
+    sees query X at +25% AND calibration at +25% can attribute
+    ambient WITHOUT re-running the old tree. Reported as a separate
+    'calibration' field — never part of the headline total, which
+    stays A/B-comparable with bench_reference.json."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 40_000_000, 1, 32)
+    h = F.col("id")
+    for i in range(64):
+        h = F.xxhash64(h, F.lit(i))
+    return df.select(F.pmod(h, F.lit(1_000_000)).alias("h")).agg(
+        F.sum("h").alias("s")
+    )
+
+
 def _gc_settle(spark) -> None:
     """Deterministic storage reclaim between headline entries.
 
@@ -180,6 +203,22 @@ def main() -> None:
         }
         _gc_settle(spark)
 
+    # fixed-work calibration probe (see _calibration): timed with the
+    # same warmup+median discipline, kept OUT of the headline total
+    cal_q = _calibration(spark)
+    cal_q.write.format("noop").mode("overwrite").save()
+    cal_samples = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        cal_q.write.format("noop").mode("overwrite").save()
+        cal_samples.append(time.perf_counter() - t0)
+    calibration = {
+        "median": round(statistics.median(cal_samples), 3),
+        "min": round(min(cal_samples), 3),
+        "max": round(max(cal_samples), 3),
+    }
+    _gc_settle(spark)
+
     result = {
         "metric": "headline_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -189,6 +228,9 @@ def main() -> None:
         # attribute +-30% drift on ~1 s queries to run noise vs a real
         # regression without a re-run (r5 verdict ask)
         "spread": spreads,
+        # fixed-work CPU probe for cross-round ambient normalization
+        # (constant seed, no repo code path) — NOT in `value`
+        "calibration": calibration,
         "sf": sf,
         "mode": f"steady_state_median{passes}",
     }

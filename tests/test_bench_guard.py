@@ -69,6 +69,8 @@ def test_bench_emits_per_query_spread(monkeypatch, capsys):
     # bench prefers EXTRA (bench-local callables) over the registry;
     # empty it so every headline name resolves to the stub above
     monkeypatch.setattr(bench_mod, "EXTRA", {})
+    # the calibration probe needs a real spark.range — stub it too
+    monkeypatch.setattr(bench_mod, "_calibration", lambda spark: _FakeDF())
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "2")
     bench_mod.main()
 
@@ -78,7 +80,14 @@ def test_bench_emits_per_query_spread(monkeypatch, capsys):
     for name in bench_mod.HEADLINE:
         s = result["spread"][name]
         assert s["min"] <= result["queries"][name] <= s["max"]
+    # the fixed-work calibration probe reports its own spread and
+    # stays OUT of the headline total (round-12: ambient normalizer)
+    cal = result["calibration"]
+    assert cal["min"] <= cal["median"] <= cal["max"]
+    assert "calibration" not in result["queries"]
+    assert abs(result["value"] - round(sum(result["queries"].values()), 3)) < 1e-6
     # every headline query actually EXECUTED (warmup + measured
     # passes) — without this, a bench that emitted spreads while
-    # skipping execution entirely would pass (round-9 test-review)
-    assert calls["n"] == len(bench_mod.HEADLINE) * 3  # 1 warmup + 2 passes
+    # skipping execution entirely would pass (round-9 test-review);
+    # +1 for the calibration probe's own warmup + passes
+    assert calls["n"] == (len(bench_mod.HEADLINE) + 1) * 3  # 1 warmup + 2 passes

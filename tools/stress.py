@@ -1090,6 +1090,92 @@ def near_dedup_scenario(
     print(json.dumps({"scenario": "near_dedup", "batch_n": batch_n, "sizes": results}))
 
 
+def media_band_index_scenario(
+    corpus_sizes=(50_000, 200_000, 800_000), batch_n: int = 5_000
+) -> None:
+    """Round 12: the MEDIA twin of ``--near-dedup`` (r11 verdict task
+    #4) — admitting a fixed batch of perceptual signatures against the
+    persisted per-kind band index as the index grows 16x, vs the
+    batch-mode alternative (re-banding the whole corpus+batch into
+    pairs every arrival). Signatures are web-shaped, not uniform
+    random: drawn from a pool of ``n/50`` distinct base signatures
+    (real perceptual hashes cluster heavily — mass-duplicated
+    thumbnails, re-encodes), with the batch half near-dups (2 flipped
+    low bits, within max_hamming=6) and half fresh content."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.image_dedup import (
+        image_near_dup_pairs,
+    )
+    from open_data_pipelines_spark.operators.media_band_index import (
+        near_dedup_media_against_index,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-media-band")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus(n, pool, offset=0, mutate=False):
+        base = spark.range(n).select((F.col("id") + offset).alias("media_id"))
+        src = F.col("media_id") % 10_000_000  # pre-re-key identity
+        sig = F.xxhash64(F.pmod(src, F.lit(pool)), F.lit("sig"))
+        if mutate:
+            sig = sig.bitwiseXOR(F.lit(3))  # hamming 2 <= max_hamming 6
+        kind = F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(src, F.lit(3)) + 1).cast("int"),
+        )
+        return base.select(
+            "media_id", kind.alias("kind"), sig.alias("signature")
+        )
+
+    corpus(5_000, 100).count()  # warmup
+
+    results = {}
+    for n in corpus_sizes:
+        pool = max(n // 50, 1)
+        seen = corpus(n, pool)
+        near = corpus(batch_n // 2, pool, mutate=True).withColumn(
+            "media_id", F.col("media_id") + 10_000_000
+        )
+        fresh = corpus(batch_n - batch_n // 2, pool, offset=n + 1_000_000)
+        batch = near.unionByName(fresh)
+        with tempfile.TemporaryDirectory() as td:
+            idx = td + "/media-bands"
+            near_dedup_media_against_index(
+                spark, seen, idx, "signature", "media_id", "kind", batch_id=1
+            ).count()
+            t0 = time.perf_counter()
+            admitted = near_dedup_media_against_index(
+                spark, batch, idx, "signature", "media_id", "kind", batch_id=2
+            ).count()
+            probe_sec = round(time.perf_counter() - t0, 2)
+        # batch-mode alternative at the same dedup standard: per-kind
+        # banded pairs over corpus+batch (what a re-compaction pays)
+        allr = seen.unionByName(batch)
+        t0 = time.perf_counter()
+        pairs = 0
+        for kind in ("image", "audio", "video"):
+            pairs += image_near_dup_pairs(
+                allr.filter(F.col("kind") == kind),
+                "media_id",
+                "signature",
+                max_hamming=6,
+                band_bits=8,
+            ).count()
+        full_sec = round(time.perf_counter() - t0, 2)
+        results[n] = {
+            "probe_and_publish_sec": probe_sec,
+            "full_rebanding_sec": full_sec,
+            "admitted_rows": admitted,
+            "full_candidate_pairs": pairs,
+        }
+    print(json.dumps({"scenario": "media_band_index", "batch_n": batch_n, "sizes": results}))
+
+
 def domain_cap_scenario(n_rows: int = 4_000_000, n_domains: int = 200_000) -> None:
     """Round 10 (session 3): per-domain caps under web-shaped domain
     skew — one mega-domain holds 25% of the corpus, a long tail of
@@ -1163,6 +1249,9 @@ def main() -> None:
         return
     if "--near-dedup" in sys.argv:
         near_dedup_scenario()
+        return
+    if "--media-band-index" in sys.argv:
+        media_band_index_scenario()
         return
     if "--semdedup" in sys.argv:
         semdedup_scenario()
