@@ -39,10 +39,21 @@ from pyspark.sql import functions as F
 from .text_dedup import word_shingles
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, n)).alias("__sh")
-    )
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = False
+) -> DataFrame:
+    sh = F.array_distinct(word_shingles(text_col, n))
+    if hashed:
+        # 64-bit keys: an 8-gram string averages ~50 bytes; hashing
+        # shrinks the broadcast side ~6x and the probe's join keys
+        # with it. Collision math: a benchmark of 1e8 distinct n-grams
+        # colliding with an innocent corpus shingle is p ~ 1e8/2^64
+        # per probe — at 1e12 corpus shingles, ~5 spurious doc drops
+        # across the whole corpus, the right trade for a DROP-only
+        # hygiene filter. array_distinct runs BEFORE hashing so a
+        # collision cannot merge two real shingles into one count.
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    return df.select(F.col(id_col), sh.alias("__sh"))
 
 
 def ngram_contamination(
@@ -55,8 +66,19 @@ def ngram_contamination(
     n: int = 8,
     broadcast_bench: bool = True,
     broadcast_hits: bool = True,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Per-document contamination report against a benchmark set.
+
+    ``hash_shingles=True`` joins on ``xxhash64`` of each n-gram
+    instead of the n-gram string: the broadcast benchmark set shrinks
+    ~6x (8 bytes vs ~50-byte strings) and the probe's join keys with
+    it — the 100 TB form when the benchmark suite is 1e7-1e8 distinct
+    n-grams and the exact-string broadcast stops fitting. Collision
+    risk is ~|bench|/2^64 per corpus shingle (a handful of spurious
+    DROPS corpus-wide at extreme scale — the right direction for a
+    hygiene filter); the default stays the exact, DuckDB-mirrorable
+    string join.
 
     ``broadcast_hits=False`` is the escape hatch for adversarial
     contamination rates: ``hits`` holds one row per CONTAMINATED
@@ -77,9 +99,9 @@ def ngram_contamination(
     length upstream.
     """
     bt = bench_text_col or text_col
-    doc_sh = _doc_shingles(docs, text_col, id_col, n)
+    doc_sh = _doc_shingles(docs, text_col, id_col, n, hashed=hash_shingles)
     bench_sh = (
-        _doc_shingles(bench, bt, bench_id_col, n)
+        _doc_shingles(bench, bt, bench_id_col, n, hashed=hash_shingles)
         .select(F.col(bench_id_col), F.explode("__sh").alias("__s"))
         .distinct()
     )
@@ -122,6 +144,7 @@ def decontaminate(
     max_rate: float = 0.0,
     broadcast_bench: bool = True,
     broadcast_bad: bool = True,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Drop contaminated docs (rate > ``max_rate``; the default 0.0
     drops on ANY shared n-gram — the conservative pre-training
@@ -129,7 +152,9 @@ def decontaminate(
     contaminated id set (usually small) is computed and broadcast —
     ``broadcast_bad=False`` for the adversarial case where most of
     the corpus is contaminated and the id set is corpus-scale (same
-    escape as ``broadcast_hits`` on the report)."""
+    escape as ``broadcast_hits`` on the report). ``hash_shingles``
+    as on the report: 64-bit join keys, ~6x smaller benchmark
+    broadcast, drop-direction-safe collisions."""
     bad = (
         ngram_contamination(
             docs,
@@ -141,6 +166,7 @@ def decontaminate(
             n,
             broadcast_bench=broadcast_bench,
             broadcast_hits=broadcast_bad,
+            hash_shingles=hash_shingles,
         )
         .filter(F.col("contamination_rate") > F.lit(max_rate))
         .select(id_col)

@@ -118,3 +118,23 @@ def test_plan_corpus_side_never_shuffles(docs, bench):
     assert plan.count("BroadcastHashJoin") == 2  # probe + verdict join-back
     assert "SortMergeJoin" not in plan
     assert shuffles <= 3  # bench distinct + hits partial/final agg
+
+
+def test_hashed_shingles_match_exact_path(spark, docs, bench):
+    """hash_shingles=True (64-bit join keys, the small-broadcast scale
+    form) produces the identical report and identical kept set as the
+    exact string join on this corpus — collisions are a 2^-64 event,
+    so any difference here is a bug, not bad luck."""
+    exact = ngram_contamination(docs, bench, n=3).collect()
+    hashed = ngram_contamination(docs, bench, n=3, hash_shingles=True).collect()
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(exact) == key(hashed)
+
+    kept_exact = {r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()}
+    kept_hashed = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench, n=3, hash_shingles=True).collect()
+    }
+    assert kept_exact == kept_hashed
+    # the planted bench rows themselves are contaminated and dropped
+    assert not any(d % 37 == 0 for d in kept_hashed)

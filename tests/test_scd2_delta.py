@@ -6,6 +6,11 @@ executed by the pure-DataFrame simulator (which mirrors the branches
 ``scd2_merge_delta`` hands to DeltaTable); the real-engine test skips
 unless delta is importable, flipping on automatically the moment the
 environment grows it.
+
+Round-12 status: re-checked — ``import delta`` still fails, and the
+build environment forbids installing packages, so the blocker stands
+as environmental, not code. Nothing to do here until the container
+ships delta-spark; this file needs no change when it does.
 """
 
 from __future__ import annotations

@@ -1098,10 +1098,11 @@ def media_band_index_scenario(
     persisted per-kind band index as the index grows 16x, vs the
     batch-mode alternative (re-banding the whole corpus+batch into
     pairs every arrival). Signatures are web-shaped, not uniform
-    random: drawn from a pool of ``n/50`` distinct base signatures
-    (real perceptual hashes cluster heavily — mass-duplicated
-    thumbnails, re-encodes), with the batch half near-dups (2 flipped
-    low bits, within max_hamming=6) and half fresh content."""
+    random: seen items draw from a pool of ``n/5`` distinct base
+    signatures (real perceptual hashes cluster heavily —
+    mass-duplicated thumbnails, re-encodes), with the batch half
+    near-dups (2 flipped low bits, within max_hamming=6 — must be
+    REJECTED) and half genuinely fresh content (must be ADMITTED)."""
     import tempfile
     import time
 
@@ -1118,10 +1119,18 @@ def media_band_index_scenario(
     spark = get_spark("stress-media-band")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def corpus(n, pool, offset=0, mutate=False):
+    def corpus(n, pool, offset=0, mutate=False, fresh=False):
         base = spark.range(n).select((F.col("id") + offset).alias("media_id"))
         src = F.col("media_id") % 10_000_000  # pre-re-key identity
-        sig = F.xxhash64(F.pmod(src, F.lit(pool)), F.lit("sig"))
+        # seen/near rows draw from a pool of n/5 base signatures
+        # (~5 copies each — web-shaped duplication); fresh rows get
+        # their own signature (distinct salt so they can never collide
+        # with a pool signature)
+        sig = (
+            F.xxhash64(src, F.lit("fresh"))
+            if fresh
+            else F.xxhash64(F.pmod(src, F.lit(pool)), F.lit("sig"))
+        )
         if mutate:
             sig = sig.bitwiseXOR(F.lit(3))  # hamming 2 <= max_hamming 6
         kind = F.element_at(
@@ -1136,12 +1145,12 @@ def media_band_index_scenario(
 
     results = {}
     for n in corpus_sizes:
-        pool = max(n // 50, 1)
+        pool = max(n // 5, 1)
         seen = corpus(n, pool)
         near = corpus(batch_n // 2, pool, mutate=True).withColumn(
             "media_id", F.col("media_id") + 10_000_000
         )
-        fresh = corpus(batch_n - batch_n // 2, pool, offset=n + 1_000_000)
+        fresh = corpus(batch_n - batch_n // 2, pool, offset=n + 1_000_000, fresh=True)
         batch = near.unionByName(fresh)
         with tempfile.TemporaryDirectory() as td:
             idx = td + "/media-bands"
