@@ -225,6 +225,75 @@ def perplexity_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+def perplexity_pandas_scorer(lm: NgramLM, max_entries: int = 5_000_000):
+    """Arrow-batched per-document perplexity scorer — the STREAMING
+    form of :func:`perplexity_score` (r12). The batch path's explode +
+    model joins + per-doc agg is a stateful aggregation on a stream
+    (Spark cannot re-group a document's exploded tokens without
+    state), so the streaming gate ships the dim-sized model to the
+    workers instead: unigram/bigram counts collect to plain dicts in
+    the UDF closure (one copy per executor via task serialization)
+    and each document scores in one in-order pass — the same
+    interpolation formula, the same ``_py_words``-mirrored ASCII
+    tokenization the BPE pack uses (Java ``\\s`` vs Python Unicode
+    whitespace, see ``bpe._py_words``).
+
+    ``max_entries`` guards the collect: reference LMs are dim-sized
+    (1e5-1e7 rows); a model too big to ship belongs in the batch
+    filter, not an on-arrival gate — fail loud rather than OOM the
+    driver. Returns a Column: ``scorer(text_col)`` is DOUBLE
+    perplexity, NULL for empty/token-less documents (the batch
+    contract). Values match the JVM path to float round-off (the
+    per-doc log-sum runs in the same token order); kept-set parity
+    with :func:`perplexity_filter` is test-pinned at thresholds with
+    margin, not promised at the last bit.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .bpe import _py_words
+
+    n_model_rows = lm.unigrams.count() + lm.bigrams.count()
+    if n_model_rows > max_entries:
+        raise ValueError(
+            f"model has {n_model_rows} rows > max_entries={max_entries}; "
+            "a model this large should gate in batch (perplexity_filter), "
+            "not stream — or raise max_entries deliberately"
+        )
+    uni = {r["tok"]: r["uni_n"] for r in lm.unigrams.collect()}
+    bi: dict = {}
+    prev_n: dict = {}
+    for r in lm.bigrams.collect():
+        bi[(r["prev"], r["tok"])] = r["bi_n"]
+        prev_n[r["prev"]] = r["prev_n"]
+    alpha, lam = lm.alpha, lm.lam
+    denom = lm.n_tokens + alpha * (lm.vocab_size + 1)
+
+    def _score(texts):
+        import math
+
+        def ppl(t):
+            toks = _py_words(t)
+            if not toks:
+                return None
+            prev, s = BOS, 0.0
+            for tok in toks:
+                b = bi.get((prev, tok))
+                pn = prev_n.get(prev)
+                bi_p = (b / pn) if (b is not None and pn) else 0.0
+                uni_p = (uni.get(tok, 0) + alpha) / denom
+                s += math.log(lam * bi_p + (1.0 - lam) * uni_p)
+                prev = tok
+            return math.exp(-s / len(toks))
+
+        return texts.map(ppl)
+
+    # runtime annotations: `from __future__ import annotations` leaves
+    # string hints pandas_udf cannot resolve (the bpe.py pattern)
+    _score.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_score, "double")
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str,

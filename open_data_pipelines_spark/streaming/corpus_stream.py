@@ -80,10 +80,24 @@ def streaming_corpus_bronze(
     dedup_watermark: str = "24 hours",
     quality_model=None,
     quality_model_min: float = 0.5,
+    perplexity_lm=None,
+    perplexity_max: float | None = None,
 ) -> DataFrame:
     """The streaming-safe funnel prefix: clean -> annotate -> filter ->
-    exact dedup, mirroring ``prepare_corpus`` stages 1-3 exactly
-    (same expressions, same thresholds).
+    exact dedup [-> LM perplexity gate], mirroring ``prepare_corpus``
+    stages 1-3b exactly (same expressions, same thresholds, same
+    stage ORDER — the LM gate runs after exact dedup, the batch
+    pipeline's round-12 order).
+
+    ``perplexity_lm`` + ``perplexity_max`` enable the CCNet LM gate
+    on arrival: the batch form (explode + model joins + per-doc agg)
+    is a stateful aggregation on a stream, so the gate uses
+    :func:`..operators.lm_score.perplexity_pandas_scorer` — the
+    dim-sized model ships to the workers and each document scores in
+    one Arrow-batched pass; only the threshold form applies
+    (head/middle/tail buckets are corpus-distribution-relative and
+    belong in batch compaction, though a cutoff LEARNED there can be
+    passed here as the threshold).
 
     Exact dedup state is keyed on the content fingerprint and bounded
     by ``dedup_watermark`` over INGEST time (documents carry no event
@@ -94,6 +108,9 @@ def streaming_corpus_bronze(
     batch compaction can run the domain-mix stages
     (source_weights/upsample_weights) over bronze.
     """
+    if (perplexity_lm is None) != (perplexity_max is None):
+        raise ValueError("perplexity_lm and perplexity_max come together "
+                         "(the streaming gate is threshold-only)")
     cleaned = stream.select(
         "doc_id", normalize_text(redact_pii("text")).alias("text"), "source"
     )
@@ -114,11 +131,20 @@ def streaming_corpus_bronze(
     keyed = kept.withColumn("__fp", doc_fingerprint("text")).withColumn(
         "ingest_ts", F.current_timestamp()
     )
-    return (
+    deduped = (
         keyed.withWatermark("ingest_ts", dedup_watermark)
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+    if perplexity_lm is not None:
+        from ..operators.lm_score import perplexity_pandas_scorer
+
+        # after the dedup (batch stage order): a pure row filter —
+        # NULL perplexity (empty doc) fails the <= and drops, the
+        # batch perplexity_filter contract
+        scorer = perplexity_pandas_scorer(perplexity_lm)
+        deduped = deduped.filter(scorer(F.col("text")) <= F.lit(perplexity_max))
+    return deduped
 
 
 def stream_corpus_to_bronze(

@@ -255,3 +255,86 @@ def test_stream_corpus_with_near_dedup_rejects_at_ingest(spark, tmp_path):
     # the funnel prefix's annotations ride into the admitted output
     cols = set(read_admitted(spark, str(tmp_path / "out")).columns)
     assert {"doc_id", "text", "lang", "quality", "n_tokens", "source"} <= cols
+
+
+def test_streaming_perplexity_gate_matches_batch_filter(spark, doc_landing):
+    """The on-arrival LM gate (Arrow-batched scorer, round 12) keeps
+    exactly the docs the batch perplexity_filter keeps on the drained
+    corpus, and the scorer's values match the JVM scoring path."""
+    import tempfile as _tf
+
+    from open_data_pipelines_spark.operators.lm_score import (
+        perplexity_filter,
+        perplexity_pandas_scorer,
+        perplexity_score,
+        train_ngram_lm,
+    )
+    from open_data_pipelines_spark.streaming.corpus_stream import (
+        streaming_corpus_bronze,
+    )
+
+    landing, docs = doc_landing
+    lm = train_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), "text")
+
+    # value parity first: Arrow scorer vs JVM explode+join scorer
+    jvm = {
+        r["doc_id"]: r["perplexity"]
+        for r in perplexity_score(docs, "text", "doc_id", lm).collect()
+    }
+    scorer = perplexity_pandas_scorer(lm)
+    py = {
+        r["doc_id"]: r["ppl"]
+        for r in docs.select("doc_id", scorer(F.col("text")).alias("ppl")).collect()
+    }
+    assert set(jvm) == set(py)
+    for d, v in jvm.items():
+        if v is None:
+            assert py[d] is None
+        else:
+            assert abs(py[d] - v) <= 1e-9 * max(1.0, abs(v)), d
+
+    # gate parity: drained stream with the gate == batch filter over
+    # the drained bronze (threshold at the score distribution's
+    # middle so BOTH outcomes are populated)
+    thr = sorted(v for v in jvm.values() if v is not None)[len(jvm) // 2]
+    out = _tf.mkdtemp(prefix="bronze_ppl_")
+    ckpt = _tf.mkdtemp(prefix="ckpt_ppl_")
+    q = stream_corpus_to_bronze(
+        read_document_stream(spark, landing), f"{out}/corpus", ckpt,
+        perplexity_lm=lm, perplexity_max=thr,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/corpus")
+
+    ungated_out = _tf.mkdtemp(prefix="bronze_noppl_")
+    ungated_ckpt = _tf.mkdtemp(prefix="ckpt_noppl_")
+    q2 = stream_corpus_to_bronze(
+        read_document_stream(spark, landing), f"{ungated_out}/corpus", ungated_ckpt
+    )
+    q2.awaitTermination(120)
+    bronze = spark.read.parquet(f"{ungated_out}/corpus")
+    want = perplexity_filter(bronze, "text", "doc_id", lm, thr)
+
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    want_ids = {r["doc_id"] for r in want.select("doc_id").collect()}
+    assert got_ids == want_ids
+    assert 0 < len(got_ids) < bronze.count()  # both outcomes populated
+
+
+def test_perplexity_scorer_max_entries_guard(spark, doc_landing):
+    import pytest as _pytest
+
+    from open_data_pipelines_spark.operators.lm_score import (
+        perplexity_pandas_scorer,
+        train_ngram_lm,
+    )
+    from open_data_pipelines_spark.streaming.corpus_stream import (
+        streaming_corpus_bronze,
+    )
+
+    _, docs = doc_landing
+    lm = train_ngram_lm(docs.limit(20), "text")
+    with _pytest.raises(ValueError, match="max_entries"):
+        perplexity_pandas_scorer(lm, max_entries=1)
+    with _pytest.raises(ValueError, match="threshold-only"):
+        streaming_corpus_bronze(docs, perplexity_lm=lm)  # no max
