@@ -1,0 +1,107 @@
+"""HTML -> text extraction (engine extension): the stage a web-crawl
+corpus passes BEFORE any text curation — C4 starts from WET files
+precisely to skip it, RefinedWeb re-extracts from WARC because WET
+extraction loses structure (Penedo et al. 2023 §3.1). The reference
+repo scrapes HTML for link DISCOVERY (`sources/discovery.py` mirrors
+it); this module is the content-side counterpart for the LLM-data
+extension surface.
+
+Spark-first: the whole extraction is ONE chain of ``regexp_replace``
+column expressions — JVM-side, codegen-friendly, no UDF, linearly
+scan-shaped at 100 TB. That buys ~a trafilatura-lite fidelity tier:
+non-content subtrees dropped, block boundaries become newlines,
+inline tags vanish, common entities decode. It does NOT execute
+JavaScript, evaluate CSS visibility, or rank boilerplate blocks —
+documents needing DOM-quality extraction should be routed to a
+dedicated extraction job; everything downstream (boilerplate strip,
+quality gates, dedup) already handles the residue.
+
+Why regex over HTML is safe HERE: the expressions only delete/relabel
+well-delimited regions (comments, script/style/noscript/head blocks,
+tags) and never try to parse nesting. Hostile or malformed markup
+degrades to "some extra text survives", never to an exception — the
+same degrade-to-NULL-not-throw stance as :mod:`.url_filter`'s parser.
+Parity with a real parser (Python stdlib ``html.parser``) is pinned in
+``tests/test_html_text.py`` modulo whitespace on generated and
+hand-written fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# subtrees whose text content must not leak into the corpus
+_DROP_BLOCKS = ("script", "style", "noscript", "template", "head", "svg")
+
+# block-level elements whose boundaries become newlines so sentence
+# and line structure survives for the downstream line-level stages
+_BLOCK_TAGS = (
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "header",
+    "footer", "blockquote", "pre", "form", "hr",
+)
+
+# the high-frequency named entities (plus &#39;). Order matters:
+# &amp; LAST so "&amp;lt;" decodes to "&lt;" (one level, the parser
+# behavior), not "<".
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML document as one expression chain:
+    comments and non-content subtrees (``script``/``style``/…) are
+    removed, block-tag boundaries become newlines, remaining tags are
+    stripped, common entities decode, whitespace collapses (spaces
+    and tabs within lines, blank runs to one newline). NULL in, NULL
+    out; plain text without markup passes through (modulo whitespace
+    collapse)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    # comments first: commented-out script bodies must not survive
+    out = F.regexp_replace(out, r"(?is)<!--.*?-->", "")
+    for tag in _DROP_BLOCKS:
+        out = F.regexp_replace(
+            out, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", ""
+        )
+    block_alt = "|".join(_BLOCK_TAGS)
+    out = F.regexp_replace(out, rf"(?is)</?(?:{block_alt})\b[^>]*/?>", "\n")
+    # every remaining tag (incl. unknown/inline) vanishes without a
+    # boundary: '<b>bo</b>ld' -> 'bold'
+    out = F.regexp_replace(out, r"(?s)<[a-zA-Z/!][^>]*>", "")
+    # entity decode is the NAMED high-frequency set (plus &#39;) —
+    # per-match computed replacement (what generic numeric references
+    # need) has no pure-expression form, and exotic references are
+    # rare enough in real crawls that the downstream quality gates
+    # absorb the literal residue
+    for ent, repl in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    # whitespace canonicalization: intra-line runs -> one space,
+    # blank-line runs -> one newline, edges trimmed
+    out = F.regexp_replace(out, r"[ \t\x0b\f\r]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    # edge-trim spaces AND newlines (Spark's trim is space-only)
+    out = F.regexp_replace(out, r"^[\s]+|[\s]+$", "")
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def extract_title(col: Column | str) -> Column:
+    """The ``<title>`` text (entities decoded, whitespace collapsed),
+    NULL when absent — the usual keep-as-metadata companion to
+    :func:`html_to_text`."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_extract(c, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    out = raw
+    for ent, repl in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.nullif(out, F.lit(""))

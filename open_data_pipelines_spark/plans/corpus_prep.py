@@ -99,6 +99,7 @@ def prepare_corpus(
     url_col: str | None = None,
     url_blocklist=None,
     url_quality: bool = False,
+    html: bool = False,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
     embedding_threshold: float = 0.95,
@@ -154,6 +155,11 @@ def prepare_corpus(
     ``overlap`` defaults to 8 in window chunking; sentence chunking
     takes no overlap (passing an explicit nonzero value errors).
 
+    ``html=True`` runs :func:`..operators.html_text.html_to_text`
+    over the text column before every text stage (after the URL gate,
+    which reads no text) — the extraction step a WARC-shaped corpus
+    needs; pre-extracted corpora skip it.
+
     ``bpe_merges`` (a trained :func:`..operators.bpe.train_bpe` merge
     table) makes the packing stage budget in LEARNED subword tokens
     instead of whitespace tokens — the budget the training run
@@ -204,6 +210,15 @@ def prepare_corpus(
         docs = note("url_kept", docs)
     elif (url_blocklist is not None or url_quality) and url_col is None:
         raise ValueError("url_blocklist/url_quality need url_col")
+
+    if html:
+        from ..operators.html_text import html_to_text
+
+        # extraction precedes every text stage: the line structure the
+        # boilerplate/paragraph stages key on EXISTS only after block
+        # tags become newlines; runs after the URL gate (which reads
+        # no text) so gated-out docs never pay the regex chain
+        docs = docs.withColumn("text", html_to_text("text"))
 
     # the observed frame MUST flow into the plan (a dangling observe
     # node never executes, and its Observation.get would block forever)

@@ -1,0 +1,195 @@
+"""HTML -> text extraction: parity with a REAL parser (Python stdlib
+html.parser) on the documented contract — visible text with block-tag
+boundaries — modulo whitespace, over hand-written tricky fixtures and
+a deterministic generator. Plus the degrade-don't-throw envelope."""
+
+from __future__ import annotations
+
+import random
+from html.parser import HTMLParser
+
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.html_text import (
+    _BLOCK_TAGS,
+    _DROP_BLOCKS,
+    extract_title,
+    html_to_text,
+)
+
+
+class _Oracle(HTMLParser):
+    """Visible text per the operator contract: data outside the
+    non-content subtrees, a boundary at every block tag edge."""
+
+    def __init__(self):
+        # convert_charrefs decodes entities in data, like the operator
+        super().__init__(convert_charrefs=True)
+        self.pieces: list[str] = []
+        self.depth = 0  # inside a drop-block subtree
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_BLOCKS:
+            self.depth += 1
+        elif tag in _BLOCK_TAGS and self.depth == 0:
+            self.pieces.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_BLOCKS:
+            self.depth = max(0, self.depth - 1)
+        elif tag in _BLOCK_TAGS and self.depth == 0:
+            self.pieces.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in _BLOCK_TAGS and self.depth == 0:
+            self.pieces.append("\n")
+
+    def handle_data(self, data):
+        if self.depth == 0:
+            self.pieces.append(data)
+
+
+def _oracle_tokens(html: str) -> list[str]:
+    p = _Oracle()
+    p.feed(html)
+    p.close()
+    return "".join(p.pieces).split()
+
+
+FIXTURES = [
+    "<html><head><title>T</title><style>p{color:red}</style></head>"
+    "<body><p>Hello <b>wor</b>ld</p><p>Second &amp; third</p></body></html>",
+    "<div>a</div><div>b</div>",  # block boundary must separate a/b
+    "<p>keep</p><script>var x = '<div>not text</div>';</script><p>tail</p>",
+    "<!-- <p>commented out</p> --><p>real</p>",
+    "<P>UPPER</P><BR><LI>item</LI>",
+    "<ul><li>one</li><li>two</li></ul>",
+    "before<noscript><p>fallback</p></noscript>after",
+    "text &lt;tag&gt; &quot;quoted&quot; &#39;apos&#39; a&nbsp;b &amp;",
+    "no markup at all, just text.",
+    "<span>in</span><span>line</span> tags vanish",
+    "<table><tr><td>c1</td><td>c2</td></tr></table>",
+    "<pre>  spaced   text  </pre>done",
+    "<svg><circle r='1'/><text>vector label</text></svg>visible",
+    "<article>one<section>two</section>three</article>",
+]
+
+
+def _gen(rnd: random.Random) -> str:
+    words = lambda: " ".join(  # noqa: E731
+        f"w{rnd.randint(0, 99)}" for _ in range(rnd.randint(1, 6))
+    )
+    parts = ["<html><body>"]
+    for _ in range(rnd.randint(3, 10)):
+        kind = rnd.random()
+        if kind < 0.2:
+            tag = rnd.choice(_DROP_BLOCKS[:3])
+            parts.append(f"<{tag}>{words()}</{tag}>")
+        elif kind < 0.6:
+            tag = rnd.choice(("p", "div", "li", "h2", "blockquote"))
+            inner = words()
+            if rnd.random() < 0.4:
+                inner += f" <b>{words()}</b> <i>{words()}</i>"
+            parts.append(f"<{tag}>{inner}</{tag}>")
+        elif kind < 0.7:
+            parts.append(f"<!-- {words()} -->")
+        elif kind < 0.8:
+            parts.append(f"{words()} &amp; {words()}")
+        else:
+            parts.append(words())
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def test_matches_stdlib_parser_on_fixtures_and_generated(spark):
+    rnd = random.Random(12)
+    docs = FIXTURES + [_gen(rnd) for _ in range(60)]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(docs)], "i int, html string"
+    )
+    got = {
+        r["i"]: (r["t"] or "").split()
+        for r in df.select("i", html_to_text("html").alias("t")).collect()
+    }
+    for i, h in enumerate(docs):
+        assert got[i] == _oracle_tokens(h), h
+
+
+def test_block_boundaries_and_inline_merge(spark):
+    df = spark.createDataFrame(
+        [("<div>a</div><div>b</div>",), ("<b>bo</b>ld",)], "html string"
+    )
+    out = [r["t"] for r in df.select(html_to_text("html").alias("t")).collect()]
+    assert out[0] == "a\nb"  # block boundary survives as a newline
+    assert out[1] == "bold"  # inline tags vanish without a boundary
+
+
+def test_null_and_hostile_degrade_not_throw(spark):
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "<p>unclosed"),
+        (4, "<a title=\"a>b\">x</a>"),  # '>' in attribute: residue, no error
+        (5, "<<<>>>"),
+        (6, "<script>never closed"),
+    ]
+    df = spark.createDataFrame(rows, "i int, html string")
+    got = {r["i"]: r["t"] for r in df.select("i", html_to_text("html").alias("t")).collect()}
+    assert got[1] is None
+    assert got[2] == ""
+    assert got[3] == "unclosed"
+    assert "x" in got[4]  # documented residue envelope: extra text, never a throw
+    assert got[6] is not None
+
+
+def test_extract_title(spark):
+    rows = [
+        (1, "<html><head><title> A &amp; B </title></head><body>x</body></html>"),
+        (2, "<TITLE>upper</TITLE>"),
+        (3, "<p>no title</p>"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, html string")
+    got = {r["i"]: r["t"] for r in df.select("i", extract_title("html").alias("t")).collect()}
+    assert got[1] == "A & B"
+    assert got[2] == "upper"
+    assert got[3] is None and got[4] is None
+
+
+def test_funnel_html_stage(spark):
+    """prepare_corpus(html=True) on HTML-wrapped docs produces the
+    same chunks as the pre-extracted text run — and the banner line
+    (a <div> of its own) is strippable by the boilerplate stage
+    because block tags became newlines."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from tests.conftest import SF_SMOKE
+
+    base = [
+        (i, " ".join(f"doc{i} token {j} words here now." for j in range(30)))
+        for i in range(8)
+    ]
+    plain = spark.createDataFrame(base, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("web").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    wrapped = plain.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><head><title>t</title><style>p{}</style></head><body>"
+                  "<div>Accept Cookies</div><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+    )
+    kw = dict(
+        near_dup="none", quality_min=0.0, keep_langs=("en", "und"),
+        boilerplate_min_docs=3, chunk_size=16, overlap=0,
+    )
+    want = prepare_corpus(spark, SF_SMOKE, docs=plain.withColumn(
+        "text", F.concat(F.lit("Accept Cookies\n"), F.col("text"))
+    ), **kw).collect()
+    got = prepare_corpus(spark, SF_SMOKE, docs=wrapped, html=True, **kw).collect()
+    canon = lambda rows: sorted((r["doc_id"], r["chunk_idx"], r["chunk"]) for r in rows)  # noqa: E731
+    assert canon(got) == canon(want)
+    assert got  # non-empty
