@@ -100,6 +100,8 @@ def prepare_corpus(
     url_blocklist=None,
     url_quality: bool = False,
     html: bool = False,
+    fix_encoding: bool = False,
+    unicode_form: str | None = None,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
     embedding_threshold: float = 0.95,
@@ -160,6 +162,14 @@ def prepare_corpus(
     which reads no text) — the extraction step a WARC-shaped corpus
     needs; pre-extracted corpora skip it.
 
+    ``fix_encoding=True`` repairs UTF-8-as-cp1252 mojibake (pure
+    expressions) and ``unicode_form`` ("NFC"/"NFKC"/...) normalizes
+    Unicode (Arrow-batched pandas UDF with an ASCII fast path) —
+    both via :func:`..operators.text_norm.with_normalized_text`,
+    AFTER extraction (the repair keys on raw byte structure the
+    entity-decode already preserved) and BEFORE every dedup/LM stage
+    so visually-identical texts hash identically.
+
     ``bpe_merges`` (a trained :func:`..operators.bpe.train_bpe` merge
     table) makes the packing stage budget in LEARNED subword tokens
     instead of whitespace tokens — the budget the training run
@@ -219,6 +229,16 @@ def prepare_corpus(
         # tags become newlines; runs after the URL gate (which reads
         # no text) so gated-out docs never pay the regex chain
         docs = docs.withColumn("text", html_to_text("text"))
+
+    if fix_encoding or unicode_form is not None:
+        from ..operators.text_norm import with_normalized_text
+
+        # normalization precedes every dedup/LM stage: mojibake twins
+        # ("Café" vs "CafÃ©") and composed/decomposed twins must hash
+        # to the SAME fingerprint or exact dedup silently keeps both
+        docs = with_normalized_text(
+            docs, "text", fix_encoding=fix_encoding, form=unicode_form
+        )
 
     # the observed frame MUST flow into the plan (a dangling observe
     # node never executes, and its Observation.get would block forever)
