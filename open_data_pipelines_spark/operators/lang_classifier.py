@@ -1,0 +1,242 @@
+"""Trained character-n-gram language classifier (engine extension;
+the learned counterpart of ``text_analysis.lang_id``'s stopword
+heuristic — the fastText-langid tier of web pipelines: CCNet, C4 and
+RefinedWeb all gate on a TRAINED language model's prediction, not on
+stopword hits, because short / informal / unseen-domain text defeats
+word lists long before it defeats character statistics).
+
+Multinomial naive Bayes over lowercased character n-grams, all
+Spark-native and scale-shaped:
+
+- **Training** is ONE distributed aggregation over (label, ngram)
+  counts (explode rides map-side combine), a TakeOrdered head for the
+  global vocabulary (top ``vocab_size`` n-grams — same driver-bounded
+  head discipline as bpe.py's word-frequency head), and a bounded
+  collect of <= vocab_size x n_labels smoothed log-probabilities.
+  No iteration, no MLlib.
+- **Scoring** never moves the model to the rows by shuffle: the
+  (ngram, label, logp) table broadcast-joins the per-(doc, ngram)
+  counts, one groupBy(doc, label) sums matched mass, and the argmax
+  is ``max(struct(score, label))`` — an aggregation, not a window,
+  so there is no per-doc sort and no skew hazard for long documents.
+- Per-doc n-gram totals are computed BEFORE the explode, so unseen-
+  n-gram mass ((total - matched) * unk_logp) needs no second pass.
+
+Scores are sums of doubles under a shuffle, so they are deterministic
+to ~1e-9 relative (aggregation order), never bit-pinned; predictions
+tie-break deterministically by label. Parity against a pure-Python
+naive-Bayes oracle (same vocab, same smoothing) is pinned in
+tests/test_lang_classifier.py.
+
+Reference anchor: the reference pipeline has no language stage (UK
+open-data English); this is part of the LLM-curation extension
+surface (SURVEY.md "beyond the reference" track) next to lang_id,
+quality_score and the CCNet perplexity stages.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "LangClassifier",
+    "char_ngrams",
+    "fit_lang_classifier",
+    "predict_language",
+]
+
+
+def prep_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace runs to single spaces + trim —
+    the canonical form both training and scoring n-gram over."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def char_ngrams(col: Column | str, n: int) -> Column:
+    """All overlapping character ``n``-grams of an ALREADY-PREPPED
+    plain column (pass a stored column ref, not a computed tree — the
+    expression references it three times). Empty array when the text
+    is NULL or shorter than ``n``."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - n + 1), lambda i: c.substr(i, F.lit(n))
+    )
+    return F.when(c.isNull() | (F.length(c) < n), F.array().cast("array<string>")).otherwise(grams)
+
+
+@dataclass(frozen=True)
+class LangClassifier:
+    """Broadcast-sized trained model: sorted label tuple, per-label
+    log prior, per-label unknown-n-gram log prob, and the flat
+    (ngram, label) -> logp table. Bounded by vocab_size x n_labels."""
+
+    n: int
+    labels: tuple[str, ...]
+    priors: dict[str, float]
+    unk: dict[str, float]
+    table: dict[tuple[str, str], float]
+
+    def to_dict(self) -> dict:
+        return {
+            "n": self.n,
+            "labels": list(self.labels),
+            "priors": dict(self.priors),
+            "unk": dict(self.unk),
+            "table": [[g, l, p] for (g, l), p in sorted(self.table.items())],
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "LangClassifier":
+        return LangClassifier(
+            n=d["n"],
+            labels=tuple(d["labels"]),
+            priors=dict(d["priors"]),
+            unk=dict(d["unk"]),
+            table={(g, l): p for g, l, p in d["table"]},
+        )
+
+
+def fit_lang_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n: int = 3,
+    vocab_size: int = 4096,
+    smoothing: float = 0.5,
+) -> LangClassifier:
+    """Train multinomial NB over char n-grams. One wide aggregation
+    (label, ngram) -> count; vocabulary = global top ``vocab_size``
+    n-grams (ties broken by n-gram ascending — deterministic and
+    mirrored by the test oracle); add-k smoothing with the unknown
+    bucket as one extra vocabulary cell."""
+    spark = df.sparkSession
+    prepped = df.select(
+        F.col(label_col).alias("__lbl"), prep_text(text_col).alias("__t")
+    ).filter(F.col("__lbl").isNotNull())
+
+    grams = prepped.select(
+        "__lbl", F.explode(char_ngrams("__t", n)).alias("__g")
+    )
+    counts = grams.groupBy("__lbl", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    # lazy reuse (repo convention): counts feeds the vocab head AND
+    # the model join — without it the explode+agg runs twice
+    from ..caching import lazy_checkpoint
+
+    counts = lazy_checkpoint(counts)
+
+    vocab_rows = (
+        counts.groupBy("__g")
+        .agg(F.sum("__c").alias("__tot"))
+        .orderBy(F.col("__tot").desc(), F.col("__g").asc())
+        .limit(vocab_size)  # TakeOrdered: no global sort materialized
+        .select("__g")
+    )
+
+    in_vocab = counts.join(F.broadcast(vocab_rows), "__g", "inner")
+    label_tot = in_vocab.groupBy("__lbl").agg(F.sum("__c").alias("__n"))
+    # bounded collects: <= vocab_size x n_labels model rows, n_labels
+    # priors — the same driver-head discipline as bpe.train_bpe
+    tot_rows = {r["__lbl"]: r["__n"] for r in label_tot.collect()}
+    doc_rows = {
+        r["__lbl"]: r["cnt"]
+        for r in prepped.groupBy("__lbl").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    model_rows = in_vocab.collect()
+
+    labels = tuple(sorted(doc_rows))
+    v1 = vocab_size + 1  # +1: the unknown bucket
+    total_docs = sum(doc_rows.values())
+    priors = {l: math.log(doc_rows[l] / total_docs) for l in labels}
+    denom = {l: tot_rows.get(l, 0) + smoothing * v1 for l in labels}
+    unk = {l: math.log(smoothing / denom[l]) for l in labels}
+    table = {
+        (r["__g"], r["__lbl"]): math.log((r["__c"] + smoothing) / denom[r["__lbl"]])
+        for r in model_rows
+    }
+    return LangClassifier(n=n, labels=labels, priors=priors, unk=unk, table=table)
+
+
+def predict_language(
+    df: DataFrame,
+    model: LangClassifier,
+    text_col: str,
+    id_col: str,
+    out_col: str = "pred_lang",
+    score_col: str | None = None,
+    min_ngrams: int = 1,
+) -> DataFrame:
+    """Append the predicted label (and optionally its joint log
+    probability). Documents with fewer than ``min_ngrams`` n-grams
+    (empty/NULL/too-short text) get ``'und'``.
+
+    Plan shape: per-(doc, ngram) counts (map-side combined) broadcast-
+    joined to the model table, one groupBy(doc, label), one
+    groupBy(doc) whose argmax is max(struct(score, label)) — ties go
+    to the lexicographically larger label, mirrored by the oracle."""
+    spark = df.sparkSession
+
+    base = df.withColumn("__t", prep_text(text_col)).withColumn(
+        "__total", F.size(char_ngrams("__t", model.n))
+    )
+
+    model_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, l, p) for (g, l), p in model.table.items()],
+            "__g string, __lbl string, __logp double",
+        )
+    )
+    labels_df = F.broadcast(
+        spark.createDataFrame(
+            [(l, model.priors[l], model.unk[l]) for l in model.labels],
+            "__lbl string, __prior double, __unk double",
+        )
+    )
+
+    per_gram = (
+        base.select(F.col(id_col).alias("__id"), F.explode(char_ngrams("__t", model.n)).alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    matched = (
+        per_gram.join(model_df, "__g", "inner")
+        .groupBy("__id", "__lbl")
+        .agg(
+            F.sum(F.col("__c") * F.col("__logp")).alias("__m_logp"),
+            F.sum("__c").alias("__m_n"),
+        )
+    )
+    grid = base.select(F.col(id_col).alias("__id"), "__total").crossJoin(labels_df)
+    scored = (
+        grid.join(matched, ["__id", "__lbl"], "left")
+        .withColumn(
+            "__score",
+            F.col("__prior")
+            + F.coalesce(F.col("__m_logp"), F.lit(0.0))
+            + (F.col("__total") - F.coalesce(F.col("__m_n"), F.lit(0))) * F.col("__unk"),
+        )
+        .groupBy("__id")
+        .agg(F.max(F.struct(F.col("__score"), F.col("__lbl"))).alias("__best"))
+    )
+    best = scored.select(
+        "__id",
+        F.col("__best.__lbl").alias("__pred"),
+        F.col("__best.__score").alias("__pscore"),
+    )
+    out = base.join(best, base[id_col] == best["__id"], "left").drop("__id")
+    pred = F.when(F.col("__total") < min_ngrams, F.lit("und")).otherwise(
+        F.coalesce(F.col("__pred"), F.lit("und"))
+    )
+    out = out.withColumn(out_col, pred)
+    if score_col is not None:
+        out = out.withColumn(
+            score_col,
+            F.when(F.col(out_col) == "und", F.lit(None).cast("double")).otherwise(
+                F.col("__pscore")
+            ),
+        )
+    return out.drop("__t", "__total", "__pred", "__pscore")
