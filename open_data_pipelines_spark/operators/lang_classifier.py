@@ -169,10 +169,16 @@ def predict_language(
     out_col: str = "pred_lang",
     score_col: str | None = None,
     min_ngrams: int = 1,
+    ids_only: bool = False,
 ) -> DataFrame:
     """Append the predicted label (and optionally its joint log
     probability). Documents with fewer than ``min_ngrams`` n-grams
     (empty/NULL/too-short text) get ``'und'``.
+
+    ``ids_only=True`` returns the compact ``(id_col, out_col[,
+    score_col])`` frame instead of re-joining predictions onto the
+    input — the form a downstream GATE wants (semi-join on the kept
+    ids), skipping the big-big enrichment join entirely.
 
     Plan shape: per-(doc, ngram) counts (map-side combined) broadcast-
     joined to the model table, one groupBy(doc, label), one
@@ -227,6 +233,22 @@ def predict_language(
         F.col("__best.__lbl").alias("__pred"),
         F.col("__best.__score").alias("__pscore"),
     )
+    if ids_only:
+        # grid carries __total, so the und rule needs no join back to
+        # base: re-derive it on the compact frame
+        totals = base.select(F.col(id_col).alias("__id"), "__total")
+        compact = totals.join(best, "__id", "left")
+        pred = F.when(F.col("__total") < min_ngrams, F.lit("und")).otherwise(
+            F.coalesce(F.col("__pred"), F.lit("und"))
+        )
+        cols = [F.col("__id").alias(id_col), pred.alias(out_col)]
+        if score_col is not None:
+            cols.append(
+                F.when(pred == "und", F.lit(None).cast("double"))
+                .otherwise(F.col("__pscore"))
+                .alias(score_col)
+            )
+        return compact.select(*cols)
     out = base.join(best, base[id_col] == best["__id"], "left").drop("__id")
     pred = F.when(F.col("__total") < min_ngrams, F.lit("und")).otherwise(
         F.coalesce(F.col("__pred"), F.lit("und"))

@@ -102,6 +102,7 @@ def prepare_corpus(
     html: bool = False,
     fix_encoding: bool = False,
     unicode_form: str | None = None,
+    lang_model=None,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
     embedding_threshold: float = 0.95,
@@ -169,6 +170,14 @@ def prepare_corpus(
     AFTER extraction (the repair keys on raw byte structure the
     entity-decode already preserved) and BEFORE every dedup/LM stage
     so visually-identical texts hash identically.
+
+    ``lang_model`` (a trained
+    :func:`..operators.lang_classifier.fit_lang_classifier` model)
+    additionally gates documents by PREDICTED language against the
+    same ``keep_langs`` whitelist the claimed-lang quality filter
+    uses — the CCNet trained-langid cut, run right after
+    normalization via an ids-only scoring pass and a left_semi join
+    (a claimed 'en' doc whose text scores as another language drops).
 
     ``bpe_merges`` (a trained :func:`..operators.bpe.train_bpe` merge
     table) makes the packing stage budget in LEARNED subword tokens
@@ -239,6 +248,23 @@ def prepare_corpus(
         docs = with_normalized_text(
             docs, "text", fix_encoding=fix_encoding, form=unicode_form
         )
+
+    if lang_model is not None:
+        if not keep_langs:
+            raise ValueError("lang_model needs a non-empty keep_langs whitelist")
+        from ..operators.lang_classifier import predict_language
+
+        # CCNet-style trained language gate, AFTER normalization (the
+        # model scores the text the rest of the funnel will see),
+        # against the SAME keep_langs whitelist the claimed-lang
+        # quality filter enforces later — the two gates differ exactly
+        # on mislabeled documents. ids_only + left_semi: the compact
+        # prediction frame gates by key — no enrichment join, no
+        # prediction columns downstream
+        preds = predict_language(docs, lang_model, "text", "doc_id", ids_only=True)
+        kept_ids = preds.filter(F.col("pred_lang").isin(*keep_langs)).select("doc_id")
+        docs = docs.join(kept_ids, "doc_id", "left_semi")
+        docs = note("lang_kept", docs)
 
     # the observed frame MUST flow into the plan (a dangling observe
     # node never executes, and its Observation.get would block forever)

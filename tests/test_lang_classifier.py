@@ -192,3 +192,54 @@ def test_plan_shape(docs, model):
     # the FINAL enrichment join (per-doc predictions back onto docs)
     # is big-big by design and may plan as SMJ pre-AQE; the assertion
     # above is the scale-critical one (the model side must broadcast)
+
+
+def test_ids_only_matches_enriched(spark, docs, model):
+    full = {
+        r.doc_id: r.pred_lang
+        for r in predict_language(docs, model, "text", "doc_id").collect()
+    }
+    compact = predict_language(docs, model, "text", "doc_id", ids_only=True)
+    assert sorted(compact.columns) == ["doc_id", "pred_lang"]
+    got = {r.doc_id: r.pred_lang for r in compact.collect()}
+    assert got == full
+
+
+def test_funnel_language_gate(spark):
+    """prepare_corpus(lang_model=...): only documents the trained
+    model tags as a keep_langs language survive, and the gate catches
+    the es-as-fr class the stopword heuristic provably leaks."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+
+    corpus = _multilingual(spark).withColumn("source", F.lit("web")).withColumn(
+        "n_chars", F.length("text")
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    m = fit_lang_classifier(corpus, "text", "lang", n=3, vocab_size=1024)
+    kw = dict(chunk_size=16, overlap=0, near_dup="none", docs=corpus)
+    gated, stats = prepare_corpus(
+        spark, SF_SMOKE, lang_model=m, keep_langs=("en", "fr"),
+        with_stats=True, stats_via="observe", **kw
+    )
+    kept_langs = {r.lang for r in gated.select("lang").distinct().collect()}
+    assert kept_langs == {"en", "fr"}
+    assert stats["lang_kept"] == 120  # 60 en + 60 fr at full recovery
+
+    # control: same whitelist, NO model. The downstream stopword
+    # heuristic (annotate_text/lang_id) mis-tags the SPANISH docs as
+    # French ("la" is on the fr stopword list; es has no list), so
+    # they leak through keep_langs=("en","fr"). The trained gate
+    # catches exactly that class. Spanish ids are 180-239.
+    control = prepare_corpus(
+        spark, SF_SMOKE, keep_langs=("en", "fr"), chunk_size=16, overlap=0,
+        near_dup="none", docs=corpus, quality_min=0.0,
+    )
+    es = (F.col("doc_id") >= 180) & (F.col("doc_id") < 240)
+    assert control.filter(es).count() > 0  # heuristic leaks es-as-fr
+    caught = prepare_corpus(
+        spark, SF_SMOKE, lang_model=m, keep_langs=("en", "fr"), chunk_size=16,
+        overlap=0, near_dup="none", docs=corpus, quality_min=0.0,
+    )
+    assert caught.filter(es).count() == 0  # trained gate drops them
+
+    with pytest.raises(ValueError, match="keep_langs"):
+        prepare_corpus(spark, SF_SMOKE, lang_model=m, keep_langs=(), **kw)
