@@ -242,30 +242,41 @@ GROUP BY ROLLUP (day, hour)
 """
 
 
-# --- pivot_agg: wide conditional aggregation (pivot) -------------------------
+# --- pivot_agg: pivot + unpivot round trip -----------------------------------
 def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot l_linestatus into columns. Catalyst compiles pivot to the
-    same conditional-aggregation the oracle spells out — one shuffle."""
+    """Pivot l_linestatus into columns, then melt back to long form —
+    BOTH reshape operators load-bearing in one oracle hash. Catalyst
+    compiles pivot to the conditional aggregation the oracle spells
+    out (one shuffle); ``DataFrame.unpivot`` is a zero-shuffle Expand
+    (round 12). The explicit NOT-NULL filter mirrors DuckDB's UNPIVOT
+    null-exclusion (Spark's unpivot KEEPS null cells)."""
     lineitem = load_tables(spark, sf_dir, register_views=False)["lineitem"]
-    out = (
+    wide = (
         lineitem.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
     )
-    return out.select(
-        "l_returnflag",
-        F.col("F").alias("qty_f"),
-        F.col("O").alias("qty_o"),
-    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty_f", "qty_o"], "linestatus", "qty"
+    ).filter(F.col("qty").isNotNull())
 
 
 ORACLE_PIVOT_AGG = """
-SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'F'
-                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
-       CAST(SUM(CASE WHEN l_linestatus = 'O'
-                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
-FROM lineitem GROUP BY l_returnflag
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+         CAST(SUM(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, linestatus, qty
+FROM wide UNPIVOT (qty FOR linestatus IN (qty_f, qty_o))
 """
 
 
