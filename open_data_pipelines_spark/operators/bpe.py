@@ -300,6 +300,28 @@ def bpe_encode(
     return df.withColumn(out_col, encode(F.col(text_col)))
 
 
+def bpe_decode(
+    df: DataFrame, tokens_col: str, out_col: str = "decoded_text",
+) -> DataFrame:
+    """Invert :func:`bpe_encode` — PURE EXPRESSIONS (the asymmetry is
+    real: merge application needs ranked iteration, but undoing it is
+    string concatenation): join the subwords, turn each end-of-word
+    marker into a space, trim the trailing one. Recovers the
+    canonical form encode tokenized (lowercased, ASCII-whitespace-
+    collapsed), i.e. ``" ".join(_py_words(text))`` — pinned by the
+    round-trip test. Known edge, shared by every marker-based BPE:
+    raw text containing the literal marker string decodes with an
+    extra break."""
+    import re
+
+    toks = F.col(tokens_col)
+    joined = F.array_join(toks, "")
+    text = F.trim(F.regexp_replace(joined, re.escape(EOW), " "))
+    return df.withColumn(
+        out_col, F.when(toks.isNull(), F.lit(None).cast("string")).otherwise(text)
+    )
+
+
 def bpe_token_count(
     df: DataFrame, text_col: str, merges: list[tuple[str, str]],
     out_col: str = "n_bpe_tokens",

@@ -303,3 +303,34 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the env
     pass
+
+
+def test_decode_round_trip(spark):
+    """bpe_decode(bpe_encode(text)) recovers the canonical tokenized
+    form (lowercase, ASCII-whitespace-collapsed) for real and hostile
+    inputs; NULL stays NULL, empty stays empty."""
+    from open_data_pipelines_spark.operators.bpe import (
+        _py_words,
+        bpe_decode,
+        bpe_encode,
+        train_bpe,
+    )
+    from open_data_pipelines_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"].limit(80)
+    merges = train_bpe(docs, "text", num_merges=60)["merges"]
+    texts = [r.text for r in docs.collect()] + [
+        "MIXED Case\twith nbsp and  runs",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    out = bpe_decode(bpe_encode(df, "t", merges), "bpe_tokens", out_col="d")
+    got = {r.i: r.d for r in out.collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            # encode maps NULL text to an empty token array
+            assert got[i] == ""
+        else:
+            assert got[i] == " ".join(_py_words(t)), (i, t)

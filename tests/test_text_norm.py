@@ -200,3 +200,19 @@ def test_funnel_normalize_stage_collapses_twins(spark):
         .select("doc_id").distinct().collect()
     }
     assert len(control_survivors) == 3  # stage off -> all three distinct
+
+
+def test_multiline_strings(spark):
+    """Java's $ can assert before a FINAL line terminator — harmless
+    here only because \\n/\\r are valid single-byte UTF-8 themselves;
+    pin repair and pass-through across embedded/trailing newlines."""
+    cases = [
+        (mojibake("Café\nrésumé\n"), "Café\nrésumé\n"),
+        (mojibake("línea1\r\nlínea2"), "línea1\r\nlínea2"),
+        ("plain\ntext\n", "plain\ntext\n"),
+        ("bad tail Ã\n", "bad tail Ã\n"),  # invalid stream stays put
+    ]
+    out = spark.createDataFrame([(s,) for s, _ in cases], "s string").select(
+        fix_mojibake("s").alias("f")
+    )
+    assert [r.f for r in out.collect()] == [w for _, w in cases]
