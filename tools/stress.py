@@ -1185,6 +1185,101 @@ def media_band_index_scenario(
     print(json.dumps({"scenario": "media_band_index", "batch_n": batch_n, "sizes": results}))
 
 
+def lang_classifier_scenario(sizes=(100_000, 400_000, 1_600_000)) -> None:
+    """Does trained-langid scoring scale linearly in corpus rows with
+    a FIXED broadcast model? The multilingual corpus is synthesized in
+    pure expressions (per-language literal word pools indexed by
+    xxhash64 — no driver data at any size); the model trains once on a
+    5k-row prefix and every size scores ids_only -> noop. The numbers
+    to pin: per-row cost FLAT across a 16x growth (the model side is a
+    constant broadcast; the explode/agg pipeline is row-linear), and
+    recovery accuracy stable at every size."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.lang_classifier import (
+        fit_lang_classifier,
+        predict_language,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    POOLS = {
+        "en": "the quick brown fox jumps over a lazy dog and runs with great speed toward the old barn every morning".split(),
+        "fr": "le chat est sur la table et il dort avec une grande joie pendant que nous mangeons du pain chaud".split(),
+        "de": "der hund läuft schnell durch den wald und über die wiese während wir heute abend zusammen essen".split(),
+        "es": "el perro corre por la casa y come con mucho gusto mientras nosotros hablamos despacio esta noche".split(),
+        "zh": list("的一是在不了有和人这中大为上个国我以要他时来用们生到作地于出就分对成会可主发年动"),
+    }
+    langs = sorted(POOLS)
+
+    spark = get_spark("stress-lang-classifier")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus(n_rows: int):
+        def gen(l):
+            words = POOLS[l]
+            arr = F.array(*[F.lit(w) for w in words])
+            sep = "" if l == "zh" else " "
+            return F.concat_ws(
+                sep,
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)),
+                    lambda j: F.element_at(
+                        arr,
+                        (
+                            F.pmod(F.xxhash64(F.col("id"), j, F.lit(l)), F.lit(len(words)))
+                            + 1
+                        ).cast("int"),
+                    ),
+                ),
+            )
+
+        lang = F.element_at(
+            F.array(*[F.lit(l) for l in langs]),
+            (F.pmod(F.col("id"), F.lit(len(langs))) + 1).cast("int"),
+        )
+        text = None
+        for l in langs:
+            branch = gen(l)
+            text = F.when(lang == l, branch) if text is None else text.when(lang == l, branch)
+        return spark.range(n_rows).select(
+            F.col("id").alias("doc_id"), lang.alias("lang"), text.alias("text")
+        )
+
+    model = fit_lang_classifier(corpus(5_000), "text", "lang", n=3, vocab_size=2048)
+
+    results = {}
+    for n in sizes:
+        frame = corpus(n).localCheckpoint()  # generation cost out of the timing
+        try:
+            def one() -> float:
+                t0 = time.perf_counter()
+                predict_language(frame, model, "text", "doc_id", ids_only=True).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            one()  # warmup
+            sec = statistics.median(one() for _ in range(3))
+            preds = predict_language(frame, model, "text", "doc_id", ids_only=True)
+            hits = (
+                preds.join(frame.select("doc_id", "lang"), "doc_id")
+                .filter(F.col("pred_lang") == F.col("lang"))
+                .count()
+            )
+            results[n] = {
+                "score_sec": round(sec, 3),
+                "us_per_row": round(sec * 1e6 / n, 2),
+                "accuracy": round(hits / n, 4),
+            }
+        finally:
+            frame.unpersist()
+        print(json.dumps({"n": n, **results[n]}))
+
+    print(json.dumps({"scenario": "lang_classifier", "sizes": results}, indent=2))
+
+
 def domain_cap_scenario(n_rows: int = 4_000_000, n_domains: int = 200_000) -> None:
     """Round 10 (session 3): per-domain caps under web-shaped domain
     skew — one mega-domain holds 25% of the corpus, a long tail of
@@ -1249,6 +1344,9 @@ def domain_cap_scenario(n_rows: int = 4_000_000, n_domains: int = 200_000) -> No
 def main() -> None:
     if "--domain-cap" in sys.argv:
         domain_cap_scenario()
+        return
+    if "--lang-classifier" in sys.argv:
+        lang_classifier_scenario()
         return
     if "--substring" in sys.argv:
         substring_scenario()
