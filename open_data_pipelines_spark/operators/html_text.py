@@ -34,13 +34,22 @@ from pyspark.sql import functions as F
 # subtrees whose text content must not leak into the corpus
 _DROP_BLOCKS = ("script", "style", "noscript", "template", "head", "svg")
 
-# block-level elements whose boundaries become newlines so sentence
-# and line structure survives for the downstream line-level stages
-_BLOCK_TAGS = (
-    "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+# paragraph-level elements whose boundaries become BLANK LINES: the
+# CCNet paragraph stage splits on blank-line runs (paragraph_dedup.
+# PARAGRAPH_SEP), so collapsing these to single newlines would
+# silently degrade prepare_corpus(html=True, paragraph_policy=...) to
+# whole-document granularity (round-12 review finding, regression-
+# pinned in test_html_text)
+_PARA_TAGS = (
+    "p", "div", "ul", "ol", "table",
     "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "header",
     "footer", "blockquote", "pre", "form", "hr",
 )
+
+# line-level elements whose boundaries become single newlines so line
+# structure survives for the boilerplate line stage without opening a
+# paragraph break mid-list / mid-row
+_LINE_TAGS = ("br", "li", "tr", "td", "th")
 
 # the high-frequency named entities (plus &#39;). Order matters:
 # &amp; LAST so "&amp;lt;" decodes to "&lt;" (one level, the parser
@@ -59,11 +68,12 @@ _ENTITIES = (
 def html_to_text(col: Column | str) -> Column:
     """Visible text of an HTML document as one expression chain:
     comments and non-content subtrees (``script``/``style``/…) are
-    removed, block-tag boundaries become newlines, remaining tags are
-    stripped, common entities decode, whitespace collapses (spaces
-    and tabs within lines, blank runs to one newline). NULL in, NULL
-    out; plain text without markup passes through (modulo whitespace
-    collapse)."""
+    removed, paragraph-tag boundaries become blank lines (the CCNet
+    paragraph separator), line-tag boundaries become newlines,
+    remaining tags are stripped, common entities decode, whitespace
+    collapses (spaces and tabs within lines, longer blank runs to one
+    blank line). NULL in, NULL out; plain text without markup passes
+    through (modulo whitespace collapse)."""
     c = F.col(col) if isinstance(col, str) else col
     out = c
     # comments first: commented-out script bodies must not survive
@@ -72,8 +82,13 @@ def html_to_text(col: Column | str) -> Column:
         out = F.regexp_replace(
             out, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", ""
         )
-    block_alt = "|".join(_BLOCK_TAGS)
-    out = F.regexp_replace(out, rf"(?is)</?(?:{block_alt})\b[^>]*/?>", "\n")
+    para_alt = "|".join(_PARA_TAGS)
+    out = F.regexp_replace(out, rf"(?is)</?(?:{para_alt})\b[^>]*/?>", "\n\n")
+    # OPENING line tags only: '</li><li>' emitting two newlines would
+    # read as a blank line and split the list mid-paragraph; closers
+    # fall through to the generic boundary-less strip below
+    line_alt = "|".join(_LINE_TAGS)
+    out = F.regexp_replace(out, rf"(?is)<(?:{line_alt})\b[^>]*/?>", "\n")
     # every remaining tag (incl. unknown/inline) vanishes without a
     # boundary: '<b>bo</b>ld' -> 'bold'
     out = F.regexp_replace(out, r"(?s)<[a-zA-Z/!][^>]*>", "")
@@ -85,10 +100,11 @@ def html_to_text(col: Column | str) -> Column:
     for ent, repl in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(repl))
     # whitespace canonicalization: intra-line runs -> one space,
-    # blank-line runs -> one newline, edges trimmed
+    # 3+-newline runs -> exactly one blank line (PRESERVING the
+    # paragraph boundaries the para tags just opened), edges trimmed
     out = F.regexp_replace(out, r"[ \t\x0b\f\r]+", " ")
     out = F.regexp_replace(out, r" ?\n ?", "\n")
-    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")
     # edge-trim spaces AND newlines (Spark's trim is space-only)
     out = F.regexp_replace(out, r"^[\s]+|[\s]+$", "")
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)

@@ -114,7 +114,6 @@ def fit_lang_classifier(
     n-grams (ties broken by n-gram ascending — deterministic and
     mirrored by the test oracle); add-k smoothing with the unknown
     bucket as one extra vocabulary cell."""
-    spark = df.sparkSession
     prepped = df.select(
         F.col(label_col).alias("__lbl"), prep_text(text_col).alias("__t")
     ).filter(F.col("__lbl").isNotNull())
@@ -186,9 +185,28 @@ def predict_language(
     to the lexicographically larger label, mirrored by the oracle."""
     spark = df.sparkSession
 
-    base = df.withColumn("__t", prep_text(text_col)).withColumn(
-        "__total", F.size(char_ngrams("__t", model.n))
+    # caller-frame temp names derived to avoid collisions (repo
+    # convention, round-12 review): __t/__total ride ON the caller's
+    # frame and __id/__pred/__pscore join onto it before being
+    # dropped — fixed names would silently destroy same-named caller
+    # columns
+    sfx = ""
+    fixed = ("__t", "__total", "__pred", "__pscore", "__id")
+    while any(n + sfx in df.columns for n in fixed):
+        sfx += "_"
+    c_t, c_total, c_pred, c_pscore, c_id = (n + sfx for n in fixed)
+
+    base = df.withColumn(c_t, prep_text(text_col)).withColumn(
+        c_total, F.size(char_ngrams(c_t, model.n))
     )
+    # base feeds THREE consumers (per-gram explode, the doc x label
+    # grid, and the enrichment/totals path) — without the repo's lazy
+    # reuse cache the caller's whole upstream (an html-extraction or
+    # pandas-UDF-normalize chain in the funnel) re-executes per
+    # consumer (round-12 review finding)
+    from ..caching import lazy_checkpoint
+
+    base = lazy_checkpoint(base)
 
     model_df = F.broadcast(
         spark.createDataFrame(
@@ -204,61 +222,61 @@ def predict_language(
     )
 
     per_gram = (
-        base.select(F.col(id_col).alias("__id"), F.explode(char_ngrams("__t", model.n)).alias("__g"))
-        .groupBy("__id", "__g")
+        base.select(F.col(id_col).alias(c_id), F.explode(char_ngrams(c_t, model.n)).alias("__g"))
+        .groupBy(c_id, "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     matched = (
         per_gram.join(model_df, "__g", "inner")
-        .groupBy("__id", "__lbl")
+        .groupBy(c_id, "__lbl")
         .agg(
             F.sum(F.col("__c") * F.col("__logp")).alias("__m_logp"),
             F.sum("__c").alias("__m_n"),
         )
     )
-    grid = base.select(F.col(id_col).alias("__id"), "__total").crossJoin(labels_df)
+    grid = base.select(F.col(id_col).alias(c_id), c_total).crossJoin(labels_df)
     scored = (
-        grid.join(matched, ["__id", "__lbl"], "left")
+        grid.join(matched, [c_id, "__lbl"], "left")
         .withColumn(
             "__score",
             F.col("__prior")
             + F.coalesce(F.col("__m_logp"), F.lit(0.0))
-            + (F.col("__total") - F.coalesce(F.col("__m_n"), F.lit(0))) * F.col("__unk"),
+            + (F.col(c_total) - F.coalesce(F.col("__m_n"), F.lit(0))) * F.col("__unk"),
         )
-        .groupBy("__id")
+        .groupBy(c_id)
         .agg(F.max(F.struct(F.col("__score"), F.col("__lbl"))).alias("__best"))
     )
     best = scored.select(
-        "__id",
-        F.col("__best.__lbl").alias("__pred"),
-        F.col("__best.__score").alias("__pscore"),
+        c_id,
+        F.col("__best.__lbl").alias(c_pred),
+        F.col("__best.__score").alias(c_pscore),
     )
     if ids_only:
-        # grid carries __total, so the und rule needs no join back to
-        # base: re-derive it on the compact frame
-        totals = base.select(F.col(id_col).alias("__id"), "__total")
-        compact = totals.join(best, "__id", "left")
-        pred = F.when(F.col("__total") < min_ngrams, F.lit("und")).otherwise(
-            F.coalesce(F.col("__pred"), F.lit("und"))
+        # grid carries the totals, so the und rule needs no join back
+        # to base: re-derive it on the compact frame
+        totals = base.select(F.col(id_col).alias(c_id), c_total)
+        compact = totals.join(best, c_id, "left")
+        pred = F.when(F.col(c_total) < min_ngrams, F.lit("und")).otherwise(
+            F.coalesce(F.col(c_pred), F.lit("und"))
         )
-        cols = [F.col("__id").alias(id_col), pred.alias(out_col)]
+        cols = [F.col(c_id).alias(id_col), pred.alias(out_col)]
         if score_col is not None:
             cols.append(
                 F.when(pred == "und", F.lit(None).cast("double"))
-                .otherwise(F.col("__pscore"))
+                .otherwise(F.col(c_pscore))
                 .alias(score_col)
             )
         return compact.select(*cols)
-    out = base.join(best, base[id_col] == best["__id"], "left").drop("__id")
-    pred = F.when(F.col("__total") < min_ngrams, F.lit("und")).otherwise(
-        F.coalesce(F.col("__pred"), F.lit("und"))
+    out = base.join(best, base[id_col] == best[c_id], "left").drop(c_id)
+    pred = F.when(F.col(c_total) < min_ngrams, F.lit("und")).otherwise(
+        F.coalesce(F.col(c_pred), F.lit("und"))
     )
     out = out.withColumn(out_col, pred)
     if score_col is not None:
         out = out.withColumn(
             score_col,
             F.when(F.col(out_col) == "und", F.lit(None).cast("double")).otherwise(
-                F.col("__pscore")
+                F.col(c_pscore)
             ),
         )
-    return out.drop("__t", "__total", "__pred", "__pscore")
+    return out.drop(c_t, c_total, c_pred, c_pscore)

@@ -253,19 +253,31 @@ def perplexity_pandas_scorer(lm: NgramLM, max_entries: int = 5_000_000):
 
     from .bpe import _py_words
 
-    n_model_rows = lm.unigrams.count() + lm.bigrams.count()
-    if n_model_rows > max_entries:
+    # ONE pass per model frame: the old count()-then-collect() ran
+    # four jobs where two suffice (round-12 review). The limit caps
+    # what an oversized model can pull into the driver before the
+    # guard fires (<= max_entries+1 rows per frame), keeping the
+    # fail-loud-not-OOM contract the count() used to provide.
+    uni_rows = lm.unigrams.limit(max_entries + 1).collect()
+    bi_rows = (
+        lm.bigrams.limit(max_entries + 1).collect()
+        if len(uni_rows) <= max_entries
+        else []
+    )
+    n_model_rows = len(uni_rows) + len(bi_rows)
+    if n_model_rows > max_entries or len(uni_rows) > max_entries:
         raise ValueError(
-            f"model has {n_model_rows} rows > max_entries={max_entries}; "
+            f"model has > max_entries={max_entries} rows; "
             "a model this large should gate in batch (perplexity_filter), "
             "not stream — or raise max_entries deliberately"
         )
-    uni = {r["tok"]: r["uni_n"] for r in lm.unigrams.collect()}
+    uni = {r["tok"]: r["uni_n"] for r in uni_rows}
     bi: dict = {}
     prev_n: dict = {}
-    for r in lm.bigrams.collect():
+    for r in bi_rows:
         bi[(r["prev"], r["tok"])] = r["bi_n"]
         prev_n[r["prev"]] = r["prev_n"]
+    del uni_rows, bi_rows
     alpha, lam = lm.alpha, lm.lam
     denom = lm.n_tokens + alpha * (lm.vocab_size + 1)
 

@@ -285,10 +285,11 @@ def filter_domain_blocklist(
     subset missplits). Hosts that ARE a public suffix have a NULL
     registered domain under PSL semantics and follow
     ``keep_unparseable``."""
-    # temp-column name derived from the input's columns so a caller's
-    # own '__dom' is never silently destroyed (round-11 advice)
+    # temp-column names derived from the input's columns so a caller's
+    # own '__dom' (or '__domh') is never silently destroyed
+    # (round-11 advice; host_col gap closed in round 12)
     dom_col = "__dom"
-    while dom_col in df.columns:
+    while dom_col in df.columns or dom_col + "h" in df.columns:
         dom_col += "_"
     if psl is not None:
         host_col = dom_col + "h"

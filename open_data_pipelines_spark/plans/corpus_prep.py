@@ -254,6 +254,11 @@ def prepare_corpus(
             raise ValueError("lang_model needs a non-empty keep_langs whitelist")
         from ..operators.lang_classifier import predict_language
 
+        # docs is consumed by BOTH the scoring pass and the semi-join
+        # left side — cache it so the extraction/normalize prefix
+        # above executes once, not once per consumer
+        docs = lazy_checkpoint(docs)
+
         # CCNet-style trained language gate, AFTER normalization (the
         # model scores the text the rest of the funnel will see),
         # against the SAME keep_langs whitelist the claimed-lang

@@ -78,18 +78,22 @@ def q_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-then-groupBy shuffles every JOINED row (|lineitem| rows at
     # the join, |lineitem| again at the agg — billions at 100 TB).
     # Counting lineitem per key FIRST rides map-side combine, so the
-    # only wide shuffle carries ~|distinct l_partkey| partial counts;
-    # the part side then broadcast-joins. The second groupBy keeps the
-    # rewrite faithful when part carries duplicate keys (count(*)
-    # multiplies per matching part row) and shuffles only the
-    # key-sized frame. Same result set as the oracle's
+    # only wide shuffle carries ~|distinct l_partkey| partial counts.
+    # No explicit broadcast hint on part: it grows with SF, and a
+    # forced hint would bypass the size threshold and hit the
+    # broadcast hard limits at cluster scale — after the pre-agg both
+    # sides are key-sized, so the threshold/AQE picks broadcast while
+    # part fits and a co-partitioned join once it doesn't. The second
+    # groupBy keeps the rewrite faithful when part carries duplicate
+    # keys (count(*) multiplies per matching part row) and shuffles
+    # only the key-sized frame. Same result set as the oracle's
     # join-then-count, proven by the driver hash at every SF.
     part, lineitem = _t(spark, sf_dir, "part", "lineitem")
     per_key = lineitem.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.count(F.lit(1)).alias("__lcount")
     )
     return (
-        per_key.join(F.broadcast(part.select("p_partkey")), "p_partkey", "inner")
+        per_key.join(part.select("p_partkey"), "p_partkey", "inner")
         .groupBy("p_partkey")
         .agg(F.sum("__lcount").alias("link_count"))
     )

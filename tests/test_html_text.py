@@ -11,7 +11,8 @@ from html.parser import HTMLParser
 from pyspark.sql import functions as F
 
 from open_data_pipelines_spark.operators.html_text import (
-    _BLOCK_TAGS,
+    _LINE_TAGS,
+    _PARA_TAGS,
     _DROP_BLOCKS,
     extract_title,
     html_to_text,
@@ -31,17 +32,19 @@ class _Oracle(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _DROP_BLOCKS:
             self.depth += 1
-        elif tag in _BLOCK_TAGS and self.depth == 0:
+        elif tag in _PARA_TAGS + _LINE_TAGS and self.depth == 0:
             self.pieces.append("\n")
 
     def handle_endtag(self, tag):
         if tag in _DROP_BLOCKS:
             self.depth = max(0, self.depth - 1)
-        elif tag in _BLOCK_TAGS and self.depth == 0:
+        elif tag in _PARA_TAGS and self.depth == 0:
+            # line tags bound only on OPEN (operator contract):
+            # '</li><li>' must not open a blank line mid-list
             self.pieces.append("\n")
 
     def handle_startendtag(self, tag, attrs):
-        if tag in _BLOCK_TAGS and self.depth == 0:
+        if tag in _PARA_TAGS + _LINE_TAGS and self.depth == 0:
             self.pieces.append("\n")
 
     def handle_data(self, data):
@@ -120,7 +123,7 @@ def test_block_boundaries_and_inline_merge(spark):
         [("<div>a</div><div>b</div>",), ("<b>bo</b>ld",)], "html string"
     )
     out = [r["t"] for r in df.select(html_to_text("html").alias("t")).collect()]
-    assert out[0] == "a\nb"  # block boundary survives as a newline
+    assert out[0] == "a\n\nb"  # paragraph boundary survives as a BLANK line
     assert out[1] == "bold"  # inline tags vanish without a boundary
 
 
@@ -193,3 +196,25 @@ def test_funnel_html_stage(spark):
     canon = lambda rows: sorted((r["doc_id"], r["chunk_idx"], r["chunk"]) for r in rows)  # noqa: E731
     assert canon(got) == canon(want)
     assert got  # non-empty
+
+
+def test_paragraph_stage_sees_html_blocks(spark):
+    """Regression (round-12 review): <p>/<div> boundaries must open
+    BLANK lines, or prepare_corpus(html=True, paragraph_policy=...)
+    silently degrades CCNet paragraph dedup to whole-document
+    granularity (one paragraph per doc)."""
+    from open_data_pipelines_spark.operators.paragraph_dedup import split_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "<p>alpha one</p><p>beta two</p><div>gamma three</div>"),
+         (2, "<ul><li>a</li><li>b</li></ul><p>tail</p>")],
+        "doc_id int, html string",
+    )
+    txt = df.select("doc_id", html_to_text("html").alias("text"))
+    paras = split_paragraphs(txt, "text", "doc_id")
+    by_doc = {}
+    for r in paras.collect():
+        by_doc.setdefault(r.doc_id, []).append(r[2])
+    assert by_doc[1] == ["alpha one", "beta two", "gamma three"]
+    # the list is ONE paragraph (li = line tags), tail is another
+    assert by_doc[2] == ["a\nb", "tail"]

@@ -243,3 +243,18 @@ def test_funnel_language_gate(spark):
 
     with pytest.raises(ValueError, match="keep_langs"):
         prepare_corpus(spark, SF_SMOKE, lang_model=m, keep_langs=(), **kw)
+
+
+def test_caller_temp_column_collision(spark):
+    """A caller frame already carrying __t/__total/__pred must come
+    through intact (derived temp names, repo convention)."""
+    m = fit_lang_classifier(_multilingual(spark), "text", "lang", n=3, vocab_size=256)
+    df = spark.createDataFrame(
+        [(1, "le chat est sur la table et il dort", "keepA", 7, "keepB")],
+        "doc_id int, text string, __t string, __total int, __pred string",
+    )
+    out = predict_language(df, m, "text", "doc_id").collect()[0]
+    assert (out["__t"], out["__total"], out["__pred"]) == ("keepA", 7, "keepB")
+    assert out.pred_lang == "fr"
+    compact = predict_language(df, m, "text", "doc_id", ids_only=True)
+    assert sorted(compact.columns) == ["doc_id", "pred_lang"]
