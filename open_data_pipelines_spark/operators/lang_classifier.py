@@ -280,3 +280,65 @@ def predict_language(
             ),
         )
     return out.drop(c_t, c_total, c_pred, c_pscore)
+
+
+def lang_pandas_predictor(model: LangClassifier, min_ngrams: int = 1):
+    """Arrow-batched per-document label predictor — the STREAMING form
+    of :func:`predict_language` (the batch path's explode + model
+    join + per-doc agg is a stateful aggregation on a stream). The
+    dim-sized model ships to the workers in the UDF closure as
+    gram -> per-label log-prob vectors; each document scores in one
+    pass and argmaxes with the SAME (score, label) tie-break as the
+    batch path. Returns a Column: ``predictor(text_col)`` is the
+    predicted label, ``'und'`` below ``min_ngrams``.
+
+    Prep mirrors :func:`prep_text` with Java-``\\s`` semantics (ASCII
+    whitespace — the ``bpe._py_words`` discipline); Python vs JVM
+    lowercasing differs on a handful of locale-sensitive codepoints,
+    the same accepted residual as the BPE mirror. Scores sum
+    SEQUENTIALLY per document here vs shuffle-ordered in batch, so
+    label parity is exact wherever the winning margin clears float
+    noise (test-pinned on margined corpora, not promised at ties)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n = model.n
+    labels = list(model.labels)
+    nl = len(labels)
+    idx = {l: i for i, l in enumerate(labels)}
+    priors = np.array([model.priors[l] for l in labels])
+    unk = np.array([model.unk[l] for l in labels])
+    table: dict[str, "np.ndarray"] = {}
+    for (g, l), p in model.table.items():
+        vec = table.get(g)
+        if vec is None:
+            vec = unk.copy()
+            table[g] = vec
+        vec[idx[l]] = p
+
+    import re as _re
+
+    _ws = _re.compile("[ \t\n\x0b\f\r]+")
+
+    def _predict(texts):
+        def one(t):
+            if t is None:
+                return "und"
+            s = _ws.sub(" ", t.lower()).strip()
+            total = len(s) - n + 1
+            if total < min_ngrams:
+                return "und"
+            score = priors + 0.0
+            for i in range(total):
+                score = score + table.get(s[i : i + n], unk)
+            # batch tie-break: max(struct(score, label)) -> among tied
+            # scores the lexicographically LARGER label wins; labels
+            # is sorted, so take the LAST argmax
+            best = score.max()
+            return labels[nl - 1 - int(np.argmax(score[::-1] >= best))]
+
+        return texts.map(one)
+
+    _predict.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_predict, "string")

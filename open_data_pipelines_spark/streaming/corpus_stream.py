@@ -82,6 +82,7 @@ def streaming_corpus_bronze(
     quality_model_min: float = 0.5,
     perplexity_lm=None,
     perplexity_max: float | None = None,
+    lang_model=None,
 ) -> DataFrame:
     """The streaming-safe funnel prefix: clean -> annotate -> filter ->
     exact dedup [-> LM perplexity gate], mirroring ``prepare_corpus``
@@ -99,6 +100,12 @@ def streaming_corpus_bronze(
     belong in batch compaction, though a cutoff LEARNED there can be
     passed here as the threshold).
 
+    ``lang_model`` (a trained ``fit_lang_classifier`` model) enables
+    the trained-langid gate on arrival against the same
+    ``keep_langs`` whitelist — batch-order (before annotate), model
+    shipped in the UDF closure via
+    :func:`..operators.lang_classifier.lang_pandas_predictor`.
+
     Exact dedup state is keyed on the content fingerprint and bounded
     by ``dedup_watermark`` over INGEST time (documents carry no event
     time; arrival time is the natural horizon for "recent drops
@@ -114,6 +121,20 @@ def streaming_corpus_bronze(
     cleaned = stream.select(
         "doc_id", normalize_text(redact_pii("text")).alias("text"), "source"
     )
+    if lang_model is not None:
+        if not keep_langs:
+            raise ValueError("lang_model needs a non-empty keep_langs whitelist")
+        from ..operators.lang_classifier import lang_pandas_predictor
+
+        # trained-langid gate on arrival, batch-order (before
+        # annotate): the batch path's explode + model join + per-doc
+        # agg is a stateful aggregation on a stream, so the model
+        # ships in the UDF closure (the perplexity_pandas_scorer
+        # pattern) — same keep_langs whitelist as the claimed-lang
+        # filter below, exact label parity with predict_language
+        # pinned at margined corpora
+        predictor = lang_pandas_predictor(lang_model)
+        cleaned = cleaned.filter(predictor(F.col("text")).isin(*keep_langs))
     # fused annotate (shared tokenization + pushdown barrier) — the
     # explode(array(struct)) it uses is stateless and streaming-safe;
     # re-select to the documented bronze column order (annotate_text

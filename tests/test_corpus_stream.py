@@ -338,3 +338,65 @@ def test_perplexity_scorer_max_entries_guard(spark, doc_landing):
         perplexity_pandas_scorer(lm, max_entries=1)
     with _pytest.raises(ValueError, match="threshold-only"):
         streaming_corpus_bronze(docs, perplexity_lm=lm)  # no max
+
+
+def test_streaming_lang_gate_matches_batch_predictions(spark, tmp_path):
+    """The on-arrival trained-langid gate keeps exactly the docs the
+    BATCH predictor whitelists on the drained corpus (planted
+    separable multilingual drop; margins clear float noise)."""
+    from open_data_pipelines_spark.operators.lang_classifier import (
+        fit_lang_classifier,
+        lang_pandas_predictor,
+        predict_language,
+    )
+    from open_data_pipelines_spark.streaming.corpus_stream import (
+        streaming_corpus_bronze,
+    )
+    from tests.test_lang_classifier import _multilingual
+
+    corpus = _multilingual(spark).withColumn("source", F.lit("web")).withColumn(
+        "n_chars", F.length("text")
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    m = fit_lang_classifier(corpus, "text", "lang", n=3, vocab_size=1024)
+
+    # value parity: closure predictor vs batch explode+join path
+    batch_pred = {
+        r.doc_id: r.pred_lang
+        for r in predict_language(corpus, m, "text", "doc_id", ids_only=True).collect()
+    }
+    predictor = lang_pandas_predictor(m)
+    stream_pred = {
+        r.doc_id: r.p
+        for r in corpus.select("doc_id", predictor(F.col("text")).alias("p")).collect()
+    }
+    assert stream_pred == batch_pred
+
+    landing = str(tmp_path / "drop")
+    corpus.write.parquet(landing)
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    keep = ("en", "fr")
+    q = stream_corpus_to_bronze(
+        read_document_stream(spark, landing), out, ckpt,
+        lang_model=m, keep_langs=keep + ("und",), quality_min=0.0,
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = {d for d, p in batch_pred.items() if p in keep}
+    # the claimed-lang heuristic ALSO filters downstream (und kept in
+    # the whitelist so only the trained gate separates languages here)
+    assert got == want
+
+
+def test_streaming_lang_gate_und_and_null(spark):
+    from open_data_pipelines_spark.operators.lang_classifier import (
+        fit_lang_classifier,
+        lang_pandas_predictor,
+    )
+    from tests.test_lang_classifier import _multilingual
+
+    m = fit_lang_classifier(_multilingual(spark), "text", "lang", n=3, vocab_size=256)
+    pred = lang_pandas_predictor(m)
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "ab")], "i int, t string")
+    got = {r.i: r.p for r in df.select("i", pred(F.col("t")).alias("p")).collect()}
+    assert got == {1: "und", 2: "und", 3: "und"}
