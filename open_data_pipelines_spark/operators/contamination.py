@@ -174,3 +174,98 @@ def decontaminate(
     if broadcast_bad:
         bad = F.broadcast(bad)
     return docs.join(bad, id_col, "left_anti")
+
+
+def embedding_contamination(
+    doc_vecs: DataFrame,
+    bench_vecs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str | None = None,
+    bench_id_col: str = "bench_id",
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 32,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-document SEMANTIC contamination: ``(id_col, bench_id,
+    cosine)`` for every corpus vector whose cosine to some benchmark
+    vector clears ``threshold`` — the embedding-similarity
+    counterpart of :func:`ngram_contamination` (paraphrased or
+    reformatted eval items share no 8-gram but sit next to their
+    source in embedding space).
+
+    Scale shape mirrors :func:`..operators.similarity.rp_lsh_candidates`
+    with the BENCHMARK as the broadcast side (eval suites are
+    dim-sized): both sides band into multi-table RP-LSH buckets, the
+    equi-join replaces the |docs| x |bench| product, survivors
+    rescore with exact cosine. No self-pair filter — doc and bench
+    ids live in different namespaces, so equal values are legitimate
+    pairs (the reason this does not reuse rp_lsh_candidates
+    verbatim). Recall is the standard multi-table LSH curve
+    (1-(1-p^planes)^tables); ``exact=True`` swaps in the brute-force
+    broadcast cross product — the oracle form for tests and small
+    benches, quadratic in |bench| x |docs|, never the 100 TB path.
+    """
+    from .similarity import cosine, rp_lsh_buckets
+
+    bvec = bench_vec_col or vec_col
+    bench_side = bench_vecs.select(
+        F.col(bench_id_col).alias("bench_id"), F.col(bvec).alias("__bv")
+    )
+    docs_side = doc_vecs.select(F.col(id_col), F.col(vec_col).alias("__dv"))
+    if exact:
+        pairs = docs_side.crossJoin(F.broadcast(bench_side))
+    else:
+        d = doc_vecs.select(
+            F.col(id_col),
+            F.posexplode(rp_lsh_buckets(F.col(vec_col), planes, tables, seed)).alias(
+                "__tbl", "__bkt"
+            ),
+        )
+        b = bench_vecs.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.posexplode(rp_lsh_buckets(F.col(bvec), planes, tables, seed)).alias(
+                "__tbl", "__bkt"
+            ),
+        )
+        cand = (
+            d.join(F.broadcast(b), ["__tbl", "__bkt"])
+            .select(id_col, "bench_id")
+            .distinct()
+        )
+        # vectors re-join by id AFTER banding (only ids rode the
+        # explode); bench vectors broadcast again — dim-sized
+        pairs = cand.join(docs_side, id_col).join(F.broadcast(bench_side), "bench_id")
+    scored = pairs.select(
+        id_col, "bench_id", cosine(F.col("__dv"), F.col("__bv")).alias("cosine")
+    ).filter(F.col("cosine") >= F.lit(threshold))
+    return scored
+
+
+def decontaminate_semantic(
+    docs: DataFrame,
+    doc_vecs: DataFrame,
+    bench_vecs: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    threshold: float = 0.95,
+    broadcast_bad: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Drop documents whose embedding sits within ``threshold`` cosine
+    of any benchmark embedding — anti-join form of
+    :func:`embedding_contamination` (the flagged id set is usually
+    dim-sized; ``broadcast_bad=False`` for the adversarial
+    mostly-contaminated case, same escape as :func:`decontaminate`)."""
+    bad = (
+        embedding_contamination(
+            doc_vecs, bench_vecs, id_col=vec_id_col, threshold=threshold, **kwargs
+        )
+        .select(F.col(vec_id_col).alias(doc_id_col))
+        .distinct()
+    )
+    if broadcast_bad:
+        bad = F.broadcast(bad)
+    return docs.join(bad, doc_id_col, "left_anti")

@@ -138,3 +138,102 @@ def test_hashed_shingles_match_exact_path(spark, docs, bench):
     assert kept_exact == kept_hashed
     # the planted bench rows themselves are contaminated and dropped
     assert not any(d % 37 == 0 for d in kept_hashed)
+
+
+def _bench_with_paraphrases(spark):
+    """Benchmark = 20 harness embeddings; corpus contaminants = tiny
+    perturbations of them (cosine ~0.999+); the rest of the corpus is
+    unrelated (random-ish harness vectors)."""
+    from open_data_pipelines_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    vecs = load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+    bench = vecs.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") / 25).cast("long").alias("bench_id"), "embedding"
+    )
+    # contaminated twins: vec_id+50000, embedding nudged in one axis
+    twins = vecs.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(1e-3)).otherwise(F.lit(0.0))
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    return vecs.unionByName(twins), bench
+
+
+def test_embedding_contamination_exact_flags_twins(spark):
+    from open_data_pipelines_spark.operators.contamination import (
+        embedding_contamination,
+    )
+
+    corpus, bench = _bench_with_paraphrases(spark)
+    hits = embedding_contamination(corpus, bench, threshold=0.99, exact=True)
+    flagged = {r.vec_id for r in hits.select("vec_id").distinct().collect()}
+    planted = {r.vec_id for r in corpus.filter(F.col("vec_id") >= 50000).collect()}
+    originals = {(b * 25) for b in range(20)}
+    assert planted <= flagged  # every twin caught
+    assert originals <= flagged  # the sources themselves too
+    # nothing unrelated at this threshold on the harness vectors
+    assert flagged <= planted | originals
+
+
+def test_embedding_contamination_lsh_matches_exact_at_high_sim(spark):
+    """The LSH path must flag every >=0.99 pair the exact path flags
+    (p ~ 1 - angle/pi ~= 0.997 at cosine 0.99: per-pair miss
+    probability (1-p^8)^32 < 1e-20 — recall is not the variable
+    here), and never flag a pair exact rejects (rescore is exact)."""
+    from open_data_pipelines_spark.operators.contamination import (
+        embedding_contamination,
+    )
+
+    corpus, bench = _bench_with_paraphrases(spark)
+    ex = {
+        (r.vec_id, r.bench_id)
+        for r in embedding_contamination(corpus, bench, threshold=0.99, exact=True).collect()
+    }
+    lsh = {
+        (r.vec_id, r.bench_id)
+        for r in embedding_contamination(corpus, bench, threshold=0.99).collect()
+    }
+    assert lsh == ex
+
+
+def test_decontaminate_semantic_drops_only_flagged(spark):
+    from open_data_pipelines_spark.operators.contamination import (
+        decontaminate_semantic,
+        embedding_contamination,
+    )
+    from open_data_pipelines_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    corpus, bench = _bench_with_paraphrases(spark)
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    # vec_id aligns with doc_id for the harness slice
+    docs = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 50000
+        )
+    )
+    kept = decontaminate_semantic(docs, corpus, bench, threshold=0.99)
+    flagged = {
+        r.vec_id
+        for r in embedding_contamination(corpus, bench, threshold=0.99).collect()
+    }
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    want = {r.doc_id for r in docs.collect()} - flagged
+    assert got == want
+
+
+def test_embedding_contamination_plan_broadcasts_bench(spark):
+    from open_data_pipelines_spark.operators.contamination import (
+        embedding_contamination,
+    )
+
+    corpus, bench = _bench_with_paraphrases(spark)
+    plan = (
+        embedding_contamination(corpus, bench, threshold=0.99)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan  # LSH path: no cross product
