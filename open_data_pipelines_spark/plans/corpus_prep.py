@@ -116,6 +116,8 @@ def prepare_corpus(
     chunking: str = "window",
     with_stats: bool = False,
     benchmark: DataFrame | None = None,
+    benchmark_embeddings: DataFrame | None = None,
+    benchmark_embedding_threshold: float = 0.95,
     contamination_n: int = 8,
     source_weights: dict[str, float] | None = None,
     domain_cap: int | None = None,
@@ -185,7 +187,10 @@ def prepare_corpus(
     actually pays when its tokenizer is BPE.
 
     ``benchmark`` is a (bench_id, text) frame of eval items to
-    decontaminate against; ``source_weights`` a target domain mix over
+    decontaminate against; ``benchmark_embeddings`` (a (bench_id,
+    embedding) frame, requires ``embeddings``) adds the SEMANTIC
+    second pass — cosine >= ``benchmark_embedding_threshold`` to any
+    eval vector drops the doc, catching paraphrases n-grams miss; ``source_weights`` a target domain mix over
     the raw ``source`` column (downsampling), ``domain_cap`` a
     per-domain document bound applied post-dedup (driver-dict-free, so
     it survives web-scale domain cardinality), ``upsample_weights``
@@ -578,6 +583,25 @@ def prepare_corpus(
         surviving = note(
             "decontaminated",
             decontaminate(surviving, benchmark, n=contamination_n),
+        )
+    if benchmark_embeddings is not None:
+        if embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings needs embeddings (the corpus vectors)"
+            )
+        from ..operators.contamination import decontaminate_semantic
+
+        # the paraphrase-robust second decon pass: n-gram overlap
+        # misses reworded eval items; embedding cosine does not.
+        # Runs after the n-gram pass (cheapest-first ordering)
+        surviving = note(
+            "semantic_decontaminated",
+            decontaminate_semantic(
+                surviving,
+                embeddings,
+                benchmark_embeddings,
+                threshold=benchmark_embedding_threshold,
+            ),
         )
     if domain_cap is not None:
         from ..operators.sampling import cap_per_stratum

@@ -237,3 +237,35 @@ def test_embedding_contamination_plan_broadcasts_bench(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan  # LSH path: no cross product
+
+
+def test_funnel_semantic_decon_stage(spark):
+    """prepare_corpus(benchmark_embeddings=...): planted paraphrase
+    twins drop, the control run keeps them; missing corpus embeddings
+    fail loud."""
+    import pytest as _pytest
+
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from open_data_pipelines_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    corpus_vecs, bench = _bench_with_paraphrases(spark)
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" paraphrased rendering zz")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    kw = dict(chunk_size=16, overlap=0, near_dup="none", docs=planted)
+    gated = prepare_corpus(
+        spark, SF_SMOKE, embeddings=corpus_vecs,
+        benchmark_embeddings=bench, benchmark_embedding_threshold=0.99, **kw
+    )
+    control = prepare_corpus(spark, SF_SMOKE, **kw)
+    assert gated.filter(F.col("doc_id") >= 50000).count() == 0
+    assert control.filter(F.col("doc_id") >= 50000).count() > 0
+
+    with _pytest.raises(ValueError, match="needs embeddings"):
+        prepare_corpus(spark, SF_SMOKE, benchmark_embeddings=bench, **kw)
