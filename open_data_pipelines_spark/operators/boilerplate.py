@@ -26,14 +26,17 @@ from ..caching import lazy_checkpoint
 from .text_analysis import normalize_text
 
 
-def _line_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _line_rows(
+    df: DataFrame, text_col: str, id_col: str, keep_blank: bool = False
+) -> DataFrame:
     lines = F.split(F.col(text_col), r"\n")
-    return (
+    rows = (
         df.select(F.col(id_col), F.posexplode(lines).alias("__idx", "__line"))
         .withColumn("__norm", normalize_text(F.col("__line")))
-        .filter(F.col("__norm") != "")
-        .withColumn("__fp", F.md5("__norm"))
     )
+    if not keep_blank:
+        rows = rows.filter(F.col("__norm") != "")
+    return rows.withColumn("__fp", F.md5("__norm"))
 
 
 def _boilerplate_fps(rows: DataFrame, id_col: str, min_docs: int) -> DataFrame:
@@ -70,10 +73,12 @@ def strip_boilerplate_lines(
 ) -> DataFrame:
     """Remove every line appearing in >= ``min_docs`` distinct docs and
     reassemble the remaining lines in order. Schema preserved; docs
-    whose every line was boilerplate come back with empty text (a
+    whose every line was boilerplate come back with blank-only text (a
     downstream quality/length filter drops them — same layering as the
-    reference funnel). Blank lines are dropped in reassembly (the
-    funnel's normalize stage would collapse them anyway).
+    reference funnel). Blank lines are KEPT in reassembly: they are
+    the paragraph boundaries the CCNet paragraph stage splits on
+    (round 12 — dropping them degraded html+boilerplate+paragraph
+    runs to whole-document dedup granularity).
 
     ``broadcast_boilerplate=True`` (default) broadcasts the offending
     fingerprint set — correct while boilerplate stays dim-sized, which
@@ -85,9 +90,15 @@ def strip_boilerplate_lines(
     # ONE line-explode shared by the audit aggregation and the
     # anti-join side — lazily checkpointed so the explode+fingerprint
     # pass over the corpus executes once, not twice (blocks reclaimed
-    # when the result frame is GC'd)
-    rows = lazy_checkpoint(_line_rows(df, text_col, id_col))
-    bad = _boilerplate_fps(rows, id_col, min_docs).select("line_fp")
+    # when the result frame is GC'd). Blank lines RIDE the explode but
+    # are excluded from the boilerplate count: they are paragraph
+    # boundaries (the CCNet separator html_to_text emits), and the old
+    # drop-blanks reassembly silently degraded any downstream
+    # paragraph stage to whole-document granularity (round-12 review)
+    rows = lazy_checkpoint(_line_rows(df, text_col, id_col, keep_blank=True))
+    bad = _boilerplate_fps(
+        rows.filter(F.col("__norm") != ""), id_col, min_docs
+    ).select("line_fp")
     if broadcast_boilerplate:
         bad = F.broadcast(bad)
     kept = rows.join(bad, rows["__fp"] == bad["line_fp"], "left_anti")

@@ -76,19 +76,26 @@ def html_to_text(col: Column | str) -> Column:
     through (modulo whitespace collapse)."""
     c = F.col(col) if isinstance(col, str) else col
     out = c
+    # hostile input may carry the sentinel control chars used below —
+    # strip them first (zero content value in text)
+    out = F.regexp_replace(out, "[\x02\x03]", "")
     # comments first: commented-out script bodies must not survive
     out = F.regexp_replace(out, r"(?is)<!--.*?-->", "")
     for tag in _DROP_BLOCKS:
         out = F.regexp_replace(
             out, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", ""
         )
+    # boundary SENTINELS, resolved after tag-stripping: \x02 = a
+    # paragraph boundary (any para tag edge), \x03 = a line boundary
+    # (any line tag edge — open AND close, so '</li>stray' still
+    # separates). A run containing at least one \x02 collapses to a
+    # blank line; a pure-\x03 run to a single newline — this is what
+    # keeps '</li><li>' from fabricating a blank line mid-list while
+    # closing tags still bound adjacent raw text (round-12 review).
     para_alt = "|".join(_PARA_TAGS)
-    out = F.regexp_replace(out, rf"(?is)</?(?:{para_alt})\b[^>]*/?>", "\n\n")
-    # OPENING line tags only: '</li><li>' emitting two newlines would
-    # read as a blank line and split the list mid-paragraph; closers
-    # fall through to the generic boundary-less strip below
+    out = F.regexp_replace(out, rf"(?is)</?(?:{para_alt})\b[^>]*/?>", "\x02")
     line_alt = "|".join(_LINE_TAGS)
-    out = F.regexp_replace(out, rf"(?is)<(?:{line_alt})\b[^>]*/?>", "\n")
+    out = F.regexp_replace(out, rf"(?is)</?(?:{line_alt})\b[^>]*/?>", "\x03")
     # every remaining tag (incl. unknown/inline) vanishes without a
     # boundary: '<b>bo</b>ld' -> 'bold'
     out = F.regexp_replace(out, r"(?s)<[a-zA-Z/!][^>]*>", "")
@@ -99,9 +106,14 @@ def html_to_text(col: Column | str) -> Column:
     # absorb the literal residue
     for ent, repl in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(repl))
+    # resolve sentinel runs (whitespace between boundaries belongs to
+    # the boundary): para-bearing runs -> blank line, else newline
+    out = F.regexp_replace(out, "[\\s\x02\x03]*\x02[\\s\x02\x03]*", "\n\n")
+    # \n included: '</li>\n<li>' is ONE line boundary, not a blank line
+    out = F.regexp_replace(out, "[\\s\x03]*\x03[\\s\x03]*", "\n")
     # whitespace canonicalization: intra-line runs -> one space,
-    # 3+-newline runs -> exactly one blank line (PRESERVING the
-    # paragraph boundaries the para tags just opened), edges trimmed
+    # 3+-newline runs -> exactly one blank line (PRESERVING paragraph
+    # boundaries), edges trimmed
     out = F.regexp_replace(out, r"[ \t\x0b\f\r]+", " ")
     out = F.regexp_replace(out, r" ?\n ?", "\n")
     out = F.regexp_replace(out, r"\n{3,}", "\n\n")

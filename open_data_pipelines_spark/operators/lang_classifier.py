@@ -186,27 +186,30 @@ def predict_language(
     spark = df.sparkSession
 
     # caller-frame temp names derived to avoid collisions (repo
-    # convention, round-12 review): __t/__total ride ON the caller's
-    # frame and __id/__pred/__pscore join onto it before being
-    # dropped — fixed names would silently destroy same-named caller
-    # columns
+    # convention, round-12 review): __pred/__pscore join onto the
+    # caller's frame in enrich mode — fixed names would silently
+    # destroy same-named caller columns
     sfx = ""
     fixed = ("__t", "__total", "__pred", "__pscore", "__id")
     while any(n + sfx in df.columns for n in fixed):
         sfx += "_"
     c_t, c_total, c_pred, c_pscore, c_id = (n + sfx for n in fixed)
 
-    base = df.withColumn(c_t, prep_text(text_col)).withColumn(
-        c_total, F.size(char_ngrams(c_t, model.n))
-    )
-    # base feeds THREE consumers (per-gram explode, the doc x label
-    # grid, and the enrichment/totals path) — without the repo's lazy
-    # reuse cache the caller's whole upstream (an html-extraction or
-    # pandas-UDF-normalize chain in the funnel) re-executes per
-    # consumer (round-12 review finding)
+    # the ONLY cached frame is the slim (id, prepped text, total)
+    # projection — it feeds three consumers (per-gram explode, the
+    # doc x label grid, the und-rule totals), and caching it instead
+    # of the caller's full frame avoids materializing every caller
+    # column plus a second text copy in block storage (round-12
+    # review); the caller's own upstream is scanned once here and
+    # once by the enrich-mode output join (the funnel checkpoints its
+    # docs before calling, so that scan is a cache read there)
     from ..caching import lazy_checkpoint
 
-    base = lazy_checkpoint(base)
+    slim = lazy_checkpoint(
+        df.select(F.col(id_col).alias(c_id), prep_text(text_col).alias(c_t)).withColumn(
+            c_total, F.size(char_ngrams(c_t, model.n))
+        )
+    )
 
     model_df = F.broadcast(
         spark.createDataFrame(
@@ -222,7 +225,7 @@ def predict_language(
     )
 
     per_gram = (
-        base.select(F.col(id_col).alias(c_id), F.explode(char_ngrams(c_t, model.n)).alias("__g"))
+        slim.select(c_id, F.explode(char_ngrams(c_t, model.n)).alias("__g"))
         .groupBy(c_id, "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -234,7 +237,7 @@ def predict_language(
             F.sum("__c").alias("__m_n"),
         )
     )
-    grid = base.select(F.col(id_col).alias(c_id), c_total).crossJoin(labels_df)
+    grid = slim.select(c_id, c_total).crossJoin(labels_df)
     scored = (
         grid.join(matched, [c_id, "__lbl"], "left")
         .withColumn(
@@ -251,35 +254,25 @@ def predict_language(
         F.col("__best.__lbl").alias(c_pred),
         F.col("__best.__score").alias(c_pscore),
     )
-    if ids_only:
-        # grid carries the totals, so the und rule needs no join back
-        # to base: re-derive it on the compact frame
-        totals = base.select(F.col(id_col).alias(c_id), c_total)
-        compact = totals.join(best, c_id, "left")
-        pred = F.when(F.col(c_total) < min_ngrams, F.lit("und")).otherwise(
-            F.coalesce(F.col(c_pred), F.lit("und"))
-        )
-        cols = [F.col(c_id).alias(id_col), pred.alias(out_col)]
-        if score_col is not None:
-            cols.append(
-                F.when(pred == "und", F.lit(None).cast("double"))
-                .otherwise(F.col(c_pscore))
-                .alias(score_col)
-            )
-        return compact.select(*cols)
-    out = base.join(best, base[id_col] == best[c_id], "left").drop(c_id)
-    pred = F.when(F.col(c_total) < min_ngrams, F.lit("und")).otherwise(
+    pred_rule = F.when(F.col(c_total) < min_ngrams, F.lit("und")).otherwise(
         F.coalesce(F.col(c_pred), F.lit("und"))
     )
-    out = out.withColumn(out_col, pred)
+    cols = [F.col(c_id).alias(id_col), pred_rule.alias(out_col)]
     if score_col is not None:
-        out = out.withColumn(
-            score_col,
-            F.when(F.col(out_col) == "und", F.lit(None).cast("double")).otherwise(
-                F.col(c_pscore)
-            ),
+        cols.append(
+            F.when(pred_rule == "und", F.lit(None).cast("double"))
+            .otherwise(F.col(c_pscore))
+            .alias(score_col)
         )
-    return out.drop(c_t, c_total, c_pred, c_pscore)
+    compact = slim.select(c_id, c_total).join(best, c_id, "left").select(*cols)
+    if ids_only:
+        return compact
+    # enrich mode: the requested output names REPLACE same-named
+    # caller columns (the previous withColumn contract)
+    out = df.drop(out_col) if out_col in df.columns else df
+    if score_col is not None and score_col in out.columns:
+        out = out.drop(score_col)
+    return out.join(compact, id_col, "left")
 
 
 def lang_pandas_predictor(model: LangClassifier, min_ngrams: int = 1):
@@ -325,7 +318,11 @@ def lang_pandas_predictor(model: LangClassifier, min_ngrams: int = 1):
         def one(t):
             if t is None:
                 return "und"
-            s = _ws.sub(" ", t.lower()).strip()
+            # strip SPACES only: F.trim is space-only, and the ASCII
+            # \s collapse leaves non-ASCII whitespace (NBSP etc.)
+            # untouched on both paths — Python .strip() would remove
+            # edge NBSPs the batch path keeps (round-12 review)
+            s = _ws.sub(" ", t.lower()).strip(" ")
             total = len(s) - n + 1
             if total < min_ngrams:
                 return "und"

@@ -259,8 +259,11 @@ def perplexity_pandas_scorer(lm: NgramLM, max_entries: int = 5_000_000):
     # guard fires (<= max_entries+1 rows per frame), keeping the
     # fail-loud-not-OOM contract the count() used to provide.
     uni_rows = lm.unigrams.limit(max_entries + 1).collect()
+    # bigrams draw only the REMAINING budget (+1 to detect overflow):
+    # two independent max_entries+1 limits would transiently hold ~2x
+    # the configured bound in the driver on the oversized path
     bi_rows = (
-        lm.bigrams.limit(max_entries + 1).collect()
+        lm.bigrams.limit(max_entries - len(uni_rows) + 1).collect()
         if len(uni_rows) <= max_entries
         else []
     )

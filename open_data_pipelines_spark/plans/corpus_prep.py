@@ -261,8 +261,12 @@ def prepare_corpus(
 
         # docs is consumed by BOTH the scoring pass and the semi-join
         # left side — cache it so the extraction/normalize prefix
-        # above executes once, not once per consumer
-        docs = lazy_checkpoint(docs)
+        # above executes once, not once per consumer. EAGER in observe
+        # mode: the url_kept observation above sits beneath this
+        # checkpoint with no intervening shuffle, and the measured
+        # lazy-checkpoint rule (caching.py) would fulfill it with 0
+        # (round-12 review, live-reproduced)
+        docs = lazy_checkpoint(docs, eager=with_stats and stats_via == "observe")
 
         # CCNet-style trained language gate, AFTER normalization (the
         # model scores the text the rest of the funnel will see),

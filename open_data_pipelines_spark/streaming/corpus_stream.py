@@ -118,23 +118,27 @@ def streaming_corpus_bronze(
     if (perplexity_lm is None) != (perplexity_max is None):
         raise ValueError("perplexity_lm and perplexity_max come together "
                          "(the streaming gate is threshold-only)")
-    cleaned = stream.select(
-        "doc_id", normalize_text(redact_pii("text")).alias("text"), "source"
-    )
     if lang_model is not None:
         if not keep_langs:
             raise ValueError("lang_model needs a non-empty keep_langs whitelist")
         from ..operators.lang_classifier import lang_pandas_predictor
 
-        # trained-langid gate on arrival, batch-order (before
-        # annotate): the batch path's explode + model join + per-doc
-        # agg is a stateful aggregation on a stream, so the model
-        # ships in the UDF closure (the perplexity_pandas_scorer
-        # pattern) — same keep_langs whitelist as the claimed-lang
-        # filter below, exact label parity with predict_language
-        # pinned at margined corpora
+        # trained-langid gate on arrival, batch-order: in
+        # prepare_corpus the gate scores text BEFORE the
+        # redact+normalize clean stage, so it must gate the RAW
+        # stream here — scoring the redacted text instead would flip
+        # boundary docs and break stream-then-compact == batch
+        # (round-12 review). The batch path's explode + model join +
+        # per-doc agg is a stateful aggregation on a stream, so the
+        # model ships in the UDF closure (the
+        # perplexity_pandas_scorer pattern) — same keep_langs
+        # whitelist as the claimed-lang filter below, exact label
+        # parity with predict_language pinned at margined corpora.
         predictor = lang_pandas_predictor(lang_model)
-        cleaned = cleaned.filter(predictor(F.col("text")).isin(*keep_langs))
+        stream = stream.filter(predictor(F.col("text")).isin(*keep_langs))
+    cleaned = stream.select(
+        "doc_id", normalize_text(redact_pii("text")).alias("text"), "source"
+    )
     # fused annotate (shared tokenization + pushdown barrier) — the
     # explode(array(struct)) it uses is stateless and streaming-safe;
     # re-select to the documented bronze column order (annotate_text

@@ -138,8 +138,9 @@ def test_funnel_composition_boilerplate_stage(spark):
 
 def test_strip_identity_when_nothing_shared(spark):
     """Property: with min_docs above the corpus size nothing is
-    boilerplate, so stripping reduces to dropping blank lines only —
-    original line bytes and order preserved."""
+    boilerplate, so stripping is the IDENTITY — every line (blank
+    ones included: they are the paragraph boundaries the CCNet stage
+    splits on, round 12) preserved byte-for-byte in order."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -160,20 +161,8 @@ def test_strip_identity_when_nothing_shared(spark):
             r["doc_id"]: r["text"]
             for r in strip_boilerplate_lines(df, "text", "doc_id", min_docs=99).collect()
         }
-        import re
-
-        # mirror the ENGINES' whitespace semantics: Java regex and
-        # DuckDB RE2 both treat \s as ASCII-only, so U+00A0 etc. are
-        # NOT blank; Python re's unicode \s is broader and must not be
-        # used as the expectation (hypothesis found the divergence via
-        # a '\xa0'-only line)
-        ascii_ws = "[ \t\n\x0b\f\r]"
-
-        def blank(line: str) -> bool:
-            return re.sub(ascii_ws + "+", " ", line).strip(" ") == ""
-
         for i, ls in enumerate(doc_lines):
-            expected = "\n".join(l for l in ls if not blank(l))
+            expected = "\n".join(ls)
             assert out[i] == expected, (i, out[i], expected)
 
     run()

@@ -38,9 +38,9 @@ class _Oracle(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _DROP_BLOCKS:
             self.depth = max(0, self.depth - 1)
-        elif tag in _PARA_TAGS and self.depth == 0:
-            # line tags bound only on OPEN (operator contract):
-            # '</li><li>' must not open a blank line mid-list
+        elif tag in _PARA_TAGS + _LINE_TAGS and self.depth == 0:
+            # real-parser behavior: closing tags bound too (the
+            # operator's sentinel scheme matches since round 12)
             self.pieces.append("\n")
 
     def handle_startendtag(self, tag, attrs):
@@ -218,3 +218,66 @@ def test_paragraph_stage_sees_html_blocks(spark):
     assert by_doc[1] == ["alpha one", "beta two", "gamma three"]
     # the list is ONE paragraph (li = line tags), tail is another
     assert by_doc[2] == ["a\nb", "tail"]
+
+
+def test_full_combo_html_boilerplate_paragraph(spark):
+    """The round-12 review's composition gap: html=True +
+    boilerplate_min_docs + paragraph_policy must still dedup at
+    PARAGRAPH granularity — the boilerplate strip may not destroy the
+    blank-line boundaries extraction opened."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from tests.conftest import SF_SMOKE
+
+    shared = "this shared paragraph repeats across several pages here"
+    rows = []
+    for i in range(6):
+        own = " ".join(f"doc{i} body token {j} flows onward" for j in range(12))
+        # shared paragraph in 4 of 6 docs: UNDER the boilerplate
+        # min_docs=6 line cut (so it must reach the paragraph stage)
+        # but repeated enough that keep_first has work to do
+        mid = f"<p>{shared}</p>" if i < 4 else ""
+        rows.append((
+            i,
+            f"<div>Accept Cookies</div>{mid}<p>{own}</p>",
+        ))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("web").alias("source"), F.length("text").alias("n_chars"),
+    )
+    out = prepare_corpus(
+        spark, SF_SMOKE, docs=docs, html=True, boilerplate_min_docs=6,
+        paragraph_policy="keep_first", near_dup="none", quality_min=0.0,
+        keep_langs=("en", "und"), chunk_size=64, overlap=0,
+    )
+    joined = {
+        r.doc_id: r.chunk
+        for r in out.groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("chunk")).alias("chunk"))
+        .collect()
+    }
+    # the banner line dies at the boilerplate stage; the shared
+    # PARAGRAPH survives in exactly one doc (keep_first), not all six
+    n_with_shared = sum(1 for t in joined.values() if "shared paragraph" in t)
+    assert n_with_shared == 1, joined
+    assert all("accept cookies" not in t for t in joined.values())
+    # every doc keeps its own body
+    for i in range(6):
+        assert f"doc{i} body" in joined.get(i, ""), i
+
+
+def test_closing_line_tag_bounds_and_newline_between_items(spark):
+    """round-12 review: '</li>stray' must not fuse words; and a raw
+    newline between list items must NOT fabricate a blank line (which
+    would split the list mid-paragraph)."""
+    df = spark.createDataFrame(
+        [
+            (1, "<li>version 2</li>released"),
+            (2, "<ul>\n  <li>a</li>\n  <li>b</li>\n</ul>\n<p>tail</p>"),
+            (3, "pre\x02mid\x03post"),  # hostile sentinel bytes: stripped
+        ],
+        "i int, html string",
+    )
+    got = {r.i: r.t for r in df.select("i", html_to_text("html").alias("t")).collect()}
+    assert got[1] == "version 2\nreleased"
+    assert got[2] == "a\nb\n\ntail"
+    assert got[3] == "premidpost"
