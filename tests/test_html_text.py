@@ -85,21 +85,30 @@ def _gen(rnd: random.Random) -> str:
     parts = ["<html><body>"]
     for _ in range(rnd.randint(3, 10)):
         kind = rnd.random()
-        if kind < 0.2:
+        if kind < 0.15:
             tag = rnd.choice(_DROP_BLOCKS[:3])
             parts.append(f"<{tag}>{words()}</{tag}>")
-        elif kind < 0.6:
+        elif kind < 0.5:
             tag = rnd.choice(("p", "div", "li", "h2", "blockquote"))
             inner = words()
             if rnd.random() < 0.4:
                 inner += f" <b>{words()}</b> <i>{words()}</i>"
             parts.append(f"<{tag}>{inner}</{tag}>")
+        elif kind < 0.6:
+            # list with raw newlines between items and OPTIONAL stray
+            # text after a closer — the round-12 sentinel edge cases
+            items = "\n".join(f"<li>{words()}</li>" for _ in range(rnd.randint(1, 3)))
+            stray = words() if rnd.random() < 0.5 else ""
+            parts.append(f"<ul>\n{items}\n</ul>{stray}")
         elif kind < 0.7:
             parts.append(f"<!-- {words()} -->")
         elif kind < 0.8:
             parts.append(f"{words()} &amp; {words()}")
         else:
             parts.append(words())
+        # random inter-part whitespace (real markup is newline-ridden)
+        if rnd.random() < 0.5:
+            parts.append(rnd.choice(["\n", "\n\n", "  ", "\t"]))
     parts.append("</body></html>")
     return "".join(parts)
 
