@@ -777,6 +777,36 @@ def prepare_corpus(
             else None,
             "perplexity_max": perplexity_max,
             "repetition_thresholds": repetition_thresholds,
+            # round-12 reproducibility sweep: every knob added since
+            # r10 is recorded (a manifest that omits the stages that
+            # shaped the corpus is not a manifest)
+            "paragraph_policy": paragraph_policy,
+            "paragraph_max_docs": paragraph_max_docs,
+            "substring_k": substring_k,
+            "substring_max_occurrences": substring_max_occurrences,
+            "perplexity_keep_buckets": perplexity_keep_buckets,
+            "perplexity_bucket_exact": perplexity_bucket_exact,
+            "url_col": url_col,
+            "url_blocklist": list(url_blocklist)
+            if isinstance(url_blocklist, (list, tuple))
+            else ("<dataframe>" if url_blocklist is not None else None),
+            "url_quality": url_quality,
+            "html": html,
+            "fix_encoding": fix_encoding,
+            "unicode_form": unicode_form,
+            "lang_model": {
+                "n": lang_model.n,
+                "labels": list(lang_model.labels),
+                "vocab_rows": len(lang_model.table),
+            }
+            if lang_model is not None
+            else None,
+            "chunking": chunking,
+            "benchmark": benchmark is not None,
+            "benchmark_embeddings": benchmark_embeddings is not None,
+            "benchmark_embedding_threshold": benchmark_embedding_threshold,
+            "domain_cap": domain_cap,
+            "bpe_merges": len(bpe_merges) if bpe_merges is not None else None,
             "near_dup": near_dup,
             "simhash_max_hamming": simhash_max_hamming,
             "embedding_threshold": embedding_threshold,
