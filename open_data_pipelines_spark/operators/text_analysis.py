@@ -332,3 +332,58 @@ def sentence_chunks(col: Column | str, budget: int) -> Column:
     return F.when(
         c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
     ).otherwise(F.aggregate(sents, acc0, merge, lambda acc: acc["chunks"]))
+
+
+def blockword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """Occurrences of blocklisted WORDS among the whitespace tokens
+    (lowercased exact-token match — 'essex' never hits 'sex', the
+    C4 word-boundary discipline for free). Pure expression: one
+    literal array + per-token ``array_contains``, right for the
+    dim-sized lists real pipelines use (LDNOOBW ~400 entries); for
+    huge lexicons use :func:`filter_content_blockwords`'s join mode.
+    """
+    toks = tokens_or_empty(col, lower=True)
+    lit_words = F.array(*[F.lit(w.lower()) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
+
+
+def filter_content_blockwords(
+    df: DataFrame,
+    text_col: str,
+    words: tuple[str, ...],
+    max_hits: int = 0,
+    id_col: str | None = None,
+    mode: str = "expr",
+) -> DataFrame:
+    """Drop documents with more than ``max_hits`` blocklisted-word
+    occurrences in the TEXT — the C4 page-level bad-words cut
+    (default 0: any hit drops), content-side companion of the URL
+    badword gate (``url_filter.filter_url_quality``).
+
+    ``mode="expr"`` (default) is the pure-expression form above —
+    zero shuffles, codegen, dim-sized lists. ``mode="join"`` explodes
+    tokens and broadcast-semi-joins the word table, then anti-joins
+    survivors back by ``id_col`` (required) — the scale escape for
+    lexicons too large to inline as a literal array (the two modes
+    are parity-tested)."""
+    if mode == "expr":
+        return df.filter(blockword_hits(text_col, words) <= F.lit(max_hits))
+    if mode != "join":
+        raise ValueError(f"mode must be 'expr' or 'join', got {mode!r}")
+    if id_col is None:
+        raise ValueError("mode='join' needs id_col")
+    spark = df.sparkSession
+    word_df = F.broadcast(
+        spark.createDataFrame([(w.lower(),) for w in words], "__w string")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_or_empty(text_col, lower=True)).alias("__w")
+    )
+    bad = (
+        toks.join(word_df, "__w", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") > F.lit(max_hits))
+        .select(id_col)
+    )
+    return df.join(F.broadcast(bad), id_col, "left_anti")

@@ -103,6 +103,8 @@ def prepare_corpus(
     fix_encoding: bool = False,
     unicode_form: str | None = None,
     lang_model=None,
+    content_blocklist: tuple[str, ...] | None = None,
+    content_blocklist_max_hits: int = 0,
     near_dup: str = "minhash",
     simhash_max_hamming: int = 3,
     embedding_threshold: float = 0.95,
@@ -279,6 +281,18 @@ def prepare_corpus(
         kept_ids = preds.filter(F.col("pred_lang").isin(*keep_langs)).select("doc_id")
         docs = docs.join(kept_ids, "doc_id", "left_semi")
         docs = note("lang_kept", docs)
+
+    if content_blocklist is not None:
+        from ..operators.text_analysis import filter_content_blockwords
+
+        # the C4 page-level bad-words cut: row-local pure expression,
+        # so it belongs in the cheap prefix before anything shuffles
+        docs = note(
+            "blockword_kept",
+            filter_content_blockwords(
+                docs, "text", content_blocklist, content_blocklist_max_hits
+            ),
+        )
 
     # the observed frame MUST flow into the plan (a dangling observe
     # node never executes, and its Observation.get would block forever)
@@ -801,6 +815,10 @@ def prepare_corpus(
             }
             if lang_model is not None
             else None,
+            "content_blocklist": list(content_blocklist)
+            if content_blocklist is not None
+            else None,
+            "content_blocklist_max_hits": content_blocklist_max_hits,
             "chunking": chunking,
             "benchmark": benchmark is not None,
             "benchmark_embeddings": benchmark_embeddings is not None,

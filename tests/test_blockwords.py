@@ -1,0 +1,69 @@
+"""Content word-blocklist filter (C4 bad-words page cut)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.operators.text_analysis import (
+    blockword_hits,
+    filter_content_blockwords,
+)
+
+WORDS = ("casino", "jackpot", "xxx")
+
+
+def test_hits_exact_token_match(spark):
+    rows = [
+        (1, "visit the Casino tonight jackpot JACKPOT"),  # 3 hits (lowered)
+        (2, "essex sussex middlesex"),  # substring must NOT hit
+        (3, "clean text entirely"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {r.i: r.h for r in df.select("i", blockword_hits("t", WORDS).alias("h")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 0, 5: 0}
+
+
+def test_filter_modes_agree(spark):
+    import random
+
+    rng = random.Random(4)
+    vocab = ["alpha", "beta", "casino", "gamma", "xxx", "delta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    for max_hits in (0, 1, 3):
+        a = {r.i for r in filter_content_blockwords(df, "t", WORDS, max_hits).collect()}
+        b = {
+            r.i
+            for r in filter_content_blockwords(
+                df, "t", WORDS, max_hits, id_col="i", mode="join"
+            ).collect()
+        }
+        assert a == b, max_hits
+    with pytest.raises(ValueError, match="id_col"):
+        filter_content_blockwords(df, "t", WORDS, mode="join")
+    with pytest.raises(ValueError, match="mode"):
+        filter_content_blockwords(df, "t", WORDS, mode="nope")
+
+
+def test_funnel_blockword_stage(spark):
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from open_data_pipelines_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    base = docs.filter(F.col("doc_id") == 1).collect()[0]
+    spam = (900001, "casino " + base.text, base.lang, base.source, base.n_chars)
+    planted = docs.unionByName(spark.createDataFrame([spam], schema=docs.schema))
+    kw = dict(chunk_size=16, overlap=0, near_dup="none", docs=planted)
+    gated = prepare_corpus(
+        spark, SF_SMOKE, content_blocklist=("casino",), **kw
+    )
+    control = prepare_corpus(spark, SF_SMOKE, **kw)
+    assert gated.filter(F.col("doc_id") == 900001).count() == 0
+    assert control.filter(F.col("doc_id") == 900001).count() > 0
