@@ -83,6 +83,8 @@ def streaming_corpus_bronze(
     perplexity_lm=None,
     perplexity_max: float | None = None,
     lang_model=None,
+    content_blocklist: tuple[str, ...] | None = None,
+    content_blocklist_max_hits: int = 0,
 ) -> DataFrame:
     """The streaming-safe funnel prefix: clean -> annotate -> filter ->
     exact dedup [-> LM perplexity gate], mirroring ``prepare_corpus``
@@ -136,6 +138,16 @@ def streaming_corpus_bronze(
         # parity with predict_language pinned at margined corpora.
         predictor = lang_pandas_predictor(lang_model)
         stream = stream.filter(predictor(F.col("text")).isin(*keep_langs))
+    if content_blocklist is not None:
+        from ..operators.text_analysis import filter_content_blockwords
+
+        # pure-expression row-local filter — stateless, so the batch
+        # funnel stage applies verbatim on the stream (expr mode only:
+        # the join escape shuffles, which an on-arrival gate never
+        # should — huge lexicons belong in batch compaction)
+        stream = filter_content_blockwords(
+            stream, "text", content_blocklist, content_blocklist_max_hits
+        )
     cleaned = stream.select(
         "doc_id", normalize_text(redact_pii("text")).alias("text"), "source"
     )

@@ -67,3 +67,33 @@ def test_funnel_blockword_stage(spark):
     control = prepare_corpus(spark, SF_SMOKE, **kw)
     assert gated.filter(F.col("doc_id") == 900001).count() == 0
     assert control.filter(F.col("doc_id") == 900001).count() > 0
+
+
+def test_streaming_blockword_gate(spark, tmp_path):
+    """The stateless gate on the stream keeps exactly the docs the
+    batch expr filter keeps on the drained corpus."""
+    from open_data_pipelines_spark.session import load_tables
+    from open_data_pipelines_spark.streaming.corpus_stream import (
+        read_document_stream,
+        stream_corpus_to_bronze,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    base = docs.limit(40)
+    spam = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 7000).alias("doc_id"),
+        F.concat(F.lit("casino jackpot "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    landing = str(tmp_path / "drop")
+    base.unionByName(spam).write.parquet(landing)
+    q = stream_corpus_to_bronze(
+        read_document_stream(spark, landing),
+        str(tmp_path / "bronze"), str(tmp_path / "ckpt"),
+        content_blocklist=("casino",), quality_min=0.0,
+        keep_langs=("en", "fr", "de", "es", "zh", "und"),
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "bronze")).select("doc_id").collect()}
+    assert got and all(d < 7000 for d in got)
