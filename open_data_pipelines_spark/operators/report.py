@@ -36,7 +36,7 @@ def corpus_report(
     exact: bool = False,
 ) -> DataFrame:
     """(lang, source, level, n_docs, n_tokens, n_chars, n_unique,
-    mean_quality) at rollup levels 0 = per (lang, source), 1 = per
+    p50_tokens, p90_tokens, mean_quality) at rollup levels 0 = per (lang, source), 1 = per
     lang, 3 = global (``grouping_id`` semantics). ``n_unique`` counts
     distinct content fingerprints — ``n_docs - n_unique`` is the
     exact-duplicate surplus a dedup pass would remove."""
@@ -53,12 +53,24 @@ def corpus_report(
         if exact
         else F.approx_count_distinct("__fp")
     )
+    # token-length distribution: exact `percentile` is bit-identical
+    # to DuckDB quantile_cont on the same values (the lm_score bucket
+    # precedent); approx_percentile is the one-pass mergeable 100 TB
+    # default
+    if exact:
+        p50 = F.percentile(F.col("__tok"), F.lit(0.5))
+        p90 = F.percentile(F.col("__tok"), F.lit(0.9))
+    else:
+        p50 = F.percentile_approx(F.col("__tok"), F.lit(0.5), F.lit(10000)).cast("double")
+        p90 = F.percentile_approx(F.col("__tok"), F.lit(0.9), F.lit(10000)).cast("double")
     return base.rollup("lang", "source").agg(
         F.grouping_id().alias("level"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__tok").alias("n_tokens"),
         F.sum("__len").alias("n_chars"),
         uniq.alias("n_unique"),
+        p50.alias("p50_tokens"),
+        p90.alias("p90_tokens"),
         # decimal sum (order-independent) -> double, THEN divide: both
         # engines perform the identical double division, avoiding
         # engine-specific decimal-quotient scale rules
