@@ -335,16 +335,34 @@ def sentence_chunks(col: Column | str, budget: int) -> Column:
 
 
 def blockword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
-    """Occurrences of blocklisted WORDS among the whitespace tokens
-    (lowercased exact-token match — 'essex' never hits 'sex', the
-    C4 word-boundary discipline for free). Pure expression: one
-    literal array + per-token ``array_contains``, right for the
-    dim-sized lists real pipelines use (LDNOOBW ~400 entries); for
-    huge lexicons use :func:`filter_content_blockwords`'s join mode.
+    """Occurrences of blocklisted words/phrases in the TEXT, matched
+    case-insensitively at letter/digit boundaries — ``'casino.'``,
+    ``'(casino)'`` and sentence-final hits all count, ``'essex'``
+    never hits ``'sex'`` (the lookarounds are the same discipline as
+    the URL badword gate, which is why this is a boundary regex and
+    not the stopword token-``isin`` form — punctuation-adjacent
+    occurrences are the DOMINANT case in prose and token equality
+    misses every one of them; round-12 review). Multi-word entries
+    match across any whitespace run. One ``regexp_count`` over one
+    alternation — dim-sized lists (LDNOOBW ~400 entries) inline fine;
+    for huge lexicons use :func:`filter_content_blockwords` join mode.
     """
-    toks = tokens_or_empty(col, lower=True)
-    lit_words = F.array(*[F.lit(w.lower()) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    if not words:
+        return F.lit(0)
+    alts = []
+    for w in words:
+        # re.escape leaves spaces alone on py3.7+; the replace guards
+        # older escape tables. Phrase-internal whitespace matches any
+        # whitespace run.
+        esc = _re.escape(w.strip().lower()).replace("\\ ", " ")
+        alts.append(_re.sub(r" +", r"\\s+", esc))
+    pattern = r"(?i)(?<![\p{L}\p{N}])(?:" + "|".join(alts) + r")(?![\p{L}\p{N}])"
+    return F.coalesce(
+        F.regexp_count(c, F.lit(pattern)), F.lit(0)
+    )
 
 
 def filter_content_blockwords(
@@ -360,24 +378,39 @@ def filter_content_blockwords(
     (default 0: any hit drops), content-side companion of the URL
     badword gate (``url_filter.filter_url_quality``).
 
-    ``mode="expr"`` (default) is the pure-expression form above —
-    zero shuffles, codegen, dim-sized lists. ``mode="join"`` explodes
-    tokens and broadcast-semi-joins the word table, then anti-joins
-    survivors back by ``id_col`` (required) — the scale escape for
-    lexicons too large to inline as a literal array (the two modes
-    are parity-tested)."""
+    ``mode="expr"`` (default) is the one-regex form above — zero
+    shuffles, codegen, boundary-correct, phrases supported.
+    ``mode="join"`` explodes letter/digit-run tokens and
+    broadcast-semi-joins the word table, then anti-joins offending
+    ids back — the scale escape for lexicons too large to inline as
+    one alternation. Join-mode limits (parity-tested where both
+    apply): SINGLE-WORD entries only (phrases raise — a token join
+    cannot see across token boundaries), and ``id_col`` must be
+    non-NULL (an anti-join never matches NULL keys, so a NULL-id doc
+    would silently survive; expr mode has no such blind spot). The
+    offending-id frame is NOT broadcast-hinted — it scales with the
+    corpus, and the forced hint would hit the broadcast hard limits
+    at exactly the scale join mode exists for (round-12 review)."""
     if mode == "expr":
         return df.filter(blockword_hits(text_col, words) <= F.lit(max_hits))
     if mode != "join":
         raise ValueError(f"mode must be 'expr' or 'join', got {mode!r}")
     if id_col is None:
         raise ValueError("mode='join' needs id_col")
+    bad_entries = [w for w in words if len(w.split()) != 1]
+    if bad_entries:
+        raise ValueError(
+            f"mode='join' takes single-word entries only, got {bad_entries[:3]}"
+        )
     spark = df.sparkSession
     word_df = F.broadcast(
-        spark.createDataFrame([(w.lower(),) for w in words], "__w string")
+        spark.createDataFrame([(w.strip().lower(),) for w in words], "__w string")
     )
     toks = df.select(
-        F.col(id_col), F.explode(tokens_or_empty(text_col, lower=True)).alias("__w")
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"([\p{L}\p{N}]+)"), 1)
+        ).alias("__w"),
     )
     bad = (
         toks.join(word_df, "__w", "left_semi")
@@ -386,4 +419,4 @@ def filter_content_blockwords(
         .filter(F.col("__hits") > F.lit(max_hits))
         .select(id_col)
     )
-    return df.join(F.broadcast(bad), id_col, "left_anti")
+    return df.join(bad, id_col, "left_anti")

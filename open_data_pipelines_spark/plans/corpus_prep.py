@@ -256,6 +256,20 @@ def prepare_corpus(
             docs, "text", fix_encoding=fix_encoding, form=unicode_form
         )
 
+    if content_blocklist is not None:
+        from ..operators.text_analysis import filter_content_blockwords
+
+        # the C4 page-level bad-words cut: row-local pure expression,
+        # so it runs BEFORE the lang-model scoring shuffles (the two
+        # gates commute; scoring docs the blocklist drops is wasted
+        # aggregation work at scale — round-12 review)
+        docs = note(
+            "blockword_kept",
+            filter_content_blockwords(
+                docs, "text", content_blocklist, content_blocklist_max_hits
+            ),
+        )
+
     if lang_model is not None:
         if not keep_langs:
             raise ValueError("lang_model needs a non-empty keep_langs whitelist")
@@ -282,17 +296,6 @@ def prepare_corpus(
         docs = docs.join(kept_ids, "doc_id", "left_semi")
         docs = note("lang_kept", docs)
 
-    if content_blocklist is not None:
-        from ..operators.text_analysis import filter_content_blockwords
-
-        # the C4 page-level bad-words cut: row-local pure expression,
-        # so it belongs in the cheap prefix before anything shuffles
-        docs = note(
-            "blockword_kept",
-            filter_content_blockwords(
-                docs, "text", content_blocklist, content_blocklist_max_hits
-            ),
-        )
 
     # the observed frame MUST flow into the plan (a dangling observe
     # node never executes, and its Observation.get would block forever)
@@ -828,6 +831,8 @@ def prepare_corpus(
             "near_dup": near_dup,
             "simhash_max_hamming": simhash_max_hamming,
             "embedding_threshold": embedding_threshold,
+            "semantic_k": semantic_k,
+            "semantic_max_cluster_size": semantic_max_cluster_size,
             "jaccard_threshold": jaccard_threshold,
             "max_bucket_size": max_bucket_size,
             "chunk_size": chunk_size,

@@ -13,24 +13,51 @@ from open_data_pipelines_spark.operators.text_analysis import (
 WORDS = ("casino", "jackpot", "xxx")
 
 
-def test_hits_exact_token_match(spark):
+def test_hits_boundary_match(spark):
     rows = [
         (1, "visit the Casino tonight jackpot JACKPOT"),  # 3 hits (lowered)
         (2, "essex sussex middlesex"),  # substring must NOT hit
         (3, "clean text entirely"),
         (4, ""),
         (5, None),
+        # the round-12 review cases: punctuation-adjacent occurrences
+        # are the DOMINANT prose position and must count
+        (6, "win at the casino."),
+        (7, "(casino), jackpot! casino?"),
+        (8, "casino7 casinoroyale"),  # letter/digit-run interior: no hit
     ]
     df = spark.createDataFrame(rows, "i int, t string")
     got = {r.i: r.h for r in df.select("i", blockword_hits("t", WORDS).alias("h")).collect()}
-    assert got == {1: 3, 2: 0, 3: 0, 4: 0, 5: 0}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 0, 5: 0, 6: 1, 7: 3, 8: 0}
+
+
+def test_multiword_phrases(spark):
+    df = spark.createDataFrame(
+        [(1, "some hard core content"), (2, "hard  core, spaced."),
+         (3, "hardcore fused"), (4, "hard corely suffixed")],
+        "i int, t string",
+    )
+    got = {
+        r.i: r.h
+        for r in df.select("i", blockword_hits("t", ("hard core",)).alias("h")).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0}
+    import pytest as _pytest
+
+    from open_data_pipelines_spark.operators.text_analysis import (
+        filter_content_blockwords,
+    )
+
+    with _pytest.raises(ValueError, match="single-word"):
+        filter_content_blockwords(df, "t", ("hard core",), id_col="i", mode="join")
 
 
 def test_filter_modes_agree(spark):
     import random
 
     rng = random.Random(4)
-    vocab = ["alpha", "beta", "casino", "gamma", "xxx", "delta"]
+    vocab = ["alpha", "beta", "casino", "gamma", "xxx", "delta",
+             "casino.", "(xxx)", "jackpot!"]  # punctuation-adjacent forms
     rows = [
         (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
         for i in range(300)
