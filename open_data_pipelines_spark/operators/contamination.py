@@ -184,8 +184,8 @@ def embedding_contamination(
     bench_vec_col: str | None = None,
     bench_id_col: str = "bench_id",
     threshold: float = 0.95,
-    planes: int = 8,
-    tables: int = 32,
+    planes: int = 16,
+    tables: int = 8,
     seed: int = 42,
     exact: bool = False,
 ) -> DataFrame:
@@ -204,7 +204,16 @@ def embedding_contamination(
     ids live in different namespaces, so equal values are legitimate
     pairs (the reason this does not reuse rp_lsh_candidates
     verbatim). Recall is the standard multi-table LSH curve
-    (1-(1-p^planes)^tables); ``exact=True`` swaps in the brute-force
+    (1-(1-p^planes)^tables). Defaults (planes=16, tables=8) are tuned
+    for DECONTAMINATION-grade thresholds, not the generic
+    rp_lsh_candidates regime: a 0.95+-cosine twin has per-plane
+    agreement p ~ 0.9, so 16 planes keep recall >= ~0.9998 while
+    unrelated pairs collide at ~(0.5^16)*8 ~ 1e-4 — the measured
+    difference between a real pruning and a near-cross-product
+    (STRESS.md round 12: planes=8/tables=32 left 12M of 100M pairs
+    standing and ran SLOWER than brute force at 50k x 2k; lower the
+    planes only if the threshold drops well below 0.9).
+    ``exact=True`` swaps in the brute-force
     broadcast cross product — the oracle form for tests and small
     benches, quadratic in |bench| x |docs|, never the 100 TB path.
     """

@@ -1185,6 +1185,98 @@ def media_band_index_scenario(
     print(json.dumps({"scenario": "media_band_index", "batch_n": batch_n, "sizes": results}))
 
 
+def semantic_decon_scenario(sizes=(50_000, 200_000, 800_000), bench_n=2_000) -> None:
+    """Does embedding decontamination stay row-linear as the CORPUS
+    grows with a FIXED benchmark? Synthetic unit vectors in pure
+    expressions (dim 32, xxhash64-derived, no driver data); 1%% of
+    each corpus is a planted near-copy of a benchmark vector (tiny
+    one-axis nudge). The numbers to pin: LSH probe cost ~linear in
+    corpus rows (the bench side is a constant broadcast; banding
+    explodes only ids), recall = every planted twin flagged at every
+    size, and the exact cross-product alternative growing
+    corpus-linearly with a |bench|x multiplier that makes it the
+    wrong default long before these sizes."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.contamination import (
+        embedding_contamination,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-semantic-decon")
+    spark.sparkContext.setLogLevel("ERROR")
+    DIM = 32
+
+    def unit_vec(seed_col, salt):
+        comps = F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(seed_col, F.lit(salt), F.lit(i)), F.lit(2001))
+                    - F.lit(1000)
+                ).cast("double")
+                for i in range(DIM)
+            ]
+        )
+        norm = F.sqrt(F.aggregate(comps, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(comps, lambda x: x / norm)
+
+    bench = spark.range(bench_n).select(
+        F.col("id").alias("bench_id"), unit_vec(F.col("id"), "bench").alias("embedding")
+    ).localCheckpoint()
+
+    results = {}
+    for n in sizes:
+        # 1% planted twins: same base vector as bench_id = id % bench_n,
+        # nudged by renormalizing after a tiny first-axis bump
+        is_twin = F.pmod(F.col("id"), F.lit(100)) == 0
+        base_vec = F.when(
+            is_twin, unit_vec(F.pmod(F.col("id"), F.lit(bench_n)), "bench")
+        ).otherwise(unit_vec(F.col("id"), "corpus"))
+        nudged = F.when(
+            is_twin,
+            F.transform(
+                base_vec, lambda x, i: x + F.when(i == 0, F.lit(1e-3)).otherwise(F.lit(0.0))
+            ),
+        ).otherwise(base_vec)
+        corpus = spark.range(n).select(
+            F.col("id").alias("vec_id"), nudged.alias("embedding")
+        ).localCheckpoint()
+        try:
+            def probe() -> float:
+                t0 = time.perf_counter()
+                embedding_contamination(
+                    corpus, bench, threshold=0.999
+                ).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            probe()
+            sec = statistics.median(probe() for _ in range(3))
+            flagged = (
+                embedding_contamination(corpus, bench, threshold=0.999)
+                .select("vec_id").distinct().count()
+            )
+            planted = n // 100
+            results[n] = {
+                "lsh_sec": round(sec, 3),
+                "us_per_row": round(sec * 1e6 / n, 2),
+                "flagged": flagged,
+                "planted": planted,
+            }
+            if n == sizes[0]:
+                t0 = time.perf_counter()
+                embedding_contamination(
+                    corpus, bench, threshold=0.999, exact=True
+                ).write.format("noop").mode("overwrite").save()
+                results[n]["exact_sec"] = round(time.perf_counter() - t0, 3)
+        finally:
+            corpus.unpersist()
+        print(json.dumps({"n": n, **results[n]}))
+
+    print(json.dumps({"scenario": "semantic_decon", "bench_n": bench_n, "sizes": results}, indent=2))
+
+
 def lang_classifier_scenario(sizes=(100_000, 400_000, 1_600_000)) -> None:
     """Does trained-langid scoring scale linearly in corpus rows with
     a FIXED broadcast model? The multilingual corpus is synthesized in
@@ -1347,6 +1439,9 @@ def main() -> None:
         return
     if "--lang-classifier" in sys.argv:
         lang_classifier_scenario()
+        return
+    if "--semantic-decon" in sys.argv:
+        semantic_decon_scenario()
         return
     if "--substring" in sys.argv:
         substring_scenario()
