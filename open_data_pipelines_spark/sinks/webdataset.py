@@ -1,0 +1,173 @@
+"""WebDataset-style tar-shard sink (engine extension): the standard
+packaging for multimodal training data — a directory of ``.tar``
+shards, each holding samples as adjacent members that share a key
+(``<key>.txt``, ``<key>.jpg``, ``<key>.json``), streamed sequentially
+by the training loader (webdataset / torchdata tar readers).
+
+Scale shape: ONE hash repartition assigns every sample to its shard,
+each executor task writes exactly one tar (append-only sequential
+I/O, no driver data, no shuffle beyond the assignment), and the
+per-shard stats ride back as the ``mapInPandas`` output — the only
+thing collected is one row per shard for the manifest.
+
+Determinism: samples sort by key within the shard, tar metadata is
+zeroed (mtime/uid/gid/mode pinned), so the same frame writes
+BYTE-IDENTICAL shards on every run — shards can be content-hashed,
+diffed and cached like any other artifact (test-pinned by sha256
+equality across two writes).
+
+Atomicity: each shard writes to a ``.tmp`` name and renames into
+place; the manifest (with per-shard sample counts, byte sizes and
+sha256) is written LAST and is the publish marker — a reader that
+requires the manifest never sees a torn directory (the same
+marker-last discipline as ``operators/index_commit.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_webdataset"]
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    members: dict[str, str],
+    n_shards: int = 16,
+    prefix: str = "shard",
+) -> dict:
+    """Write ``df`` as ``n_shards`` WebDataset tar shards under
+    ``out_dir``; returns the manifest dict (also written as
+    ``manifest.json``, last).
+
+    ``members`` maps column name -> member extension, e.g.
+    ``{"text": "txt", "image": "jpg", "meta": "json"}``. String
+    columns encode UTF-8; binary columns write raw; NULL member
+    values are skipped (sample keeps its other members). Keys must
+    be unique strings (or castable) — duplicate keys raise, since
+    loaders group adjacent same-key members into one sample."""
+    if not members:
+        raise ValueError("members must map at least one column to an extension")
+    missing = [c for c in [key_col, *members] if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+
+    cols = [F.col(key_col).cast("string").alias("__key")] + [
+        F.col(c).alias(c) for c in members
+    ]
+    shard = F.pmod(F.xxhash64(F.col("__key")), F.lit(n_shards)).cast("int")
+    prepped = (
+        df.select(*cols)
+        .withColumn("__shard", shard)
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__key")
+    )
+
+    member_items = list(members.items())
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(batches) -> Iterator:
+        import hashlib
+        import io
+        import tarfile
+        import uuid
+
+        import pandas as pd
+
+        # one partition may carry several shard ids (hash partitioning
+        # is not identity) — group and write one tar per shard id
+        open_tars: dict[int, tuple] = {}  # sid -> (tmp_path, tarfile, counter)
+        seen_keys: set = set()
+
+        def tar_for(sid: int):
+            ent = open_tars.get(sid)
+            if ent is None:
+                tmp = os.path.join(out_dir, f".{prefix}-{sid:05d}.{uuid.uuid4().hex}.tmp")
+                ent = (tmp, tarfile.open(tmp, "w"), [0])
+                open_tars[sid] = ent
+            return ent
+
+        for pdf in batches:
+            # positional tuples: itertuples would RENAME the
+            # underscore-leading __key/__shard fields
+            pos = {c: i for i, c in enumerate(pdf.columns)}
+            k_i, s_i = pos["__key"], pos["__shard"]
+            m_pos = [(pos[col], ext) for col, ext in member_items]
+            for row in pdf.itertuples(index=False, name=None):
+                key = row[k_i]
+                if key is None:
+                    raise ValueError("NULL key in webdataset write")
+                if key in seen_keys:
+                    raise ValueError(f"duplicate key in webdataset write: {key!r}")
+                seen_keys.add(key)
+                _, tf, counter = tar_for(row[s_i])
+                for col_i, ext in m_pos:
+                    val = row[col_i]
+                    if val is None or (isinstance(val, float) and pd.isna(val)):
+                        continue
+                    data = val if isinstance(val, (bytes, bytearray)) else str(val).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    tf.addfile(info, io.BytesIO(bytes(data)))
+                counter[0] += 1
+
+        out_rows = []
+        for sid, (tmp, tf, counter) in open_tars.items():
+            tf.close()
+            final = os.path.join(out_dir, f"{prefix}-{sid:05d}.tar")
+            h = hashlib.sha256()
+            with open(tmp, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            os.replace(tmp, final)  # atomic publish of the shard
+            out_rows.append(
+                (sid, os.path.basename(final), counter[0],
+                 os.path.getsize(final), h.hexdigest())
+            )
+        yield pd.DataFrame(
+            out_rows, columns=["shard", "path", "n_samples", "bytes", "sha256"]
+        )
+
+    stats = prepped.mapInPandas(
+        write_partition,
+        "shard int, path string, n_samples long, bytes long, sha256 string",
+    ).collect()
+
+    shards = sorted(
+        (
+            {
+                "shard": r.shard,
+                "path": r.path,
+                "n_samples": r.n_samples,
+                "bytes": r.bytes,
+                "sha256": r.sha256,
+            }
+            for r in stats
+        ),
+        key=lambda d: d["shard"],
+    )
+    manifest = {
+        "format": "webdataset",
+        "key_col": key_col,
+        "members": dict(members),
+        "n_shards": n_shards,
+        "n_samples": sum(s["n_samples"] for s in shards),
+        "shards": shards,
+    }
+    # marker-last: the manifest IS the publish
+    tmp = os.path.join(out_dir, ".manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest

@@ -1,0 +1,107 @@
+"""WebDataset tar-shard sink: read-back fidelity, byte determinism,
+manifest publish discipline, duplicate/NULL-key fail-loud."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_pipelines_spark.session import load_tables
+from open_data_pipelines_spark.sinks.webdataset import write_webdataset
+from tests.conftest import SF_SMOKE
+
+
+def _frame(spark):
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"].limit(120)
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("sample_key"),
+        "text",
+        F.to_json(F.struct("lang", "source")).alias("meta"),
+        # a binary member: deterministic fake image bytes
+        F.encode(F.concat(F.lit("IMG"), F.col("text").substr(1, 16)), "UTF-8").alias("img"),
+    )
+
+
+def _read_all(out_dir):
+    samples: dict[str, dict[str, bytes]] = {}
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    for shard in manifest["shards"]:
+        with tarfile.open(os.path.join(out_dir, shard["path"])) as tf:
+            for m in tf.getmembers():
+                key, ext = m.name.rsplit(".", 1)
+                samples.setdefault(key, {})[ext] = tf.extractfile(m).read()
+    return manifest, samples
+
+
+def test_round_trip_and_manifest(spark, tmp_path):
+    frame = _frame(spark)
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        frame, out, "sample_key", {"text": "txt", "meta": "json", "img": "jpg"},
+        n_shards=7,
+    )
+    got_manifest, samples = _read_all(out)
+    assert got_manifest == manifest
+    rows = frame.collect()
+    assert manifest["n_samples"] == len(rows) == len(samples)
+    for r in rows:
+        s = samples[r.sample_key]
+        assert s["txt"].decode("utf-8") == r.text
+        assert json.loads(s["json"]) == json.loads(r.meta)
+        assert s["jpg"] == bytes(r.img)
+    # every shard accounted, sizes/sha match the files on disk
+    assert len(manifest["shards"]) <= 7
+    for sh in manifest["shards"]:
+        p = os.path.join(out, sh["path"])
+        assert os.path.getsize(p) == sh["bytes"]
+        assert hashlib.sha256(open(p, "rb").read()).hexdigest() == sh["sha256"]
+    # no tmp residue
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_byte_determinism_across_runs_and_partitionings(spark, tmp_path):
+    frame = _frame(spark)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    ma = write_webdataset(frame, a, "sample_key", {"text": "txt"}, n_shards=5)
+    mb = write_webdataset(
+        frame.repartition(13), b, "sample_key", {"text": "txt"}, n_shards=5
+    )
+    assert {s["shard"]: s["sha256"] for s in ma["shards"]} == {
+        s["shard"]: s["sha256"] for s in mb["shards"]
+    }
+    for s in ma["shards"]:
+        assert open(os.path.join(a, s["path"]), "rb").read() == open(
+            os.path.join(b, s["path"]), "rb"
+        ).read()
+
+
+def test_null_member_skipped_null_and_dup_keys_raise(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("k1", "text one", None), ("k2", None, b"\x00\x01")],
+        "sample_key string, text string, img binary",
+    )
+    out = str(tmp_path / "ok")
+    write_webdataset(df, out, "sample_key", {"text": "txt", "img": "bin"}, n_shards=2)
+    _, samples = _read_all(out)
+    assert set(samples["k1"]) == {"txt"} and set(samples["k2"]) == {"bin"}
+
+    dup = spark.createDataFrame(
+        [("k", "a"), ("k", "b")], "sample_key string, text string"
+    )
+    with pytest.raises(Exception, match="duplicate key"):
+        write_webdataset(dup, str(tmp_path / "dup"), "sample_key", {"text": "txt"})
+
+    nul = spark.createDataFrame([(None, "a")], "sample_key string, text string")
+    with pytest.raises(Exception, match="NULL key"):
+        write_webdataset(nul, str(tmp_path / "nul"), "sample_key", {"text": "txt"})
+
+    with pytest.raises(ValueError, match="columns not in frame"):
+        write_webdataset(df, str(tmp_path / "x"), "sample_key", {"nope": "txt"})
+    with pytest.raises(ValueError, match="at least one column"):
+        write_webdataset(df, str(tmp_path / "y"), "sample_key", {})
