@@ -21,6 +21,15 @@ place; the manifest (with per-shard sample counts, byte sizes and
 sha256) is written LAST and is the publish marker — a reader that
 requires the manifest never sees a torn directory (the same
 marker-last discipline as ``operators/index_commit.py``).
+
+Deployment note: executors open ``out_dir`` with plain ``os`` calls,
+so it must be a filesystem EVERY executor sees (shared FS / fuse
+mount — the usual arrangement for tar-shard corpora); an
+object-store variant would stream each tar through the store's
+multipart API instead of rename-publish. ``read_webdataset`` reads
+the manifest on the driver but scans the shards via Spark's
+``binaryFile`` source, which speaks any configured Hadoop
+filesystem.
 """
 
 from __future__ import annotations
@@ -32,7 +41,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_webdataset"]
+__all__ = ["read_webdataset", "write_webdataset"]
 
 
 def write_webdataset(
@@ -171,3 +180,56 @@ def write_webdataset(
         json.dump(manifest, fh, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return manifest
+
+
+def read_webdataset(spark, in_dir: str, members: dict[str, str] | None = None) -> DataFrame:
+    """Read a WebDataset directory back into a DataFrame — one row
+    per sample key, one BINARY column per member extension (decode
+    to string downstream where the member is text). ``members``
+    defaults to the manifest's map; pass it explicitly to read
+    foreign (non-manifest) WebDataset directories.
+
+    Scale shape: shards list via ``binaryFile`` (each task untars ONE
+    shard — memory bounded by shard size, which the writer bounds),
+    members pivot to columns inside the same pass; no shuffle at all
+    unless a sample's members straddle shards, which this writer
+    never produces (keys are hash-assigned whole)."""
+    import pandas as pd
+
+    if members is None:
+        with open(os.path.join(in_dir, "manifest.json")) as fh:
+            members = json.load(fh)["members"]
+    ext_to_col = {ext: col for col, ext in members.items()}
+    out_cols = ["sample_key"] + list(members)
+    schema = "sample_key string, " + ", ".join(f"{c} binary" for c in members)
+
+    shards = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(in_dir, "*.tar"))
+        .select("path", "content")
+    )
+
+    def untar(batches):
+        import io
+        import tarfile
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                samples: dict[str, dict[str, bytes]] = {}
+                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile() or "." not in m.name:
+                            continue
+                        key, ext = m.name.rsplit(".", 1)
+                        col = ext_to_col.get(ext)
+                        if col is not None:
+                            samples.setdefault(key, {})[col] = tf.extractfile(m).read()
+                yield pd.DataFrame(
+                    [
+                        [k] + [vals.get(c) for c in members]
+                        for k, vals in samples.items()
+                    ],
+                    columns=out_cols,
+                )
+
+    return shards.mapInPandas(untar, schema)

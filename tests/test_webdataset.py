@@ -105,3 +105,27 @@ def test_null_member_skipped_null_and_dup_keys_raise(spark, tmp_path):
         write_webdataset(df, str(tmp_path / "x"), "sample_key", {"nope": "txt"})
     with pytest.raises(ValueError, match="at least one column"):
         write_webdataset(df, str(tmp_path / "y"), "sample_key", {})
+
+
+def test_read_back_as_dataframe(spark, tmp_path):
+    frame = _frame(spark)
+    out = str(tmp_path / "rt")
+    write_webdataset(
+        frame, out, "sample_key", {"text": "txt", "meta": "json", "img": "jpg"},
+        n_shards=4,
+    )
+    from open_data_pipelines_spark.sinks.webdataset import read_webdataset
+
+    back = read_webdataset(spark, out)
+    got = {
+        r.sample_key: (bytes(r.text).decode("utf-8"), bytes(r.meta), bytes(r.img))
+        for r in back.collect()
+    }
+    want = {
+        r.sample_key: (r.text, r.meta.encode("utf-8"), bytes(r.img))
+        for r in frame.collect()
+    }
+    assert got == want
+    # no shuffle in the read plan: binaryFile scan -> mapInPandas
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
