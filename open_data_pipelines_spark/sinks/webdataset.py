@@ -51,6 +51,7 @@ def write_webdataset(
     members: dict[str, str],
     n_shards: int = 16,
     prefix: str = "shard",
+    dynamic_members: dict[str, str] | None = None,
 ) -> dict:
     """Write ``df`` as ``n_shards`` WebDataset tar shards under
     ``out_dir``; returns the manifest dict (also written as
@@ -61,15 +62,29 @@ def write_webdataset(
     columns encode UTF-8; binary columns write raw; NULL member
     values are skipped (sample keeps its other members). Keys must
     be unique strings (or castable) — duplicate keys raise, since
-    loaders group adjacent same-key members into one sample."""
-    if not members:
+    loaders group adjacent same-key members into one sample.
+
+    ``dynamic_members`` maps column name -> EXTENSION COLUMN for the
+    multimodal case where the member type varies per row (an image
+    row writes ``<key>.jpg``, an audio row ``<key>.wav`` from the
+    same payload column, with the extension read from e.g. a ``kind``
+    column). Read such datasets back with ``read_webdataset(...,
+    raw=True)`` (long form) — a fixed ext->column pivot cannot name
+    per-row extensions."""
+    dynamic_members = dynamic_members or {}
+    if not members and not dynamic_members:
         raise ValueError("members must map at least one column to an extension")
-    missing = [c for c in [key_col, *members] if c not in df.columns]
+    needed = [key_col, *members, *dynamic_members, *dynamic_members.values()]
+    missing = [c for c in needed if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
 
+    payload_cols = list(members) + [
+        c for c in dynamic_members if c not in members
+    ]
+    ext_cols = [c for c in dynamic_members.values() if c not in payload_cols]
     cols = [F.col(key_col).cast("string").alias("__key")] + [
-        F.col(c).alias(c) for c in members
+        F.col(c).alias(c) for c in payload_cols + ext_cols
     ]
     shard = F.pmod(F.xxhash64(F.col("__key")), F.lit(n_shards)).cast("int")
     prepped = (
@@ -80,6 +95,7 @@ def write_webdataset(
     )
 
     member_items = list(members.items())
+    dynamic_items = list(dynamic_members.items())
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(batches) -> Iterator:
@@ -109,6 +125,7 @@ def write_webdataset(
             pos = {c: i for i, c in enumerate(pdf.columns)}
             k_i, s_i = pos["__key"], pos["__shard"]
             m_pos = [(pos[col], ext) for col, ext in member_items]
+            d_pos = [(pos[col], pos[ext_col]) for col, ext_col in dynamic_items]
             for row in pdf.itertuples(index=False, name=None):
                 key = row[k_i]
                 if key is None:
@@ -117,11 +134,15 @@ def write_webdataset(
                     raise ValueError(f"duplicate key in webdataset write: {key!r}")
                 seen_keys.add(key)
                 _, tf, counter = tar_for(row[s_i])
-                for col_i, ext in m_pos:
-                    val = row[col_i]
+
+                def emit(ext, val):
                     if val is None or (isinstance(val, float) and pd.isna(val)):
-                        continue
-                    data = val if isinstance(val, (bytes, bytearray)) else str(val).encode("utf-8")
+                        return
+                    data = (
+                        val
+                        if isinstance(val, (bytes, bytearray))
+                        else str(val).encode("utf-8")
+                    )
                     info = tarfile.TarInfo(name=f"{key}.{ext}")
                     info.size = len(data)
                     info.mtime = 0
@@ -129,6 +150,13 @@ def write_webdataset(
                     info.uname = info.gname = ""
                     info.mode = 0o644
                     tf.addfile(info, io.BytesIO(bytes(data)))
+
+                for col_i, ext in m_pos:
+                    emit(ext, row[col_i])
+                for col_i, ext_i in d_pos:
+                    ext = row[ext_i]
+                    if ext:
+                        emit(str(ext), row[col_i])
                 counter[0] += 1
 
         out_rows = []
@@ -170,6 +198,7 @@ def write_webdataset(
         "format": "webdataset",
         "key_col": key_col,
         "members": dict(members),
+        "dynamic_members": dict(dynamic_members),
         "n_shards": n_shards,
         "n_samples": sum(s["n_samples"] for s in shards),
         "shards": shards,
@@ -182,12 +211,19 @@ def write_webdataset(
     return manifest
 
 
-def read_webdataset(spark, in_dir: str, members: dict[str, str] | None = None) -> DataFrame:
+def read_webdataset(
+    spark, in_dir: str, members: dict[str, str] | None = None, raw: bool = False
+) -> DataFrame:
     """Read a WebDataset directory back into a DataFrame — one row
     per sample key, one BINARY column per member extension (decode
     to string downstream where the member is text). ``members``
     defaults to the manifest's map; pass it explicitly to read
     foreign (non-manifest) WebDataset directories.
+
+    ``raw=True`` returns the long form ``(sample_key, ext, content)``
+    — one row per MEMBER, extensions unconstrained; the shape for
+    dynamic-extension (multimodal) datasets whose per-row extensions
+    a fixed ext->column pivot cannot name.
 
     Scale shape: shards list via ``binaryFile`` (each task untars ONE
     shard — memory bounded by shard size, which the writer bounds),
@@ -196,18 +232,41 @@ def read_webdataset(spark, in_dir: str, members: dict[str, str] | None = None) -
     never produces (keys are hash-assigned whole)."""
     import pandas as pd
 
-    if members is None:
+    if members is None and not raw:
         with open(os.path.join(in_dir, "manifest.json")) as fh:
             members = json.load(fh)["members"]
-    ext_to_col = {ext: col for col, ext in members.items()}
-    out_cols = ["sample_key"] + list(members)
-    schema = "sample_key string, " + ", ".join(f"{c} binary" for c in members)
 
     shards = (
         spark.read.format("binaryFile")
         .load(os.path.join(in_dir, "*.tar"))
         .select("path", "content")
     )
+
+    if raw:
+        def untar_raw(batches):
+            import io
+            import tarfile
+
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    out = []
+                    with tarfile.open(fileobj=io.BytesIO(row["content"])) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile() or "." not in m.name:
+                                continue
+                            key, ext = m.name.rsplit(".", 1)
+                            out.append((key, ext, tf.extractfile(m).read()))
+                    yield pd.DataFrame(
+                        out, columns=["sample_key", "ext", "content"]
+                    )
+
+        return shards.mapInPandas(
+            untar_raw, "sample_key string, ext string, content binary"
+        )
+
+    ext_to_col = {ext: col for col, ext in members.items()}
+    out_cols = ["sample_key"] + list(members)
+    schema = "sample_key string, " + ", ".join(f"{c} binary" for c in members)
 
     def untar(batches):
         import io

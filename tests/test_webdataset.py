@@ -129,3 +129,34 @@ def test_read_back_as_dataframe(spark, tmp_path):
     # no shuffle in the read plan: binaryFile scan -> mapInPandas
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dynamic_members_multimodal(spark, tmp_path):
+    """Per-row extensions from a kind column (image rows write .jpg,
+    audio rows .wav from one payload column); read back in raw long
+    form."""
+    rows = [
+        ("m1", "jpg", b"\xff\xd8fakejpeg", "caption one"),
+        ("m2", "wav", b"RIFFfakewav", "caption two"),
+        ("m3", "mp4", b"\x00\x00ftypfake", None),
+        ("m4", None, b"ignored", "caption only"),  # null ext: payload skipped
+    ]
+    df = spark.createDataFrame(rows, "media_id string, kind string, payload binary, caption string")
+    out = str(tmp_path / "mm")
+    manifest = write_webdataset(
+        df, out, "media_id", {"caption": "txt"},
+        dynamic_members={"payload": "kind"}, n_shards=3,
+    )
+    assert manifest["dynamic_members"] == {"payload": "kind"}
+    from open_data_pipelines_spark.sinks.webdataset import read_webdataset
+
+    back = read_webdataset(spark, out, raw=True)
+    got = {(r.sample_key, r.ext): bytes(r.content) for r in back.collect()}
+    assert got == {
+        ("m1", "jpg"): b"\xff\xd8fakejpeg",
+        ("m1", "txt"): b"caption one",
+        ("m2", "wav"): b"RIFFfakewav",
+        ("m2", "txt"): b"caption two",
+        ("m3", "mp4"): b"\x00\x00ftypfake",
+        ("m4", "txt"): b"caption only",
+    }
