@@ -160,3 +160,64 @@ def test_dynamic_members_multimodal(spark, tmp_path):
         ("m3", "mp4"): b"\x00\x00ftypfake",
         ("m4", "txt"): b"caption only",
     }
+
+
+def test_export_media_funnel_output(spark, tmp_path):
+    """Composition: prepare_media_corpus survivors -> WebDataset
+    shards with per-row extensions derived from the media kind."""
+    from open_data_pipelines_spark.plans.media_prep import prepare_media_corpus
+    from open_data_pipelines_spark.queries.media import media_bronze_frame
+    from open_data_pipelines_spark.sinks.webdataset import read_webdataset
+
+    survivors = prepare_media_corpus(
+        media_bronze_frame(spark, SF_SMOKE), max_hamming=2
+    ).filter(F.col("signature").isNotNull())
+    ext = F.when(F.col("kind") == "image", "jpg").when(
+        F.col("kind") == "audio", "wav"
+    ).otherwise("mp4")
+    frame = survivors.select(
+        F.col("media_id").cast("string").alias("media_id"),
+        ext.alias("ext"),
+        # bronze-signed frame carries no payload; export the
+        # signature bytes as a stand-in binary member
+        F.encode(F.col("signature").cast("string"), "UTF-8").alias("payload"),
+        F.to_json(F.struct("kind", "signature")).alias("meta"),
+    )
+    out = str(tmp_path / "media_wds")
+    manifest = write_webdataset(
+        frame, out, "media_id", {"meta": "json"},
+        dynamic_members={"payload": "ext"}, n_shards=4,
+    )
+    n = frame.count()
+    assert manifest["n_samples"] == n
+    back = read_webdataset(spark, out, raw=True)
+    per_key = back.groupBy("sample_key").count().collect()
+    assert len(per_key) == n
+    assert all(r["count"] == 2 for r in per_key)  # payload + meta each
+
+
+def test_export_packed_corpus(spark, tmp_path):
+    """Composition: prepare_corpus packed chunks -> text shards keyed
+    by (split, pack) — the end-to-end 'curate then package' path."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+
+    packed = prepare_corpus(
+        spark, SF_SMOKE, chunk_size=32, overlap=0, near_dup="none",
+        splits=(("train", 0.9), ("val", 0.1)), pack_budget=128,
+    )
+    samples = packed.groupBy("split", "pack_id").agg(
+        F.concat_ws("\n\n", F.collect_list("chunk")).alias("text"),
+        F.sum("pack_tokens").alias("n_tokens"),
+    ).select(
+        F.concat_ws("/", "split", F.col("pack_id").cast("string")).alias("sample_key"),
+        "text",
+        F.to_json(F.struct("split", "n_tokens")).alias("meta"),
+    )
+    out = str(tmp_path / "packed_wds")
+    manifest = write_webdataset(
+        samples, out, "sample_key", {"text": "txt", "meta": "json"}, n_shards=3
+    )
+    assert manifest["n_samples"] == samples.count() > 0
+    _, got = _read_all(out)
+    some_key = next(iter(got))
+    assert got[some_key]["txt"].decode("utf-8")
