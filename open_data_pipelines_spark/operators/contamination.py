@@ -176,6 +176,35 @@ def decontaminate(
     return docs.join(bad, id_col, "left_anti")
 
 
+def lsh_banding_for(
+    threshold: float,
+    target_recall: float = 0.9999,
+    max_planes: int = 32,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(planes, tables) for RP-LSH banding at a cosine ``threshold``:
+    per-plane sign-agreement for a threshold-grade pair is
+    p = 1 - acos(t)/pi; planes are the largest count keeping the
+    per-table collision probability p^planes >= ~0.3 (so a modest
+    table count reaches high recall), tables then satisfy
+    1-(1-p^planes)^tables >= target_recall AT the threshold — pairs
+    above it only do better. Unrelated pairs (p ~ 0.5) collide at
+    ~(0.5^planes)*tables, reported nowhere because it falls out of
+    the same numbers. Examples: t=0.95 -> (11, 25) with unrelated
+    rate ~1.2e-2; t=0.999 -> (32, 10) with ~2e-9."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    planes = min(max_planes, max(4, int(math.log(0.3) / math.log(p))))
+    per_table = p ** planes
+    tables = min(
+        max_tables, max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table)))
+    )
+    return planes, tables
+
+
 def embedding_contamination(
     doc_vecs: DataFrame,
     bench_vecs: DataFrame,
@@ -184,8 +213,8 @@ def embedding_contamination(
     bench_vec_col: str | None = None,
     bench_id_col: str = "bench_id",
     threshold: float = 0.95,
-    planes: int = 16,
-    tables: int = 8,
+    planes: int | None = None,
+    tables: int | None = None,
     seed: int = 42,
     exact: bool = False,
 ) -> DataFrame:
@@ -203,21 +232,28 @@ def embedding_contamination(
     rescore with exact cosine. No self-pair filter — doc and bench
     ids live in different namespaces, so equal values are legitimate
     pairs (the reason this does not reuse rp_lsh_candidates
-    verbatim). Recall is the standard multi-table LSH curve
-    (1-(1-p^planes)^tables). Defaults (planes=16, tables=8) are tuned
-    for DECONTAMINATION-grade thresholds, not the generic
-    rp_lsh_candidates regime: a 0.95+-cosine twin has per-plane
-    agreement p ~ 0.9, so 16 planes keep recall >= ~0.9998 while
-    unrelated pairs collide at ~(0.5^16)*8 ~ 1e-4 — the measured
-    difference between a real pruning and a near-cross-product
-    (STRESS.md round 12: planes=8/tables=32 left 12M of 100M pairs
-    standing and ran SLOWER than brute force at 50k x 2k; lower the
-    planes only if the threshold drops well below 0.9).
+    verbatim). Banding parameters are a function of the TARGET
+    SIMILARITY: by default they are DERIVED from ``threshold``
+    (:func:`lsh_banding_for` — planes sized so a threshold-grade
+    twin keeps per-table collision probability >= ~0.3, tables sized
+    for >= 0.9999 per-pair recall at exactly the threshold), because
+    no fixed pair works across regimes — the generic planes=8/
+    tables=32 left 12M of 100M unrelated pairs standing at a 0.999
+    threshold (slower than brute force), while a hand-tuned
+    planes=16/tables=8 silently dropped recall to ~0.80 at
+    threshold 0.95 (both measured/caught in round 12, STRESS.md).
+    Pass ``planes``/``tables`` explicitly only with the curve
+    1-(1-p^planes)^tables in hand.
     ``exact=True`` swaps in the brute-force
     broadcast cross product — the oracle form for tests and small
     benches, quadratic in |bench| x |docs|, never the 100 TB path.
     """
     from .similarity import cosine, rp_lsh_buckets
+
+    if planes is None or tables is None:
+        d_planes, d_tables = lsh_banding_for(threshold)
+        planes = d_planes if planes is None else planes
+        tables = d_tables if tables is None else tables
 
     bvec = bench_vec_col or vec_col
     bench_side = bench_vecs.select(

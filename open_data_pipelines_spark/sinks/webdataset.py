@@ -22,6 +22,13 @@ sha256) is written LAST and is the publish marker — a reader that
 requires the manifest never sees a torn directory (the same
 marker-last discipline as ``operators/index_commit.py``).
 
+Sizing note: shard byte size is ``~ total_bytes / n_shards`` —
+n_shards is the CALLER's lever and nothing here splits an oversized
+shard; size it so shards land in the loader-friendly 100 MB-1 GB
+band (and strictly under 2 GB: the reader materializes one shard per
+task via ``binaryFile``, which is hard-capped by the JVM byte-array
+limit).
+
 Deployment note: executors open ``out_dir`` with plain ``os`` calls,
 so it must be a filesystem EVERY executor sees (shared FS / fuse
 mount — the usual arrangement for tar-shard corpora); an
@@ -78,6 +85,18 @@ def write_webdataset(
     missing = [c for c in needed if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
+    exts = list(members.values())
+    if len(set(exts)) != len(exts):
+        raise ValueError(f"duplicate member extensions: {sorted(exts)}")
+    if os.path.exists(os.path.join(out_dir, "manifest.json")):
+        # in-place rewrite would replace shards one-by-one under the
+        # OLD manifest — a torn directory behind a valid-looking
+        # marker (round-12 review). Fresh generation dirs only, the
+        # index_commit discipline this module cites.
+        raise ValueError(
+            f"{out_dir} is already a published webdataset; "
+            "write each run to a fresh directory"
+        )
 
     payload_cols = list(members) + [
         c for c in dynamic_members if c not in members
@@ -119,6 +138,22 @@ def write_webdataset(
                 open_tars[sid] = ent
             return ent
 
+        def emit(tf, key, ext, val) -> bool:
+            if val is None or (isinstance(val, float) and pd.isna(val)):
+                return False
+            if isinstance(val, (bytes, bytearray)):
+                data = val if isinstance(val, bytes) else bytes(val)
+            else:
+                data = str(val).encode("utf-8")
+            info = tarfile.TarInfo(name=f"{key}.{ext}")
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+            return True
+
         for pdf in batches:
             # positional tuples: itertuples would RENAME the
             # underscore-leading __key/__shard fields
@@ -134,30 +169,29 @@ def write_webdataset(
                     raise ValueError(f"duplicate key in webdataset write: {key!r}")
                 seen_keys.add(key)
                 _, tf, counter = tar_for(row[s_i])
-
-                def emit(ext, val):
-                    if val is None or (isinstance(val, float) and pd.isna(val)):
-                        return
-                    data = (
-                        val
-                        if isinstance(val, (bytes, bytearray))
-                        else str(val).encode("utf-8")
-                    )
-                    info = tarfile.TarInfo(name=f"{key}.{ext}")
-                    info.size = len(data)
-                    info.mtime = 0
-                    info.uid = info.gid = 0
-                    info.uname = info.gname = ""
-                    info.mode = 0o644
-                    tf.addfile(info, io.BytesIO(bytes(data)))
-
+                row_exts = set()
+                wrote = False
                 for col_i, ext in m_pos:
-                    emit(ext, row[col_i])
+                    if emit(tf, key, ext, row[col_i]):
+                        row_exts.add(ext)
+                        wrote = True
                 for col_i, ext_i in d_pos:
                     ext = row[ext_i]
-                    if ext:
-                        emit(str(ext), row[col_i])
-                counter[0] += 1
+                    if not ext:
+                        continue
+                    ext = str(ext)
+                    if ext in row_exts:
+                        raise ValueError(
+                            f"member extension collision for key {key!r}: {ext!r}"
+                        )
+                    if emit(tf, key, ext, row[col_i]):
+                        row_exts.add(ext)
+                        wrote = True
+                # a row with no members is NOT a sample: counting it
+                # would make manifest n_samples disagree with what any
+                # loader yields (round-12 review)
+                if wrote:
+                    counter[0] += 1
 
         out_rows = []
         for sid, (tmp, tf, counter) in open_tars.items():
@@ -225,22 +259,45 @@ def read_webdataset(
     dynamic-extension (multimodal) datasets whose per-row extensions
     a fixed ext->column pivot cannot name.
 
-    Scale shape: shards list via ``binaryFile`` (each task untars ONE
-    shard — memory bounded by shard size, which the writer bounds),
-    members pivot to columns inside the same pass; no shuffle at all
-    unless a sample's members straddle shards, which this writer
-    never produces (keys are hash-assigned whole)."""
+    Scale shape: the shard LIST comes from the manifest when one
+    exists (a stale tar from an older run in the same directory is
+    never read — the glob fallback only applies to foreign,
+    manifest-less directories in ``raw`` mode); each task untars ONE
+    shard, whose size the WRITER'S caller bounds via n_shards (must
+    stay under the 2 GB binaryFile row limit); members pivot to
+    columns inside the same pass; no shuffle at all unless a
+    sample's members straddle shards, which the writer never
+    produces (keys are hash-assigned whole). An empty published
+    dataset (manifest with zero shards) reads as an empty frame."""
     import pandas as pd
 
+    manifest = None
+    mpath = os.path.join(in_dir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            manifest = json.load(fh)
     if members is None and not raw:
-        with open(os.path.join(in_dir, "manifest.json")) as fh:
-            members = json.load(fh)["members"]
+        if manifest is None:
+            raise ValueError(
+                f"no manifest.json in {in_dir}; pass members= (or raw=True) "
+                "to read a foreign webdataset directory"
+            )
+        members = manifest["members"]
 
-    shards = (
-        spark.read.format("binaryFile")
-        .load(os.path.join(in_dir, "*.tar"))
-        .select("path", "content")
-    )
+    if manifest is not None:
+        paths = [os.path.join(in_dir, sh["path"]) for sh in manifest["shards"]]
+        if not paths:
+            schema = (
+                "sample_key string, ext string, content binary"
+                if raw
+                else "sample_key string, "
+                + ", ".join(f"{c} binary" for c in members)
+            )
+            return spark.createDataFrame([], schema)
+        loader = spark.read.format("binaryFile").load(paths)
+    else:
+        loader = spark.read.format("binaryFile").load(os.path.join(in_dir, "*.tar"))
+    shards = loader.select("path", "content")
 
     if raw:
         def untar_raw(batches):

@@ -179,10 +179,11 @@ def test_embedding_contamination_exact_flags_twins(spark):
 
 
 def test_embedding_contamination_lsh_matches_exact_at_high_sim(spark):
-    """The LSH path must flag every >=0.99 pair the exact path flags
-    (p ~ 1 - angle/pi ~= 0.997 at cosine 0.99: per-pair miss
-    probability (1-p^8)^32 < 1e-20 — recall is not the variable
-    here), and never flag a pair exact rejects (rescore is exact)."""
+    """The LSH path must flag every pair the exact path flags at
+    this threshold (banding is DERIVED from the threshold for
+    >= 0.9999 per-pair recall at the threshold itself — the planted
+    twins sit far above it, so expected misses here are ~0), and
+    never flag a pair exact rejects (rescore is exact)."""
     from open_data_pipelines_spark.operators.contamination import (
         embedding_contamination,
     )
@@ -269,3 +270,49 @@ def test_funnel_semantic_decon_stage(spark):
 
     with _pytest.raises(ValueError, match="needs embeddings"):
         prepare_corpus(spark, SF_SMOKE, benchmark_embeddings=bench, **kw)
+
+
+def test_derived_banding_recall_at_marginal_cosine(spark):
+    """Round-12 review regression: a hand-tuned planes/tables pair
+    silently dropped recall to ~0.80 for twins AT the default 0.95
+    threshold. With threshold-derived banding, twins planted at
+    cosine ~0.955 (barely above threshold — the worst case) must be
+    recovered at >= 99%."""
+    import math
+    import random
+
+    import numpy as np
+
+    from open_data_pipelines_spark.operators.contamination import (
+        embedding_contamination,
+        lsh_banding_for,
+    )
+
+    b, L = lsh_banding_for(0.95)
+    p = 1 - math.acos(0.955) / math.pi
+    assert 1 - (1 - p**b) ** L >= 0.9999  # the curve itself
+
+    rng = np.random.default_rng(7)
+    dim, n = 32, 400
+    bench_vecs = rng.normal(size=(n, dim))
+    bench_vecs /= np.linalg.norm(bench_vecs, axis=1, keepdims=True)
+    a = 0.955
+    twins = []
+    for i, v in enumerate(bench_vecs):
+        u = rng.normal(size=dim)
+        u -= u @ v * v
+        u /= np.linalg.norm(u)
+        twins.append(a * v + math.sqrt(1 - a * a) * u)
+    bench = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(bench_vecs)],
+        "bench_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(twins)],
+        "vec_id long, embedding array<double>",
+    )
+    flagged = {
+        r.vec_id
+        for r in embedding_contamination(corpus, bench, threshold=0.95).collect()
+    }
+    assert len(flagged) >= 0.99 * n, len(flagged)

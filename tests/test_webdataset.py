@@ -221,3 +221,61 @@ def test_export_packed_corpus(spark, tmp_path):
     _, got = _read_all(out)
     some_key = next(iter(got))
     assert got[some_key]["txt"].decode("utf-8")
+
+
+def test_publish_refusal_stale_shards_and_empty_read(spark, tmp_path):
+    """round-12 review: no in-place rewrite of a published dir; the
+    reader trusts the manifest, never a directory glob; an empty
+    published dataset reads as an empty frame."""
+    from open_data_pipelines_spark.sinks.webdataset import read_webdataset
+
+    df = spark.createDataFrame([("k1", "one"), ("k2", "two")], "sample_key string, text string")
+    out = str(tmp_path / "pub")
+    write_webdataset(df, out, "sample_key", {"text": "txt"}, n_shards=2)
+    with pytest.raises(ValueError, match="already a published"):
+        write_webdataset(df, out, "sample_key", {"text": "txt"})
+
+    # stale tar planted next to the live shards: manifest-driven read
+    # must ignore it
+    with open(os.path.join(out, "shard-99999.tar"), "wb") as fh:
+        import io as _io
+        import tarfile as _tarfile
+
+        with _tarfile.open(fileobj=fh, mode="w") as tf:
+            data = b"stale"
+            info = _tarfile.TarInfo("zz.txt")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+    got = {r.sample_key for r in read_webdataset(spark, out).collect()}
+    assert got == {"k1", "k2"}
+
+    empty = spark.createDataFrame([], "sample_key string, text string")
+    eout = str(tmp_path / "empty")
+    m = write_webdataset(empty, eout, "sample_key", {"text": "txt"}, n_shards=4)
+    assert m["n_samples"] == 0 and m["shards"] == []
+    assert read_webdataset(spark, eout).count() == 0
+    assert read_webdataset(spark, eout, raw=True).count() == 0
+
+
+def test_ext_validation_and_all_null_rows(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("k1", "a", "b")], "sample_key string, caption string, summary string"
+    )
+    with pytest.raises(ValueError, match="duplicate member extensions"):
+        write_webdataset(df, str(tmp_path / "d"), "sample_key",
+                         {"caption": "txt", "summary": "txt"})
+
+    # dynamic ext colliding with a fixed ext raises in the worker
+    dyn = spark.createDataFrame(
+        [("k1", "txt", b"x", "cap")], "sample_key string, kind string, payload binary, caption string"
+    )
+    with pytest.raises(Exception, match="extension collision"):
+        write_webdataset(dyn, str(tmp_path / "e"), "sample_key",
+                         {"caption": "txt"}, dynamic_members={"payload": "kind"})
+
+    # a row whose every member is NULL is not a sample
+    nulls = spark.createDataFrame(
+        [("k1", "text"), ("k2", None)], "sample_key string, text string"
+    )
+    m = write_webdataset(nulls, str(tmp_path / "f"), "sample_key", {"text": "txt"})
+    assert m["n_samples"] == 1
