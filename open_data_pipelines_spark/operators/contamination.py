@@ -179,30 +179,39 @@ def decontaminate(
 def lsh_banding_for(
     threshold: float,
     target_recall: float = 0.9999,
-    max_planes: int = 32,
-    max_tables: int = 64,
+    rescore_cost: float = 2000.0,
 ) -> tuple[int, int]:
-    """(planes, tables) for RP-LSH banding at a cosine ``threshold``:
-    per-plane sign-agreement for a threshold-grade pair is
-    p = 1 - acos(t)/pi; planes are the largest count keeping the
-    per-table collision probability p^planes >= ~0.3 (so a modest
-    table count reaches high recall), tables then satisfy
-    1-(1-p^planes)^tables >= target_recall AT the threshold — pairs
-    above it only do better. Unrelated pairs (p ~ 0.5) collide at
-    ~(0.5^planes)*tables, reported nowhere because it falls out of
-    the same numbers. Examples: t=0.95 -> (11, 25) with unrelated
-    rate ~1.2e-2; t=0.999 -> (32, 10) with ~2e-9."""
+    """(planes, tables) minimizing total work for RP-LSH banding at a
+    cosine ``threshold``, subject to per-pair recall >= ``target_recall``
+    AT the threshold (pairs above it only do better).
+
+    Cost model per corpus row: ``planes * tables`` bucket-hash units
+    plus ``unrelated_rate * rescore_cost`` candidate-rescore units,
+    where unrelated_rate ~ (0.5^planes) * tables and rescore_cost is
+    the measured ratio of one exact-cosine rescore (join + dot
+    product) to one plane hash (~2e3 on this engine — STRESS.md round
+    12 measured BOTH failure modes: planes=8/tables=32 drowned in 12M
+    candidates at a 0.999 threshold, 70 s vs 29 s brute force, while
+    planes=32/tables=10 paid 99 s of pure hash-expression work where
+    a (16, 8)-shaped choice ran in 12 s). The search is a 6..20-plane
+    sweep with the recall-minimal table count per plane — exhaustive,
+    deterministic, microseconds. Examples: t=0.999 -> (10, 5);
+    t=0.95 -> (9, 20)."""
     import math
 
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     p = 1.0 - math.acos(threshold) / math.pi
-    planes = min(max_planes, max(4, int(math.log(0.3) / math.log(p))))
-    per_table = p ** planes
-    tables = min(
-        max_tables, max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table)))
-    )
-    return planes, tables
+    best = None
+    for planes in range(6, 21):
+        per_table = p ** planes
+        if per_table >= 1.0:
+            continue
+        tables = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table)))
+        cost = planes * tables + (0.5 ** planes) * tables * rescore_cost
+        if best is None or cost < best[0]:
+            best = (cost, planes, tables)
+    return best[1], best[2]
 
 
 def embedding_contamination(
