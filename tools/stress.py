@@ -1185,6 +1185,72 @@ def media_band_index_scenario(
     print(json.dumps({"scenario": "media_band_index", "batch_n": batch_n, "sizes": results}))
 
 
+def webdataset_scenario(sizes=(100_000, 400_000), n_shards=32) -> None:
+    """Does the tar-shard sink scale linearly in samples? Synthetic
+    ~1 KB text samples generated in pure expressions; each size writes
+    to a fresh directory (the sink refuses published dirs) and reads
+    back via the manifest-driven binaryFile path. The numbers to pin:
+    write wall ~linear in rows (one hash repartition + sequential tar
+    streams), read-back likewise, byte volume conserved."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.session import get_spark
+    from open_data_pipelines_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    spark = get_spark("stress-webdataset")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for n in sizes:
+        frame = spark.range(n).select(
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("sample_key"),
+            F.repeat(
+                F.concat(F.lit("tok"), F.pmod(F.xxhash64("id"), F.lit(997)).cast("string"), F.lit(" ")),
+                F.lit(100),
+            ).alias("text"),
+        ).localCheckpoint()
+        try:
+            def one() -> tuple:
+                d = tempfile.mkdtemp(prefix="wds_stress_")
+                try:
+                    t0 = time.perf_counter()
+                    manifest = write_webdataset(
+                        frame, d, "sample_key", {"text": "txt"}, n_shards=n_shards
+                    )
+                    w = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    n_back = read_webdataset(spark, d).count()
+                    r = time.perf_counter() - t0
+                    assert n_back == manifest["n_samples"] == n
+                    return w, r, sum(s_["bytes"] for s_ in manifest["shards"])
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+
+            one()  # warmup
+            runs = [one() for _ in range(3)]
+            w = statistics.median(x[0] for x in runs)
+            r = statistics.median(x[1] for x in runs)
+            total_bytes = runs[0][2]
+            results[n] = {
+                "write_sec": round(w, 3),
+                "read_sec": round(r, 3),
+                "write_mb_s": round(total_bytes / w / 1e6, 1),
+                "total_mb": round(total_bytes / 1e6, 1),
+            }
+        finally:
+            frame.unpersist()
+        print(json.dumps({"n": n, **results[n]}))
+
+    print(json.dumps({"scenario": "webdataset", "n_shards": n_shards, "sizes": results}, indent=2))
+
+
 def semantic_decon_scenario(sizes=(50_000, 200_000, 800_000), bench_n=2_000) -> None:
     """Does embedding decontamination stay row-linear as the CORPUS
     grows with a FIXED benchmark? Synthetic unit vectors in pure
@@ -1442,6 +1508,9 @@ def main() -> None:
         return
     if "--semantic-decon" in sys.argv:
         semantic_decon_scenario()
+        return
+    if "--webdataset" in sys.argv:
+        webdataset_scenario()
         return
     if "--substring" in sys.argv:
         substring_scenario()
