@@ -216,3 +216,42 @@ def test_multiline_strings(spark):
         fix_mojibake("s").alias("f")
     )
     assert [r.f for r in out.collect()] == [w for _, w in cases]
+
+
+def test_mojibake_round_trip_property(spark):
+    """Hypothesis: for ANY unicode text (no surrogates/sentinel-free),
+    corrupt -> repair recovers the original exactly — subject to the
+    documented ambiguity: texts that are themselves a valid UTF-8
+    byte image with a lead byte (e.g. the literal string 'Ã©') are
+    indistinguishable from mojibake by construction and excluded."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFFF
+        ),
+        max_size=40,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=8))
+    def run(texts):
+        rows = [(i, mojibake(t)) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "i int, s string")
+        got = {r.i: r.f for r in df.select("i", fix_mojibake("s").alias("f")).collect()}
+        for i, t in enumerate(texts):
+            # ambiguity carve-out: the ORIGINAL already looks like a
+            # valid UTF-8 byte image -> the repair (correctly, per the
+            # documented policy) decodes one layer deeper
+            try:
+                ambiguous = any(c >= "\xc2" for c in t) and t.encode(
+                    "latin-1"
+                ).decode("utf-8")
+            except (UnicodeDecodeError, UnicodeEncodeError):
+                ambiguous = False
+            if ambiguous:
+                continue
+            assert got[i] == t, (t, got[i])
+
+    run()
