@@ -420,3 +420,41 @@ def filter_content_blockwords(
         .select(id_col)
     )
     return df.join(bad, id_col, "left_anti")
+
+
+def syllable_count_approx(col: Column | str) -> Column:
+    """Approximate English syllable count: vowel GROUPS per word,
+    minus silent terminal 'e' groups (the '...e ' heuristic), floored
+    at one syllable per word. The standard cheap approximation every
+    readability implementation uses — exact syllabification needs a
+    dictionary, which a 100 TB scan does not get. Pure expressions."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    vowel_groups = F.size(F.regexp_extract_all(c, F.lit("([aeiouy]+)"), 1))
+    # silent e: a word-final 'e' preceded by a non-vowel (so 'see',
+    # 'bee' keep their group; 'make', 'whale' drop one)
+    silent_e = F.size(
+        F.regexp_extract_all(c, F.lit(r"([^aeiouy\s]e)(?=\s|$)"), 1)
+    )
+    words = token_count_ws(c)
+    return F.greatest(vowel_groups - silent_e, words)
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading ease, 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words) — the classic document-difficulty signal
+    educational-quality filters threshold on (higher = easier; ~60-70
+    is plain English). Sentences count by terminal punctuation runs
+    (min 1); NULL for word-less documents. Pure expressions, one
+    pass, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = token_count_ws(c)
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"([.!?]+)"), 1)), F.lit(1)
+    )
+    syllables = syllable_count_approx(c)
+    return F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double")),
+    )

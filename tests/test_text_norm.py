@@ -255,3 +255,47 @@ def test_mojibake_round_trip_property(spark):
             assert got[i] == t, (t, got[i])
 
     run()
+
+
+def test_flesch_matches_python_mirror(spark):
+    """flesch_reading_ease vs an independent Python mirror of the
+    same formula/heuristics, plus sanity ordering: simple prose
+    scores far above polysyllabic academic text."""
+    import re
+
+    from open_data_pipelines_spark.operators.text_analysis import (
+        flesch_reading_ease,
+    )
+
+    texts = [
+        "The cat sat on the mat. It was warm. The sun shone.",
+        "Considerable institutional heterogeneity complicates multilateral "
+        "negotiations regarding international environmental instrumentation.",
+        "See the bee flee. We make whale cake.",
+        "",
+        None,
+        "one",
+    ]
+
+    def mirror(t):
+        if not t:
+            return None
+        words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t.strip()) if w]
+        if not words:
+            return None
+        low = t.lower()
+        vg = len(re.findall(r"[aeiouy]+", low))
+        se = len(re.findall(r"[^aeiouy\s]e(?=\s|$)", low))
+        syl = max(vg - se, len(words))
+        sent = max(len(re.findall(r"[.!?]+", t)), 1)
+        return 206.835 - 1.015 * (len(words) / sent) - 84.6 * (syl / len(words))
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r.i: r.f for r in df.select("i", flesch_reading_ease("t").alias("f")).collect()}
+    for i, t in enumerate(texts):
+        want = mirror(t)
+        if want is None:
+            assert got[i] is None, (i, got[i])
+        else:
+            assert got[i] == pytest.approx(want, rel=1e-12), (i, t)
+    assert got[0] > got[1] + 40  # simple prose vs academic sludge
