@@ -87,3 +87,22 @@ def test_null_id_raises(spark):
     ok = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(Exception, match="NULL document id"):
         corpus_diff(bad, ok).collect()
+
+
+def test_diff_drives_retraction(spark, versions):
+    """Composition: the removed set from a release diff is exactly a
+    tombstone frame — retracting it from the OLD corpus yields the
+    id set both versions share (the takedown workflow: diff the
+    upstream drop, retract what disappeared)."""
+    from open_data_pipelines_spark.operators.retraction import retract_documents
+
+    old, new = versions
+    removed = (
+        corpus_diff(old, new)
+        .filter(F.col("status") == "removed")
+        .select("doc_id")
+    )
+    kept = retract_documents(old, removed)
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    want = {r.doc_id for r in old.collect()} & {r.doc_id for r in new.collect()}
+    assert got == want
