@@ -36,32 +36,59 @@ def corpus_diff(
     / ``modified`` / ``unchanged``. "Same" means same NORMALIZED
     content fingerprint (``text_analysis.doc_fingerprint`` —
     whitespace/case cosmetics don't count as modification, the exact
-    contract the dedup stages use). NULL ids raise — a diff keyed on
-    NULL would silently merge every keyless doc into one row."""
-    o = old.select(
-        F.col(id_col).alias("__id"), doc_fingerprint(text_col).alias("old_fingerprint")
-    )
-    n = new.select(
-        F.col(id_col).alias("__id"), doc_fingerprint(text_col).alias("new_fingerprint")
-    )
+    contract the dedup stages use); presence comes from join-side
+    markers, never from fingerprint NULLness, so NULL-text documents
+    classify correctly (two NULL texts compare equal — null-safe).
+
+    Input hygiene (the things ad-hoc diff joins get wrong, round-12
+    review): a NULL id raises (the guard rides the JOIN KEY, which no
+    projection can prune away); duplicate ids on a side collapse when
+    their fingerprints agree (exact ingest dups) and RAISE when they
+    conflict — a diff over an id mapping to two different contents
+    has no meaning."""
+
+    def side(df: DataFrame, fp_name: str, mark: str) -> DataFrame:
+        guarded = F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit("NULL document id in corpus_diff input")),
+        ).otherwise(F.col(id_col))
+        # count_distinct ignores NULLs: a NULL-text row next to a
+        # real-text row under one id is ALSO a conflict
+        n_distinct = F.count_distinct(F.col("__fp"))
+        has_null = F.max(F.col("__fp").isNull().cast("int")) == 1
+        conflict = F.when(
+            (n_distinct > 1) | ((n_distinct >= 1) & has_null),
+            F.raise_error(
+                F.lit(
+                    f"duplicate {id_col} with CONFLICTING content in corpus_diff "
+                    f"({mark} side)"
+                )
+            ),
+        ).otherwise(F.min("__fp"))
+        return (
+            df.select(
+                guarded.alias("__id"), doc_fingerprint(text_col).alias("__fp")
+            )
+            .groupBy("__id")
+            .agg(conflict.alias(fp_name), F.lit(True).alias(mark))
+        )
+
+    o = side(old, "old_fingerprint", "in_old")
+    n = side(new, "new_fingerprint", "in_new")
     joined = o.join(n, "__id", "full_outer")
     status = (
-        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
-        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
-        .when(F.col("old_fingerprint") == F.col("new_fingerprint"), F.lit("unchanged"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
+            F.lit("unchanged"),
+        )
         .otherwise(F.lit("modified"))
     )
-    out = joined.select(
+    return joined.select(
         F.col("__id").alias(id_col), status.alias("status"),
         "old_fingerprint", "new_fingerprint",
     )
-    # fail loud on NULL keys rather than emitting a merged junk row;
-    # expression-level guard (raise_error) so no extra action is paid
-    guard = F.when(
-        F.col(id_col).isNull(),
-        F.raise_error(F.lit("NULL document id in corpus_diff input")),
-    ).otherwise(F.col(id_col))
-    return out.withColumn(id_col, guard)
 
 
 def corpus_diff_summary(

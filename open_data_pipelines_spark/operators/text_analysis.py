@@ -423,20 +423,29 @@ def filter_content_blockwords(
 
 
 def syllable_count_approx(col: Column | str) -> Column:
-    """Approximate English syllable count: vowel GROUPS per word,
-    minus silent terminal 'e' groups (the '...e ' heuristic), floored
-    at one syllable per word. The standard cheap approximation every
-    readability implementation uses — exact syllabification needs a
-    dictionary, which a 100 TB scan does not get. Pure expressions."""
+    """Approximate English syllable count, PER WORD then summed:
+    each whitespace token is stripped of edge punctuation, counts its
+    vowel groups, loses one for a silent terminal 'e' (non-vowel +
+    'e' at word end — so 'make'/'cake' drop one but 'see'/'bee'
+    keep theirs), and floors at ONE syllable — vowel-less tokens
+    (numbers, 'xyz', code) contribute their floor instead of being
+    absorbed by other words' groups, and sentence-final words are
+    not overcounted just because a '.' follows them (both round-12
+    review findings). The standard cheap approximation — exact
+    syllabification needs a dictionary a 100 TB scan does not get.
+    Pure expressions (one HOF fold, no UDF)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    vowel_groups = F.size(F.regexp_extract_all(c, F.lit("([aeiouy]+)"), 1))
-    # silent e: a word-final 'e' preceded by a non-vowel (so 'see',
-    # 'bee' keep their group; 'make', 'whale' drop one)
-    silent_e = F.size(
-        F.regexp_extract_all(c, F.lit(r"([^aeiouy\s]e)(?=\s|$)"), 1)
+    toks = tokens_or_empty(c)
+
+    def word_syllables(w: Column) -> Column:
+        clean = F.regexp_replace(w, r"(^[^a-z0-9]+|[^a-z0-9]+$)", "")
+        groups = F.size(F.regexp_extract_all(clean, F.lit("([aeiouy]+)"), 1))
+        silent = clean.rlike("[^aeiouy]e$").cast("int")
+        return F.greatest(groups - silent, F.lit(1))
+
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + word_syllables(w)
     )
-    words = token_count_ws(c)
-    return F.greatest(vowel_groups - silent_e, words)
 
 
 def flesch_reading_ease(col: Column | str) -> Column:

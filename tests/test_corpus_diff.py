@@ -56,7 +56,7 @@ def test_matches_duckdb(spark, versions):
         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                CASE WHEN o.doc_id IS NULL THEN 'added'
                     WHEN n.doc_id IS NULL THEN 'removed'
-                    WHEN ofp = nfp THEN 'unchanged'
+                    WHEN ofp IS NOT DISTINCT FROM nfp THEN 'unchanged'
                     ELSE 'modified' END AS status,
                ofp, nfp
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
@@ -106,3 +106,47 @@ def test_diff_drives_retraction(spark, versions):
     got = {r.doc_id for r in kept.select("doc_id").collect()}
     want = {r.doc_id for r in old.collect()} & {r.doc_id for r in new.collect()}
     assert got == want
+
+
+def test_null_text_and_dup_semantics(spark):
+    from open_data_pipelines_spark.operators.corpus_diff import corpus_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "same"), (3, None), (5, "dup"), (5, "dup")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "now has text"), (2, "same"), (5, "dup")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # presence from markers: NULL-text docs classify correctly
+    assert got == {1: "modified", 2: "unchanged", 3: "removed", 5: "unchanged"}
+
+    # summary path must ALSO hit the NULL-key guard (the round-12
+    # review showed a prunable guard letting it count NULL rows)
+    bad = spark.createDataFrame([(None, "x")], "doc_id int, text string")
+    ok = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(Exception, match="NULL document id"):
+        corpus_diff_summary(bad, ok).collect()
+
+    # conflicting duplicate ids raise; agreeing ones collapsed above
+    conflict = spark.createDataFrame(
+        [(7, "version a"), (7, "version b")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="CONFLICTING"):
+        corpus_diff(conflict, ok).collect()
+
+    # NULL-text + real-text under one id is also a conflict
+    # (count_distinct ignores NULLs — pinned)
+    half_null = spark.createDataFrame(
+        [(8, None), (8, "real")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="CONFLICTING"):
+        corpus_diff(half_null, ok).collect()
+    # all-NULL duplicates agree (collapse, no raise)
+    all_null = spark.createDataFrame(
+        [(9, None), (9, None)], "doc_id int, text string"
+    )
+    got9 = {r.doc_id: r.status for r in corpus_diff(all_null, ok).collect()}
+    assert got9[9] == "removed"
