@@ -375,9 +375,20 @@ def perplexity_buckets(
         )
     if keys:
         # NULL-safe on the lang key: rows with NULL language form
-        # their own cohort and must not vanish through an equi-join
-        cond = scored[by_lang].eqNullSafe(cuts[by_lang])
-        labeled = scored.join(F.broadcast(cuts), cond).drop(cuts[by_lang])
+        # their own cohort and must not vanish through an equi-join.
+        # The cuts side is ALIASED before joining: `cuts` derives from
+        # `scored`, so `scored[by_lang].eqNullSafe(cuts[by_lang])`
+        # resolves both references to the SAME attribute — Spark
+        # rewrites it as a trivially-true predicate (with a warning
+        # today; a silent per-language cross join after any refactor
+        # that drops the self-join disambiguation — round-12 review).
+        # Renaming gives the condition two distinct attributes.
+        cut_lang = "__cut_lang"
+        while cut_lang in scored.columns:
+            cut_lang += "_"
+        cuts_aliased = cuts.withColumnRenamed(by_lang, cut_lang)
+        cond = F.col(by_lang).eqNullSafe(F.col(cut_lang))
+        labeled = scored.join(F.broadcast(cuts_aliased), cond).drop(cut_lang)
     else:
         labeled = scored.crossJoin(F.broadcast(cuts))
     bucket = (

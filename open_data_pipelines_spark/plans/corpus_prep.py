@@ -210,6 +210,19 @@ def prepare_corpus(
         raise ValueError("mix_temperature derives source_weights - pass one, not both")
     if docs is None:
         docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    if embeddings is not None and "doc_id" not in embeddings.columns:
+        # ONE id-column contract for every embedding consumer: the
+        # near-dup backends key on doc_id while semantic decon
+        # defaulted to vec_id, so a caller-supplied frame could never
+        # satisfy both (round-12 advice, reproduced as an
+        # AnalysisException on near_dup='embedding' +
+        # benchmark_embeddings). Normalize once on entry, exactly as
+        # the default-table load does.
+        if "vec_id" not in embeddings.columns:
+            raise ValueError(
+                "embeddings needs a doc_id (or vec_id) column keyed to documents"
+            )
+        embeddings = embeddings.withColumnRenamed("vec_id", "doc_id")
     stats: dict[str, int] = {}
     observations: dict[str, Observation] = {}
 
@@ -621,6 +634,8 @@ def prepare_corpus(
                 surviving,
                 embeddings,
                 benchmark_embeddings,
+                # embeddings was normalized to doc_id on entry
+                vec_id_col="doc_id",
                 threshold=benchmark_embedding_threshold,
             ),
         )

@@ -272,6 +272,53 @@ def test_funnel_semantic_decon_stage(spark):
         prepare_corpus(spark, SF_SMOKE, benchmark_embeddings=bench, **kw)
 
 
+def test_embedding_near_dup_composes_with_semantic_decon(spark):
+    """Round-12 advice (medium): near_dup='embedding' required a
+    (doc_id, embedding) frame while semantic decon defaulted to
+    vec_id, so ONE caller-supplied embeddings frame could not feed
+    both — the combination raised UNRESOLVED_COLUMN. The frame is now
+    normalized to doc_id on entry: the same vec_id-keyed frame must
+    drive the near-dup backend AND the decon stage in one call, and a
+    doc_id-keyed frame must keep working."""
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from open_data_pipelines_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    corpus_vecs, bench = _bench_with_paraphrases(spark)
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" paraphrased rendering zz")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    kw = dict(chunk_size=16, overlap=0, docs=planted)
+    out = prepare_corpus(
+        spark, SF_SMOKE, near_dup="embedding", embeddings=corpus_vecs,
+        benchmark_embeddings=bench, benchmark_embedding_threshold=0.99, **kw
+    )
+    # decon drops every planted twin; the pipeline itself completes
+    # (the old contract conflict died in analysis before any action)
+    assert out.filter(F.col("doc_id") >= 50000).count() == 0
+
+    # doc_id-keyed frames stay first-class
+    dockeyed = corpus_vecs.withColumnRenamed("vec_id", "doc_id")
+    out2 = prepare_corpus(
+        spark, SF_SMOKE, near_dup="embedding", embeddings=dockeyed,
+        benchmark_embeddings=bench, benchmark_embedding_threshold=0.99, **kw
+    )
+    assert out2.filter(F.col("doc_id") >= 50000).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="doc_id .or vec_id."):
+        prepare_corpus(
+            spark, SF_SMOKE, near_dup="embedding",
+            embeddings=corpus_vecs.withColumnRenamed("vec_id", "other_id"),
+            **kw,
+        )
+
+
 def test_derived_banding_recall_at_marginal_cosine(spark):
     """Round-12 review regression: a hand-tuned planes/tables pair
     silently dropped recall to ~0.80 for twins AT the default 0.95

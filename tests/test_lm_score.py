@@ -177,6 +177,31 @@ def test_perplexity_buckets_per_language_cutoffs(spark, lm):
     )
 
 
+def test_bucket_cutoff_join_not_trivially_true(spark, lm, capfd):
+    """Round-12 verdict: `cuts` derives from `scored`, so joining on
+    `scored[lang] <=> cuts[lang]` resolved both sides to one attribute
+    — Spark logged 'Constructing trivially true equals predicate' and
+    any refactor dropping the self-join disambiguation would silently
+    cross-join languages. The cuts side is now aliased: the analyzed
+    plan must carry a real two-attribute condition and the warning
+    must not fire."""
+    from open_data_pipelines_spark.operators.lm_score import perplexity_buckets
+
+    rnd = random.Random(13)
+    docs = spark.createDataFrame(
+        [(i, _sentence(rnd, rnd.randint(15, 40)), ["en", "fr"][i % 2])
+         for i in range(80)],
+        ["doc_id", "text", "lang"],
+    )
+    out = perplexity_buckets(docs, "text", "doc_id", lm, by_lang="lang")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__cut_lang" in plan  # the aliased cutoff key joins the scores
+    out.collect()
+    captured = capfd.readouterr()
+    assert "trivially true" not in captured.err
+    assert "trivially true" not in captured.out
+
+
 def test_funnel_perplexity_bucket_stage(spark, lm):
     """The CCNet bucket form of the funnel's perplexity stage: keeping
     ("head", "middle") drops roughly the worst third per language —
