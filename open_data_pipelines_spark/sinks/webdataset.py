@@ -16,11 +16,26 @@ BYTE-IDENTICAL shards on every run — shards can be content-hashed,
 diffed and cached like any other artifact (test-pinned by sha256
 equality across two writes).
 
-Atomicity: each shard writes to a ``.tmp`` name and renames into
-place; the manifest (with per-shard sample counts, byte sizes and
-sha256) is written LAST and is the publish marker — a reader that
-requires the manifest never sees a torn directory (the same
-marker-last discipline as ``operators/index_commit.py``).
+Filesystem: every byte moves through the filesystem OF THE PATH'S
+SCHEME (round-12 verdict: plain ``os`` calls made the sink
+shared-FS-only). Executors have no JVM gateway, so the scheme
+resolves via ``pyarrow.fs`` — plain paths and ``file://`` hit the
+local FS, ``s3://``/``gs://``/``hdfs://`` hit the corresponding
+store where the pyarrow build carries it. Shard sha256/byte counts
+are computed ON THE WRITE STREAM (no re-read), so they cost nothing
+extra on remote stores.
+
+Atomicity, per filesystem capability: on the local FS each shard
+writes to a ``.tmp`` name and renames into place (the
+``index_commit`` discipline); on object stores the output stream IS
+the commit — a multipart upload is invisible until close, so shards
+write directly to their final names and there is no torn-object
+window. Either way the manifest (with per-shard sample counts, byte
+sizes and sha256) is written LAST and is the publish marker — a
+reader that requires the manifest never sees a torn directory.
+Remaining object-store tuning knob: multipart part size is pyarrow's
+default; very large shards may want the store-specific stream
+options.
 
 Sizing note: shard byte size is ``~ total_bytes / n_shards`` —
 n_shards is the CALLER's lever and nothing here splits an oversized
@@ -28,27 +43,71 @@ shard; size it so shards land in the loader-friendly 100 MB-1 GB
 band (and strictly under 2 GB: the reader materializes one shard per
 task via ``binaryFile``, which is hard-capped by the JVM byte-array
 limit).
-
-Deployment note: executors open ``out_dir`` with plain ``os`` calls,
-so it must be a filesystem EVERY executor sees (shared FS / fuse
-mount — the usual arrangement for tar-shard corpora); an
-object-store variant would stream each tar through the store's
-multipart API instead of rename-publish. ``read_webdataset`` reads
-the manifest on the driver but scans the shards via Spark's
-``binaryFile`` source, which speaks any configured Hadoop
-filesystem.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["read_webdataset", "write_webdataset"]
+
+
+def _fs_and_path(path: str):
+    """(pyarrow FileSystem, in-filesystem path) for ``path``'s own
+    scheme. Executor-safe: Python workers have no py4j gateway, so
+    this is the worker-side analogue of ``index_commit._hadoop_fs``
+    (driver-JVM Hadoop FS) — plain paths and ``file://`` resolve to
+    the local FS, other schemes to pyarrow's store clients."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        fs, p = pafs.FileSystem.from_uri(path)
+        return fs, p
+    return pafs.LocalFileSystem(), path
+
+
+def _exists(fs, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
+class _HashingStream:
+    """File-like tee for tarfile: forwards writes to the underlying
+    pyarrow output stream while folding every byte into sha256 and a
+    byte counter — shard digests come from the write path itself, so
+    no filesystem re-read (which on an object store would be a full
+    GET per shard)."""
+
+    def __init__(self, raw):
+        import hashlib
+
+        self._raw = raw
+        self.sha256 = hashlib.sha256()
+        self.nbytes = 0
+
+    def write(self, data) -> int:
+        b = bytes(data)
+        self.sha256.update(b)
+        self.nbytes += len(b)
+        self._raw.write(b)
+        return len(b)
+
+    def tell(self) -> int:
+        # append-only from offset 0, so bytes-written IS the position
+        # (tarfile reads it once at open to set its base offset)
+        return self.nbytes
+
+    def flush(self) -> None:  # tarfile calls it on close
+        self._raw.flush()
+
+    def close(self) -> None:
+        self._raw.close()
 
 
 def write_webdataset(
@@ -61,15 +120,19 @@ def write_webdataset(
     dynamic_members: dict[str, str] | None = None,
 ) -> dict:
     """Write ``df`` as ``n_shards`` WebDataset tar shards under
-    ``out_dir``; returns the manifest dict (also written as
-    ``manifest.json``, last).
+    ``out_dir`` (any pyarrow-resolvable scheme); returns the manifest
+    dict (also written as ``manifest.json``, last).
 
     ``members`` maps column name -> member extension, e.g.
     ``{"text": "txt", "image": "jpg", "meta": "json"}``. String
     columns encode UTF-8; binary columns write raw; NULL member
-    values are skipped (sample keeps its other members). Keys must
-    be unique strings (or castable) — duplicate keys raise, since
-    loaders group adjacent same-key members into one sample.
+    values are skipped (sample keeps its other members). Keys must be
+    unique strings (or castable) — duplicate keys raise, since
+    loaders group adjacent same-key members into one sample — and
+    must not contain ``.``: the WebDataset convention splits a member
+    name at its FIRST dot (everything after is the extension, which
+    may itself be dotted, e.g. ``seg.png``), so a dotted key could
+    not round-trip (round-12 advice).
 
     ``dynamic_members`` maps column name -> EXTENSION COLUMN for the
     multimodal case where the member type varies per row (an image
@@ -88,7 +151,10 @@ def write_webdataset(
     exts = list(members.values())
     if len(set(exts)) != len(exts):
         raise ValueError(f"duplicate member extensions: {sorted(exts)}")
-    if os.path.exists(os.path.join(out_dir, "manifest.json")):
+
+    fs, base = _fs_and_path(out_dir)
+    base = base.rstrip("/")
+    if _exists(fs, posixpath.join(base, "manifest.json")):
         # in-place rewrite would replace shards one-by-one under the
         # OLD manifest — a torn directory behind a valid-looking
         # marker (round-12 review). Fresh generation dirs only, the
@@ -97,6 +163,7 @@ def write_webdataset(
             f"{out_dir} is already a published webdataset; "
             "write each run to a fresh directory"
         )
+    fs.create_dir(base, recursive=True)
 
     payload_cols = list(members) + [
         c for c in dynamic_members if c not in members
@@ -115,26 +182,39 @@ def write_webdataset(
 
     member_items = list(members.items())
     dynamic_items = list(dynamic_members.items())
-    os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(batches) -> Iterator:
-        import hashlib
         import io
         import tarfile
         import uuid
 
         import pandas as pd
 
+        wfs, wbase = _fs_and_path(out_dir)
+        wbase = wbase.rstrip("/")
+        # local FS: tmp-name + rename publish; object stores: the
+        # multipart stream is invisible until close, so the final
+        # name IS safe and a rename (copy+delete there) would only
+        # add a window, not remove one
+        rename_publish = wfs.type_name == "local"
+
         # one partition may carry several shard ids (hash partitioning
         # is not identity) — group and write one tar per shard id
-        open_tars: dict[int, tuple] = {}  # sid -> (tmp_path, tarfile, counter)
+        open_tars: dict[int, tuple] = {}  # sid -> (tmp, final, stream, tar, ctr)
         seen_keys: set = set()
 
         def tar_for(sid: int):
             ent = open_tars.get(sid)
             if ent is None:
-                tmp = os.path.join(out_dir, f".{prefix}-{sid:05d}.{uuid.uuid4().hex}.tmp")
-                ent = (tmp, tarfile.open(tmp, "w"), [0])
+                final = posixpath.join(wbase, f"{prefix}-{sid:05d}.tar")
+                if rename_publish:
+                    tmp = posixpath.join(
+                        wbase, f".{prefix}-{sid:05d}.{uuid.uuid4().hex}.tmp"
+                    )
+                else:
+                    tmp = final
+                stream = _HashingStream(wfs.open_output_stream(tmp))
+                ent = (tmp, final, stream, tarfile.open(fileobj=stream, mode="w"), [0])
                 open_tars[sid] = ent
             return ent
 
@@ -165,10 +245,15 @@ def write_webdataset(
                 key = row[k_i]
                 if key is None:
                     raise ValueError("NULL key in webdataset write")
+                if "." in key:
+                    raise ValueError(
+                        f"webdataset keys must not contain '.': {key!r} "
+                        "(member names split key/extension at the first dot)"
+                    )
                 if key in seen_keys:
                     raise ValueError(f"duplicate key in webdataset write: {key!r}")
                 seen_keys.add(key)
-                _, tf, counter = tar_for(row[s_i])
+                _, _, _, tf, counter = tar_for(row[s_i])
                 row_exts = set()
                 wrote = False
                 for col_i, ext in m_pos:
@@ -194,17 +279,14 @@ def write_webdataset(
                     counter[0] += 1
 
         out_rows = []
-        for sid, (tmp, tf, counter) in open_tars.items():
-            tf.close()
-            final = os.path.join(out_dir, f"{prefix}-{sid:05d}.tar")
-            h = hashlib.sha256()
-            with open(tmp, "rb") as fh:
-                for chunk in iter(lambda: fh.read(1 << 20), b""):
-                    h.update(chunk)
-            os.replace(tmp, final)  # atomic publish of the shard
+        for sid, (tmp, final, stream, tf, counter) in open_tars.items():
+            tf.close()  # external fileobj: tarfile writes padding, no close
+            stream.close()
+            if rename_publish and tmp != final:
+                wfs.move(tmp, final)  # atomic publish of the shard
             out_rows.append(
-                (sid, os.path.basename(final), counter[0],
-                 os.path.getsize(final), h.hexdigest())
+                (sid, posixpath.basename(final), counter[0],
+                 stream.nbytes, stream.sha256.hexdigest())
             )
         yield pd.DataFrame(
             out_rows, columns=["shard", "path", "n_samples", "bytes", "sha256"]
@@ -237,11 +319,15 @@ def write_webdataset(
         "n_samples": sum(s["n_samples"] for s in shards),
         "shards": shards,
     }
-    # marker-last: the manifest IS the publish
-    tmp = os.path.join(out_dir, ".manifest.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    # marker-last: the manifest IS the publish (tmp+rename on local,
+    # atomic-at-close stream on object stores — same rule as shards)
+    payload = json.dumps(manifest, indent=2, sort_keys=True).encode("utf-8")
+    final = posixpath.join(base, "manifest.json")
+    target = posixpath.join(base, ".manifest.json.tmp") if fs.type_name == "local" else final
+    with fs.open_output_stream(target) as out:
+        out.write(payload)
+    if target != final:
+        fs.move(target, final)
     return manifest
 
 
@@ -257,25 +343,36 @@ def read_webdataset(
     ``raw=True`` returns the long form ``(sample_key, ext, content)``
     — one row per MEMBER, extensions unconstrained; the shape for
     dynamic-extension (multimodal) datasets whose per-row extensions
-    a fixed ext->column pivot cannot name.
+    a fixed ext->column pivot cannot name. A manifest whose fixed
+    ``members`` map is empty (dynamic-members-only dataset) REQUIRES
+    it — the wide form would have no member columns to pivot into
+    (round-12 advice: this used to surface as a malformed-DDL parse
+    error).
+
+    Member names split at the FIRST dot of the full name — the
+    WebDataset loader convention — so foreign shards with multi-part
+    extensions (``x.seg.png``) group with their ``x.txt`` sibling;
+    the writer refuses dotted keys for exactly this reason.
 
     Scale shape: the shard LIST comes from the manifest when one
     exists (a stale tar from an older run in the same directory is
     never read — the glob fallback only applies to foreign,
-    manifest-less directories in ``raw`` mode); each task untars ONE
-    shard, whose size the WRITER'S caller bounds via n_shards (must
-    stay under the 2 GB binaryFile row limit); members pivot to
-    columns inside the same pass; no shuffle at all unless a
-    sample's members straddle shards, which the writer never
-    produces (keys are hash-assigned whole). An empty published
-    dataset (manifest with zero shards) reads as an empty frame."""
+    manifest-less directories); each task untars ONE shard, whose
+    size the WRITER'S caller bounds via n_shards (must stay under the
+    2 GB binaryFile row limit); members pivot to columns inside the
+    same pass; no shuffle at all unless a sample's members straddle
+    shards, which the writer never produces (keys are hash-assigned
+    whole). An empty published dataset (manifest with zero shards)
+    reads as an empty frame."""
     import pandas as pd
 
+    fs, base = _fs_and_path(in_dir)
+    base = base.rstrip("/")
     manifest = None
-    mpath = os.path.join(in_dir, "manifest.json")
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            manifest = json.load(fh)
+    mpath = posixpath.join(base, "manifest.json")
+    if _exists(fs, mpath):
+        with fs.open_input_stream(mpath) as fh:
+            manifest = json.loads(fh.read().decode("utf-8"))
     if members is None and not raw:
         if manifest is None:
             raise ValueError(
@@ -283,9 +380,14 @@ def read_webdataset(
                 "to read a foreign webdataset directory"
             )
         members = manifest["members"]
+    if not members and not raw:
+        raise ValueError(
+            "this webdataset has no fixed members (dynamic extensions only); "
+            "read it with raw=True — the long (sample_key, ext, content) form"
+        )
 
     if manifest is not None:
-        paths = [os.path.join(in_dir, sh["path"]) for sh in manifest["shards"]]
+        paths = [in_dir.rstrip("/") + "/" + sh["path"] for sh in manifest["shards"]]
         if not paths:
             schema = (
                 "sample_key string, ext string, content binary"
@@ -296,7 +398,7 @@ def read_webdataset(
             return spark.createDataFrame([], schema)
         loader = spark.read.format("binaryFile").load(paths)
     else:
-        loader = spark.read.format("binaryFile").load(os.path.join(in_dir, "*.tar"))
+        loader = spark.read.format("binaryFile").load(in_dir.rstrip("/") + "/*.tar")
     shards = loader.select("path", "content")
 
     if raw:
@@ -311,7 +413,7 @@ def read_webdataset(
                         for m in tf.getmembers():
                             if not m.isfile() or "." not in m.name:
                                 continue
-                            key, ext = m.name.rsplit(".", 1)
+                            key, ext = m.name.split(".", 1)
                             out.append((key, ext, tf.extractfile(m).read()))
                     yield pd.DataFrame(
                         out, columns=["sample_key", "ext", "content"]
@@ -336,7 +438,7 @@ def read_webdataset(
                     for m in tf.getmembers():
                         if not m.isfile() or "." not in m.name:
                             continue
-                        key, ext = m.name.rsplit(".", 1)
+                        key, ext = m.name.split(".", 1)
                         col = ext_to_col.get(ext)
                         if col is not None:
                             samples.setdefault(key, {})[col] = tf.extractfile(m).read()
