@@ -235,8 +235,15 @@ def main() -> None:
         "mode": f"steady_state_median{passes}",
     }
 
-    # regression guard: compare against the checked-in round-1 numbers
-    # (only meaningful at the reference's scale factor)
+    # regression guard: compare against the checked-in reference
+    # numbers (only meaningful at the reference's scale factor).
+    # Round 13: ratios are NORMALIZED by the calibration probe before
+    # flagging — this container's ambient load has repeatedly shifted
+    # untouched queries 15-40% between rounds (STRESS.md attribution
+    # entries r8/9/11/12); the fixed-work probe measures exactly that
+    # shift, so ratio/(cal_now/cal_ref) compares code against code.
+    # Both raw and normalized ratios are emitted so a reader can see
+    # the ambient factor at a glance.
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_reference.json")
     regressions: dict[str, dict] = {}
     if os.path.exists(ref_path):
@@ -244,15 +251,34 @@ def main() -> None:
             ref = json.load(fh)
         if sf == ref.get("sf"):
             limit = float(ref.get("ratio_limit", 2.0))
+            ref_cal = ref.get("calibration")
+            cal_ratio = calibration["median"] / ref_cal if ref_cal else 1.0
+            ratios: dict[str, float] = {}
+            ratios_normalized: dict[str, float] = {}
             for name, secs in timings.items():
                 base = ref["queries"].get(name)
-                if base and secs > limit * base:
-                    regressions[name] = {"ref": base, "now": secs, "ratio": round(secs / base, 2)}
+                if not base:
+                    continue
+                raw = secs / base
+                norm = raw / cal_ratio
+                ratios[name] = round(raw, 3)
+                ratios_normalized[name] = round(norm, 3)
+                if norm > limit:
+                    regressions[name] = {
+                        "ref": base,
+                        "now": secs,
+                        "ratio": round(raw, 2),
+                        "ratio_normalized": round(norm, 2),
+                    }
+            result["ratios"] = ratios
+            result["ratios_normalized"] = ratios_normalized
+            result["calibration_ratio"] = round(cal_ratio, 3)
             result["regressions"] = regressions
             for name, r in regressions.items():
                 print(
                     f"BENCH REGRESSION: {name} {r['now']}s vs reference {r['ref']}s "
-                    f"({r['ratio']}x > {limit}x limit)",
+                    f"(raw {r['ratio']}x, normalized {r['ratio_normalized']}x "
+                    f"> {limit}x limit)",
                     file=sys.stderr,
                 )
 

@@ -50,6 +50,21 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the doc rows across the executor cores when the
+    input arrives in FEWER partitions than the cluster can run — the
+    char-n-gram explode is an interpreted HOF (CodegenFallback), so
+    its per-row cost dominates and a single-partition input serializes
+    the whole scoring pass onto one core (measured 5 s -> 0.6 s on the
+    sf0.1 funnel gate). At scale this is a no-op: a 100 TB corpus
+    already arrives in >> defaultParallelism partitions, so the
+    guard never triggers and no corpus-wide shuffle is introduced."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def prep_text(col: Column | str) -> Column:
     """Lowercase + collapse whitespace runs to single spaces + trim —
     the canonical form both training and scoring n-gram over."""
@@ -114,38 +129,43 @@ def fit_lang_classifier(
     n-grams (ties broken by n-gram ascending — deterministic and
     mirrored by the test oracle); add-k smoothing with the unknown
     bucket as one extra vocabulary cell."""
-    prepped = df.select(
-        F.col(label_col).alias("__lbl"), prep_text(text_col).alias("__t")
-    ).filter(F.col("__lbl").isNotNull())
+    prepped = _spread(
+        df.select(
+            F.col(label_col).alias("__lbl"), prep_text(text_col).alias("__t")
+        ).filter(F.col("__lbl").isNotNull())
+    )
 
     grams = prepped.select(
         "__lbl", F.explode(char_ngrams("__t", n)).alias("__g")
     )
     counts = grams.groupBy("__lbl", "__g").agg(F.count(F.lit(1)).alias("__c"))
-    # lazy reuse (repo convention): counts feeds the vocab head AND
-    # the model join — without it the explode+agg runs twice
-    from ..caching import lazy_checkpoint
 
-    counts = lazy_checkpoint(counts)
-
+    # ONE distributed job for vocabulary AND model: the per-gram
+    # per-label counts ride the TakeOrdered head as a collected list
+    # (<= vocab_size rows x n_labels structs — the bpe.train_bpe
+    # driver-head discipline); per-label gram totals fold driver-side
+    # from the same rows. Round 13: this replaces three jobs (counts
+    # checkpoint materialization, vocab head, in-vocab collect).
     vocab_rows = (
         counts.groupBy("__g")
-        .agg(F.sum("__c").alias("__tot"))
+        .agg(
+            F.sum("__c").alias("__tot"),
+            F.collect_list(F.struct("__lbl", "__c")).alias("__per"),
+        )
         .orderBy(F.col("__tot").desc(), F.col("__g").asc())
         .limit(vocab_size)  # TakeOrdered: no global sort materialized
-        .select("__g")
+        .collect()
     )
-
-    in_vocab = counts.join(F.broadcast(vocab_rows), "__g", "inner")
-    label_tot = in_vocab.groupBy("__lbl").agg(F.sum("__c").alias("__n"))
-    # bounded collects: <= vocab_size x n_labels model rows, n_labels
-    # priors — the same driver-head discipline as bpe.train_bpe
-    tot_rows = {r["__lbl"]: r["__n"] for r in label_tot.collect()}
     doc_rows = {
         r["__lbl"]: r["cnt"]
         for r in prepped.groupBy("__lbl").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    model_rows = in_vocab.collect()
+    tot_rows: dict[str, int] = {}
+    gram_counts: dict[tuple[str, str], int] = {}
+    for r in vocab_rows:
+        for e in r["__per"]:
+            gram_counts[(r["__g"], e["__lbl"])] = e["__c"]
+            tot_rows[e["__lbl"]] = tot_rows.get(e["__lbl"], 0) + e["__c"]
 
     labels = tuple(sorted(doc_rows))
     v1 = vocab_size + 1  # +1: the unknown bucket
@@ -154,8 +174,8 @@ def fit_lang_classifier(
     denom = {l: tot_rows.get(l, 0) + smoothing * v1 for l in labels}
     unk = {l: math.log(smoothing / denom[l]) for l in labels}
     table = {
-        (r["__g"], r["__lbl"]): math.log((r["__c"] + smoothing) / denom[r["__lbl"]])
-        for r in model_rows
+        (g, l): math.log((c + smoothing) / denom[l])
+        for (g, l), c in gram_counts.items()
     }
     return LangClassifier(n=n, labels=labels, priors=priors, unk=unk, table=table)
 
@@ -179,10 +199,16 @@ def predict_language(
     input — the form a downstream GATE wants (semi-join on the kept
     ids), skipping the big-big enrichment join entirely.
 
-    Plan shape: per-(doc, ngram) counts (map-side combined) broadcast-
-    joined to the model table, one groupBy(doc, label), one
-    groupBy(doc) whose argmax is max(struct(score, label)) — ties go
-    to the lexicographically larger label, mirrored by the oracle."""
+    Plan shape (round 13 — ONE shuffle): gram occurrences
+    ``explode_outer`` (so zero-gram docs keep a row), LEFT broadcast
+    join to the model table, one ``groupBy(doc)`` whose aggregates
+    pivot per label (conditional sum of matched log-probs + matched
+    count — map-side combined), scores and the argmax computed as
+    pure expressions over the pivoted row:
+    ``greatest(struct(score, label)...)`` — ties go to the
+    lexicographically larger label, mirrored by the oracle. The old
+    shape paid three shuffles (per-(doc,gram) counts, per-(doc,label)
+    mass, a corpus-sized doc x label grid join)."""
     spark = df.sparkSession
 
     # caller-frame temp names derived to avoid collisions (repo
@@ -195,64 +221,52 @@ def predict_language(
         sfx += "_"
     c_t, c_total, c_pred, c_pscore, c_id = (n + sfx for n in fixed)
 
-    # the ONLY cached frame is the slim (id, prepped text, total)
-    # projection — it feeds three consumers (per-gram explode, the
-    # doc x label grid, the und-rule totals), and caching it instead
-    # of the caller's full frame avoids materializing every caller
-    # column plus a second text copy in block storage (round-12
-    # review); the caller's own upstream is scanned once here and
-    # once by the enrich-mode output join (the funnel checkpoints its
-    # docs before calling, so that scan is a cache read there)
-    from ..caching import lazy_checkpoint
-
-    slim = lazy_checkpoint(
-        df.select(F.col(id_col).alias(c_id), prep_text(text_col).alias(c_t)).withColumn(
-            c_total, F.size(char_ngrams(c_t, model.n))
-        )
-    )
-
     model_df = F.broadcast(
         spark.createDataFrame(
             [(g, l, p) for (g, l), p in model.table.items()],
             "__g string, __lbl string, __logp double",
         )
     )
-    labels_df = F.broadcast(
-        spark.createDataFrame(
-            [(l, model.priors[l], model.unk[l]) for l in model.labels],
-            "__lbl string, __prior double, __unk double",
-        )
-    )
 
-    per_gram = (
-        slim.select(c_id, F.explode(char_ngrams(c_t, model.n)).alias("__g"))
-        .groupBy(c_id, "__g")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    matched = (
-        per_gram.join(model_df, "__g", "inner")
-        .groupBy(c_id, "__lbl")
-        .agg(
-            F.sum(F.col("__c") * F.col("__logp")).alias("__m_logp"),
-            F.sum("__c").alias("__m_n"),
+    slim = _spread(
+        df.select(F.col(id_col).alias(c_id), prep_text(text_col).alias(c_t))
+    ).withColumn(c_total, F.size(char_ngrams(c_t, model.n)))
+
+    # one row per gram OCCURRENCE (explode_outer: an empty/short doc
+    # keeps a NULL-gram row, so every doc reaches the aggregation and
+    # the und rule needs no rejoin); the broadcast left join fans a
+    # gram out to its (<= n_labels) model rows, total stays constant
+    # per doc so first() recovers it
+    grams = slim.select(
+        c_id, c_total, F.explode_outer(char_ngrams(c_t, model.n)).alias("__g")
+    ).join(model_df, "__g", "left")
+    aggs = [F.first(c_total).alias(c_total)]
+    for i, lbl in enumerate(model.labels):
+        is_l = F.col("__lbl") == lbl
+        aggs.append(F.sum(F.when(is_l, F.col("__logp"))).alias(f"__m{i}"))
+        aggs.append(F.count(F.when(is_l, F.lit(1))).alias(f"__n{i}"))
+    pivoted = grams.groupBy(c_id).agg(*aggs)
+
+    # score_l = prior_l + matched log-mass + unmatched mass; argmax by
+    # (score, label) exactly like the oracle's max((s, l))
+    score_structs = []
+    for i, lbl in enumerate(model.labels):
+        score = (
+            F.lit(model.priors[lbl])
+            + F.coalesce(F.col(f"__m{i}"), F.lit(0.0))
+            + (F.col(c_total) - F.col(f"__n{i}")) * F.lit(model.unk[lbl])
         )
+        score_structs.append(F.struct(score.alias("s"), F.lit(lbl).alias("l")))
+    best = (
+        F.greatest(*score_structs)
+        if len(score_structs) > 1
+        else score_structs[0]
     )
-    grid = slim.select(c_id, c_total).crossJoin(labels_df)
-    scored = (
-        grid.join(matched, [c_id, "__lbl"], "left")
-        .withColumn(
-            "__score",
-            F.col("__prior")
-            + F.coalesce(F.col("__m_logp"), F.lit(0.0))
-            + (F.col(c_total) - F.coalesce(F.col("__m_n"), F.lit(0))) * F.col("__unk"),
-        )
-        .groupBy(c_id)
-        .agg(F.max(F.struct(F.col("__score"), F.col("__lbl"))).alias("__best"))
-    )
-    best = scored.select(
+    scored = pivoted.select(
         c_id,
-        F.col("__best.__lbl").alias(c_pred),
-        F.col("__best.__score").alias(c_pscore),
+        c_total,
+        best["l"].alias(c_pred),
+        best["s"].alias(c_pscore),
     )
     pred_rule = F.when(F.col(c_total) < min_ngrams, F.lit("und")).otherwise(
         F.coalesce(F.col(c_pred), F.lit("und"))
@@ -264,7 +278,7 @@ def predict_language(
             .otherwise(F.col(c_pscore))
             .alias(score_col)
         )
-    compact = slim.select(c_id, c_total).join(best, c_id, "left").select(*cols)
+    compact = scored.select(*cols)
     if ids_only:
         return compact
     # enrich mode: the requested output names REPLACE same-named

@@ -347,11 +347,26 @@ def blockword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
     alternation — dim-sized lists (LDNOOBW ~400 entries) inline fine;
     for huge lexicons use :func:`filter_content_blockwords` join mode.
     """
-    import re as _re
-
     c = F.col(col) if isinstance(col, str) else col
     if not words:
         return F.lit(0)
+    pattern = (
+        r"(?i)(?<![\p{L}\p{N}])(?:" + blockword_alternation(words) + r")(?![\p{L}\p{N}])"
+    )
+    return F.coalesce(
+        F.regexp_count(c, F.lit(pattern)), F.lit(0)
+    )
+
+
+def blockword_alternation(words: tuple[str, ...]) -> str:
+    """The escaped, whitespace-run-generalized alternation BODY shared
+    by :func:`blockword_hits` and its cross-engine mirrors (the
+    corpus_funnel oracle wraps it in RE2-compatible consuming boundary
+    groups — RE2 has no lookarounds, but for an EXISTENCE gate the
+    consuming form is equivalent). Imported, never retyped: the
+    _PII_PATTERNS discipline."""
+    import re as _re
+
     alts = []
     for w in words:
         # re.escape leaves spaces alone on py3.7+; the replace guards
@@ -359,10 +374,7 @@ def blockword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
         # whitespace run.
         esc = _re.escape(w.strip().lower()).replace("\\ ", " ")
         alts.append(_re.sub(r" +", r"\\s+", esc))
-    pattern = r"(?i)(?<![\p{L}\p{N}])(?:" + "|".join(alts) + r")(?![\p{L}\p{N}])"
-    return F.coalesce(
-        F.regexp_count(c, F.lit(pattern)), F.lit(0)
-    )
+    return "|".join(alts)
 
 
 def filter_content_blockwords(

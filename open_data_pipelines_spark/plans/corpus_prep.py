@@ -308,6 +308,13 @@ def prepare_corpus(
         kept_ids = preds.filter(F.col("pred_lang").isin(*keep_langs)).select("doc_id")
         docs = docs.join(kept_ids, "doc_id", "left_semi")
         docs = note("lang_kept", docs)
+        if with_stats and stats_via == "observe":
+            # without this the lang_kept observation sits UNDER the
+            # boilerplate strip's internal line-explode checkpoint
+            # (RDD materialization bypasses SQL observed-metrics) with
+            # no intervening shuffle — it silently read 0 (round-13
+            # probe); eager-materialize like the branch input above
+            docs = lazy_checkpoint(docs, eager=True)
 
 
     # the observed frame MUST flow into the plan (a dangling observe

@@ -24,7 +24,7 @@ from ..operators.aggregates import (
     percent_rank_over,
 )
 from ..operators.dedup import top1_per_key
-from ..operators.joins import anti_join, cast_key_join, overlap_count
+from ..operators.joins import anti_join, cast_key_join
 from ..plans.impact import IMPACT_ORACLE_SQL, impact_scores
 from ..plans.wellbeing import WELLBEING_OVERVIEW_ORACLE_SQL, wellbeing_overview
 from ..functions.numeric import round_half_up
@@ -149,23 +149,15 @@ WHERE NOT EXISTS (
 """
 
 
-# --- J5 semi_join_test: duplicate-overlap assertion count ------------------
-def q_semi_join_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
-    left = orders.filter(F.col("o_orderstatus") == "P")
-    right = lineitem.filter(F.col("l_linestatus") == "F").select(
-        F.col("l_orderkey").alias("o_orderkey")
-    )
-    return overlap_count(left, right, "o_orderkey")
-
-
-ORACLE_SEMI_JOIN_TEST = """
-SELECT count(*) AS overlap_count
-FROM orders o
-WHERE o.o_orderstatus = 'P'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_linestatus = 'F' AND l.l_orderkey = o.o_orderkey)
-"""
+# J5 note (round 13): the former `semi_join_test` driver row
+# (overlap_count of P-status orders vs F-status lineitems — the
+# reference's "no permit in both lists" dbt data test) was retired to
+# free a driver-window slot for `corpus_diff`: its left_semi + count
+# shape duplicates `anti_join`'s existence-join semantics (same
+# BroadcastHashJoin existence plan, inverted keep side), and
+# `operators.joins.overlap_count` stays pytest-covered
+# (tests/test_operators.py) and the dbt-style empty-overlap data test
+# is exercised by tests/test_dbt_tests_simhash.py.
 
 
 # --- U1 union_all: tagged union of two lists --------------------------------
@@ -377,7 +369,6 @@ QUERIES = {
     "join_count": (q_join_count, ORACLE_JOIN_COUNT),
     "left_enrich": (q_left_enrich, ORACLE_LEFT_ENRICH),
     "anti_join": (q_anti_join, ORACLE_ANTI_JOIN),
-    "semi_join_test": (q_semi_join_test, ORACLE_SEMI_JOIN_TEST),
     "union_all": (q_union_all, ORACLE_UNION_ALL),
     "filter_in_list": (q_filter_in_list, ORACLE_FILTER_IN_LIST),
     "group_sum": (q_group_sum, ORACLE_GROUP_SUM),

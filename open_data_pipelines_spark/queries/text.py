@@ -635,17 +635,76 @@ _FUNNEL_URL_SQL = """CASE
 END"""
 _FUNNEL_BLOCKLIST = ("spamfarm.example", "shop.co.uk")
 
+# Round-13 fold: the C4-style content-blockword gate and the CCNet
+# trained-langid gate join the oracle row (the round-12 curation
+# stages' driver-green evidence — same lever as the LM filter r8 and
+# the URL gate r12 folds).
+#
+# Blockword branch: residues 6/9 mod 13 get a blocklisted word/phrase
+# appended (the phrase with an internal DOUBLE space, so \s+-run
+# phrase matching is load-bearing); gate = any hit drops.
+_FUNNEL_BLOCKWORDS = ("casino", "free money")
+_FUNNEL_BW_SQL = """CASE
+  WHEN doc_id % 13 = 6 THEN text || ' spin the casino wheel'
+  WHEN doc_id % 13 = 9 THEN text || ' claim free  money today'
+  ELSE text END"""
+# Trained-NB branch: every 10th doc (residue 3) spawns a doc_id+30000
+# twin whose text is 'zz-language' gibberish LACED with en stopwords
+# — the stopword heuristic calls it 'en' (quality 1.0, en hits via
+# the/of/and, 4-char tokens keep mean word length in band), so if the
+# trained gate regressed to a no-op these docs would sail through the
+# claimed-lang filter into the output hash at every SF. The NB model
+# (labels en=the 1-in-10 raw slice, zz=the gibberish itself) predicts
+# 'zz' and the gate drops them — the CCNet trained-vs-claimed cut,
+# load-bearing by construction. Expression is dialect-shared (Spark
+# F.expr / DuckDB verbatim) and keyed on the SHIFTED doc_id so the
+# training mirror reproduces the exact texts.
+_FUNNEL_ZZ_SQL = (
+    "'qzvw wqjx the kqzv of zzqk and xqkz ' || "
+    "repeat('qzvw wxzj jqlk zzkq ', 6) || CAST(doc_id AS STRING)"
+)
+_FUNNEL_NB_VOCAB = 512
+_FUNNEL_NB_SMOOTH = 0.5
+_FUNNEL_KEEP_LANGS = ("en", "fr", "de")
+
+
+def funnel_lang_model(docs: DataFrame):
+    """The funnel's trained language classifier: multinomial NB over
+    char trigrams, labels = 'en' (the 1-in-10 raw-document slice —
+    the same reference slice the funnel LM trains on) and 'zz' (the
+    planted gibberish branch, built from the SAME dialect-shared
+    expression as the planted docs so train == gate texts exactly).
+    Mirrored CTE-for-CTE in the oracle (nb_* chain)."""
+    from ..operators.lang_classifier import fit_lang_classifier
+
+    zz = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 30000).alias("doc_id")
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.lit("en").alias("__lbl"), "text")
+        .unionByName(
+            zz.select(F.lit("zz").alias("__lbl"), F.expr(_FUNNEL_ZZ_SQL).alias("text"))
+        )
+    )
+    return fit_lang_classifier(
+        train, "text", "__lbl", n=3,
+        vocab_size=_FUNNEL_NB_VOCAB, smoothing=_FUNNEL_NB_SMOOTH,
+    )
+
 
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import lazy_checkpoint
     from ..operators.lm_score import train_ngram_lm
     from ..plans.corpus_prep import prepare_corpus
 
-    # four consumers of the base table (the LM training slice and the
-    # three planted-union branches): one checkpointed scan feeds all
-    # of them instead of four parquet re-reads (round-9 trim)
+    # six consumers of the base table (the LM training slice, the NB
+    # training slices and the four planted-union branches): one
+    # checkpointed scan feeds all of them instead of six parquet
+    # re-reads (round-9 trim)
     docs = lazy_checkpoint(_docs(spark, sf_dir))
     lm = train_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), "text")
+    lang_model = funnel_lang_model(docs)
     exact_copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10000
     )
@@ -656,7 +715,22 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
-    planted = docs.unionByName(exact_copies).unionByName(near_copies)
+    # the mislabeled-language branch the trained gate must reject
+    # (claimed-lang column value is never read by the funnel — the
+    # stopword heuristic reclassifies from text; see _FUNNEL_ZZ_SQL)
+    zz_docs = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 30000).alias("doc_id"), "lang", "source", "n_chars")
+        .withColumn("text", F.expr(_FUNNEL_ZZ_SQL))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    planted = (
+        docs.unionByName(exact_copies)
+        .unionByName(near_copies)
+        .unionByName(zz_docs)
+    )
+    # blockword injection rides the pre-banner text (residues mod 13)
+    planted = planted.withColumn("text", F.expr(_FUNNEL_BW_SQL))
     # every doc gets the same leading banner line (harness texts are
     # single-line, so each planted doc is banner + body); stripping the
     # shared line restores the body exactly, keeping the downstream
@@ -675,6 +749,9 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_col="url",
         url_blocklist=_FUNNEL_BLOCKLIST,
         url_quality=True,
+        content_blocklist=_FUNNEL_BLOCKWORDS,
+        lang_model=lang_model,
+        keep_langs=_FUNNEL_KEEP_LANGS,
         boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
         perplexity_lm=lm,
         perplexity_keep_buckets=_FUNNEL_PPL_BUCKETS,
@@ -695,6 +772,13 @@ _FUNNEL_PLANTED_SQL = """
   UNION ALL
   SELECT doc_id + 20000 AS doc_id, text || ' zz mutated suffix' AS text
   FROM documents WHERE doc_id % 10 = 0
+"""
+
+# the mislabeled-language branch (see _FUNNEL_ZZ_SQL): ids shifted
+# FIRST so the dialect-shared text expression sees the final doc_id
+_FUNNEL_ZZ_BRANCH_SQL = f"""
+  SELECT doc_id, {_FUNNEL_ZZ_SQL} AS text
+  FROM (SELECT doc_id + 30000 AS doc_id FROM documents WHERE doc_id % 10 = 3)
 """
 
 # redact+normalize mirrored from operators/text_analysis.redact_pii /
@@ -747,6 +831,32 @@ from ..operators.url_filter import TWO_LEVEL_SUFFIXES as _URL_SUFFIXES  # noqa: 
 
 _URL_SUFFIX_LIST = ", ".join(f"'{s}'" for s in _URL_SUFFIXES)
 _URL_BLOCK_LIST = ", ".join(f"'{d}'" for d in _FUNNEL_BLOCKLIST)
+
+# content-blockword mirror (operators/text_analysis.blockword_hits):
+# the alternation body is IMPORTED from the operator; the Spark side
+# uses zero-width lookarounds, the RE2 side consuming boundary groups
+# — equivalent for the max_hits=0 EXISTENCE gate the funnel runs
+# (\p{L}/\p{N} classes are shared syntax; text is lowercased first so
+# (?i) is unnecessary on the mirror side)
+from ..operators.text_analysis import blockword_alternation as _bw_alt  # noqa: E402
+
+_FUNNEL_BW_GATE_SQL = (
+    "NOT regexp_matches(lower(text), "
+    f"'(^|[^\\p{{L}}\\p{{N}}])(?:{_bw_alt(_FUNNEL_BLOCKWORDS)})([^\\p{{L}}\\p{{N}}]|$)')"
+)
+
+# trained-NB mirror (operators/lang_classifier fit/predict): char
+# trigrams over _NORM-prepped text, add-k smoothing with the unknown
+# bucket as one extra vocabulary cell, vocabulary = global top-k by
+# (count desc, gram asc), argmax tie-break = lexicographically larger
+# label (Spark's max(struct(score, label))). Constants interpolated
+# via repr() so both engines evaluate the SAME doubles.
+_NB_N = 3
+_NB_V1 = _FUNNEL_NB_VOCAB + 1  # +1: the unknown bucket
+_NB_GRAMS = (
+    "SELECT {keys}, substring(t, i, {n}) AS g FROM ("
+    "  SELECT {keys}, t, unnest(generate_series(1, length(t) - {nm1})) AS i FROM {src})"
+)
 _URL_BADWORD_ALT = "|".join(_re.escape(w.lower()) for w in _URL_BADWORDS)
 _FUNNEL_BUCKET_IN = ", ".join(f"'{b}'" for b in _FUNNEL_PPL_BUCKETS)
 # host = authority, userinfo stripped greedily to the LAST @, :port
@@ -778,7 +888,10 @@ _URL_GATE_SQL = f"""dom IS NOT NULL
 
 ORACLE_CORPUS_FUNNEL = f"""
 WITH RECURSIVE
-planted_raw AS ({_FUNNEL_PLANTED_SQL}),
+planted_base AS ({_FUNNEL_PLANTED_SQL}
+  UNION ALL
+{_FUNNEL_ZZ_BRANCH_SQL}),
+planted_raw AS (SELECT doc_id, {_FUNNEL_BW_SQL} AS text FROM planted_base),
 planted_url AS (
   SELECT doc_id, text, {_FUNNEL_URL_SQL} AS url FROM planted_raw
 ),
@@ -792,12 +905,94 @@ url_gated AS (SELECT doc_id, text FROM url_dom WHERE {_URL_GATE_SQL}),
 planted_bannered AS (
   SELECT doc_id, '{_FUNNEL_BANNER}' || chr(10) || text AS text FROM url_gated
 ),
+-- C4-style content-blockword gate (operators/text_analysis
+-- .filter_content_blockwords, expr mode, max_hits=0): alternation
+-- imported from the operator; consuming boundary groups stand in for
+-- Java lookarounds (equivalent for existence)
+blockword_gated AS MATERIALIZED (
+  SELECT doc_id, text FROM planted_bannered WHERE {_FUNNEL_BW_GATE_SQL}
+),
+-- CCNet trained-langid gate (operators/lang_classifier): multinomial
+-- NB over char {_NB_N}-grams, trained CTE-for-CTE like the LM stage
+-- below — labels 'en' (the 1-in-10 raw slice) and 'zz' (the planted
+-- gibberish branch). Vocabulary = top {_FUNNEL_NB_VOCAB} grams by
+-- (count desc, gram asc); smoothing constants interpolated via
+-- repr() so both engines evaluate the SAME doubles.
+nb_tr AS (
+  SELECT 'en' AS lbl, {_NORM.format(t='text')} AS t
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'zz' AS lbl, {_NORM.format(t='text')} AS t
+  FROM ({_FUNNEL_ZZ_BRANCH_SQL})
+),
+nb_docn AS (SELECT lbl, count(*) AS dn FROM nb_tr GROUP BY lbl),
+nb_cnt AS (
+  SELECT lbl, g, count(*) AS c
+  FROM ({_NB_GRAMS.format(keys='lbl', n=_NB_N, nm1=_NB_N - 1, src='nb_tr')})
+  GROUP BY lbl, g
+),
+nb_vocab AS (
+  SELECT g FROM (
+    SELECT g, sum(c) AS tot FROM nb_cnt GROUP BY g
+    ORDER BY tot DESC, g ASC LIMIT {_FUNNEL_NB_VOCAB}
+  )
+),
+nb_iv AS MATERIALIZED (SELECT nb_cnt.* FROM nb_cnt JOIN nb_vocab USING (g)),
+nb_lab AS MATERIALIZED (
+  SELECT d.lbl,
+         ln(CAST(d.dn AS DOUBLE) / (SELECT CAST(sum(dn) AS DOUBLE) FROM nb_docn))
+           AS prior,
+         (CAST(coalesce(t.n, 0) AS DOUBLE)
+          + {_FUNNEL_NB_SMOOTH!r} * {_NB_V1}) AS denom,
+         ln({_FUNNEL_NB_SMOOTH!r}
+            / (CAST(coalesce(t.n, 0) AS DOUBLE)
+               + {_FUNNEL_NB_SMOOTH!r} * {_NB_V1})) AS unk
+  FROM nb_docn d
+  LEFT JOIN (SELECT lbl, sum(c) AS n FROM nb_iv GROUP BY lbl) t USING (lbl)
+),
+nb_tab AS MATERIALIZED (
+  SELECT i.g, i.lbl,
+         ln((CAST(i.c AS DOUBLE) + {_FUNNEL_NB_SMOOTH!r}) / l.denom) AS logp
+  FROM nb_iv i JOIN nb_lab l USING (lbl)
+),
+nb_doc AS MATERIALIZED (
+  SELECT doc_id, {_NORM.format(t='text')} AS t FROM blockword_gated
+),
+nb_match AS (
+  SELECT doc_id, lbl, sum(c * logp) AS m_logp, sum(c) AS m_n
+  FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM ({_NB_GRAMS.format(keys='doc_id', n=_NB_N, nm1=_NB_N - 1, src='nb_doc')})
+    GROUP BY doc_id, g
+  )
+  JOIN nb_tab USING (g)
+  GROUP BY doc_id, lbl
+),
+nb_pred AS MATERIALIZED (
+  SELECT doc_id, lbl, total FROM (
+    SELECT d.doc_id, l.lbl, greatest(length(d.t) - {_NB_N - 1}, 0) AS total,
+           row_number() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY l.prior + coalesce(m.m_logp, 0.0)
+                      + (greatest(length(d.t) - {_NB_N - 1}, 0)
+                         - coalesce(m.m_n, 0)) * l.unk DESC,
+                      l.lbl DESC
+           ) AS rn
+    FROM nb_doc d CROSS JOIN nb_lab l
+    LEFT JOIN nb_match m ON m.doc_id = d.doc_id AND m.lbl = l.lbl
+  ) WHERE rn = 1
+),
+lang_gated AS MATERIALIZED (
+  SELECT b.doc_id, b.text FROM blockword_gated b JOIN nb_pred p USING (doc_id)
+  WHERE (CASE WHEN p.total < 1 THEN 'und' ELSE p.lbl END)
+        IN ({", ".join(f"'{lang}'" for lang in _FUNNEL_KEEP_LANGS)})
+),
 bl_lines AS (
   SELECT doc_id, idx, line, md5({_BL_NORM}) AS fp
   FROM (
     SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
            generate_subscripts(string_split(text, chr(10)), 1) AS idx
-    FROM planted_bannered
+    FROM lang_gated
   )
   WHERE {_BL_NORM} <> ''
 ),
@@ -938,6 +1133,67 @@ FROM windowed
 """
 
 
+# --- corpus_diff ---------------------------------------------------------------
+# Release-diff driver row (round 13; the slot freed by retiring
+# semi_join_test, whose empty-overlap semantics anti_join already
+# drives — VERDICT r12 #5). The harness corpus is one "release"; the
+# next release is planted deterministically: every 11th doc removed,
+# every 7th-residue-3 doc modified (suffix), every 9th-residue-1 doc
+# added at doc_id+40000, and every 13th-residue-5 surviving doc
+# duplicated VERBATIM so the agreeing-duplicate collapse path is
+# load-bearing too. Mirrored as one DuckDB FULL OUTER JOIN.
+_DIFF_MOD_SQL = "CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END"
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus_diff import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.expr(_DIFF_MOD_SQL).alias("text")
+    )
+    added = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh doc")).alias("text"),
+    )
+    dup = base.filter(F.col("doc_id") % 13 == 5)
+    new = base.unionByName(added).unionByName(dup)
+    return corpus_diff(old, new)
+
+
+ORACLE_CORPUS_DIFF = f"""
+WITH old AS (
+  SELECT doc_id, md5({_NORM.format(t='text')}) AS fp FROM documents
+),
+base AS (
+  SELECT doc_id, {_DIFF_MOD_SQL} AS text FROM documents WHERE doc_id % 11 <> 0
+),
+new_all AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 40000 AS doc_id, text || ' fresh doc' AS text
+  FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, text FROM base WHERE doc_id % 13 = 5
+),
+new AS (
+  -- agreeing duplicates collapse to min(fp) == the shared fp (the
+  -- operator RAISES on conflicting duplicates; none are planted)
+  SELECT doc_id, min(md5({_NORM.format(t='text')})) AS fp
+  FROM new_all GROUP BY doc_id
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'modified' END AS status,
+       o.fp AS old_fingerprint,
+       n.fp AS new_fingerprint
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 QUERIES = {
     "top_terms": (q_top_terms, ORACLE_TOP_TERMS),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
@@ -950,4 +1206,5 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "corpus_funnel": (q_corpus_funnel, ORACLE_CORPUS_FUNNEL),
     "term_stats": (q_term_stats, ORACLE_TERM_STATS),
+    "corpus_diff": (q_corpus_diff, ORACLE_CORPUS_DIFF),
 }

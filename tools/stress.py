@@ -865,6 +865,94 @@ def substring_scenario(n_docs: int = 20_000) -> None:
     print(json.dumps(out))
 
 
+def dedup_scale_scenario(sizes=(50_000, 200_000, 800_000)) -> None:
+    """Round 13 (VERDICT r12 task #7): the dedup family's two newest
+    members — substring-span removal (Lee et al. 2022) and CCNet
+    paragraph dedup — get the same 16x-growth pin their siblings
+    carry (minhash/media index probes, cap_per_stratum). Synthetic
+    three-paragraph docs in pure expressions: paragraph 2 is a
+    verbatim shared paragraph on 10% of docs (paragraph-dedup work),
+    paragraph 3 carries a shared 12-token passage on 5% (substring
+    work), everything else hash-unique. The corpus is checkpointed so
+    generation stays off the clock; the pin is wall microseconds per
+    doc staying ~flat (or a documented slope) from 50k to 800k docs,
+    with the removed-work counts scaling linearly (same per-doc
+    structure at every size — a superlinear count would mean a
+    corpus-size-dependent code path, not more data)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.paragraph_dedup import dedup_paragraphs
+    from open_data_pipelines_spark.operators.substring_dedup import (
+        remove_duplicated_spans,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("stress-dedup-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    shared_para = " ".join(f"p{i}" for i in range(30))
+    shared_pass = " ".join(f"s{i}" for i in range(12))
+    results = {}
+    for n in sizes:
+        base = spark.range(0, n, 1, 32)
+
+        def uniq(j):
+            return F.concat(
+                F.lit(f"w{j}x"),
+                F.conv(F.xxhash64(F.col("id") * 31 + j), 10, 16),
+            )
+
+        text = F.concat(
+            F.concat_ws(" ", *[uniq(j) for j in range(16)]),
+            F.lit("\n\n"),
+            F.when(F.col("id") % 10 == 0, F.lit(shared_para)).otherwise(
+                F.concat_ws(" ", *[uniq(j) for j in range(16, 30)])
+            ),
+            F.lit("\n\n"),
+            F.concat_ws(" ", *[uniq(j) for j in range(30, 42)]),
+            F.when(F.col("id") % 20 == 5, F.lit(" " + shared_pass)).otherwise(
+                F.lit("")
+            ),
+        )
+        docs = base.select(
+            F.col("id").alias("doc_id"), text.alias("text")
+        ).localCheckpoint()
+
+        t0 = time.perf_counter()
+        paras = dedup_paragraphs(
+            docs, "text", "doc_id", policy="keep_first", fast=True
+        )
+        para_cut = paras.where(F.col("n_kept") < F.col("n_paragraphs")).count()
+        t_para = time.perf_counter() - t0
+
+        # settle between operators: the paragraph stage's internal
+        # lazy-checkpoint blocks otherwise linger into the substring
+        # measurement (the bench.py _gc_settle rationale — measured
+        # 115.7 s vs 70.2 s isolated on the 800k point, round 13)
+        import gc as _gc
+
+        del paras
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+        t0 = time.perf_counter()
+        spans = remove_duplicated_spans(docs, "text", "doc_id", k=8, fast=True)
+        sub_cut = spans.where(F.col("dup_tokens") > 0).count()
+        t_sub = time.perf_counter() - t0
+        docs.unpersist()
+
+        results[n] = {
+            "paragraph_sec": round(t_para, 2),
+            "paragraph_us_per_doc": round(t_para / n * 1e6, 1),
+            "paragraph_docs_cut": para_cut,
+            "substring_sec": round(t_sub, 2),
+            "substring_us_per_doc": round(t_sub / n * 1e6, 1),
+            "substring_docs_cut": sub_cut,
+        }
+    print(json.dumps({"scenario": "dedup_scale", "sizes": results}, indent=2))
+
+
 def incremental_dedup_scenario(
     corpus_sizes=(100_000, 1_000_000, 4_000_000), batch_n: int = 20_000
 ) -> None:
@@ -1511,6 +1599,9 @@ def main() -> None:
         return
     if "--webdataset" in sys.argv:
         webdataset_scenario()
+        return
+    if "--dedup-scale" in sys.argv:
+        dedup_scale_scenario()
         return
     if "--substring" in sys.argv:
         substring_scenario()
