@@ -252,7 +252,13 @@ def main() -> None:
         if sf == ref.get("sf"):
             limit = float(ref.get("ratio_limit", 2.0))
             ref_cal = ref.get("calibration")
-            cal_ratio = calibration["median"] / ref_cal if ref_cal else 1.0
+            # fall back to raw ratios when either side is missing or
+            # degenerate (a stubbed/no-op environment measures ~0)
+            cal_ratio = (
+                calibration["median"] / ref_cal
+                if ref_cal and calibration["median"] > 0
+                else 1.0
+            )
             ratios: dict[str, float] = {}
             ratios_normalized: dict[str, float] = {}
             for name, secs in timings.items():
