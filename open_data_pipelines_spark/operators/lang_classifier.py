@@ -221,9 +221,21 @@ def predict_language(
         sfx += "_"
     c_t, c_total, c_pred, c_pscore, c_id = (n + sfx for n in fixed)
 
+    # RDD-backed, not a literal LocalRelation: createDataFrame(list)
+    # would inline every (gram, label, logp) row into the LOGICAL PLAN
+    # as literals, and in a checkpoint-free plan (the explain-audit
+    # kill switch; any caller composing without reuse caches) the gate
+    # subtree — model rows included — is re-embedded once per
+    # downstream consumer, handing Catalyst's constant-heavy rules
+    # ~20 copies of the vocabulary to chew per pass (the round-13
+    # audit sat in the optimizer for 25+ minutes before this). A
+    # LogicalRDD is opaque: same broadcast join at runtime, zero
+    # literals in the tree.
     model_df = F.broadcast(
         spark.createDataFrame(
-            [(g, l, p) for (g, l), p in model.table.items()],
+            spark.sparkContext.parallelize(
+                [(g, l, p) for (g, l), p in model.table.items()], 1
+            ),
             "__g string, __lbl string, __logp double",
         )
     )

@@ -588,14 +588,17 @@ FROM ranked r JOIN per_doc p USING (doc_id)
 
 # --- corpus_funnel ------------------------------------------------------------
 # The flagship LLM-extension driver row: the SQL-expressible sub-funnel
-# of plans/corpus_prep.prepare_corpus — boilerplate line strip ->
-# clean (redact+normalize) -> annotate (lang, quality) -> filter ->
-# exact dedup -> MinHash-LSH near-dup clustering -> chunk — executed by
-# the REAL pipeline code on the Spark side and mirrored stage-for-stage
-# in DuckDB SQL. A shared cookie-banner line is planted on every doc so
-# the boilerplate stage is load-bearing: if stripping regressed, every
-# chunk (and the lang/quality columns) would carry banner tokens and
-# the oracle hash would diverge.
+# of plans/corpus_prep.prepare_corpus — URL gate -> content-blockword
+# gate -> trained-NB language gate (both r13) -> boilerplate line
+# strip -> clean (redact+normalize) -> annotate (lang, quality) ->
+# filter -> exact dedup -> CCNet perplexity buckets -> MinHash-LSH
+# near-dup clustering -> chunk — executed by the REAL pipeline code on
+# the Spark side and mirrored stage-for-stage in DuckDB SQL (both
+# MODELS — the bigram LM and the NB language classifier — are TRAINED
+# inside the oracle's CTE chain too). A shared cookie-banner line is
+# planted on every doc so the boilerplate stage is load-bearing: if
+# stripping regressed, every chunk (and the lang/quality columns)
+# would carry banner tokens and the oracle hash would diverge.
 _FUNNEL_CHUNK, _FUNNEL_OVERLAP = 64, 8
 _FUNNEL_BANNER = "Accept Cookies To Continue"
 _FUNNEL_BL_MIN_DOCS = 3

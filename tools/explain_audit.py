@@ -35,6 +35,20 @@ Usage::
 ``--only`` restricts to a comma-separated subset; ``--json`` prints
 one JSON line per query (machine-readable, used by the test) instead
 of writing EXPLAIN_AUDIT.md.
+
+Round 13: the EXPANDED compiles run in a budgeted SUBPROCESS. With
+every reuse checkpoint disabled, a deep-fan-out pipeline's logical
+plan re-embeds its shared subtrees once per consumer, and Catalyst's
+fixed-point rules (PruneFilters et al.) grind over the duplicated
+expression forests — the corpus_funnel row crossed from ~a minute to
+25+ minutes when round 13 folded two more gates in (jstack'd:
+optimizer, not execution). A wedged in-process py4j call cannot be
+interrupted, so the expanded pass streams from a worker process under
+a per-query budget; a query that exceeds it is marked intractable
+(its expanded columns print ``n/a``) and the audit keeps its
+production-shape plan text and executed counts, which are the
+scale-relevant readings anyway. The production pipeline never pays
+this: lazy checkpoints truncate the plan at construction time.
 """
 
 from __future__ import annotations
@@ -139,29 +153,125 @@ def executed_shuffles(spark, fn, sf_dir: str, group: str) -> tuple[int, int]:
     return run, run + build
 
 
-def audit_query(spark, fn, sf_dir: str, name: str) -> dict:
-    """(expanded summary, ckpt shuffle count, executed shuffle count)
-    for one registered query. Assumes the module-level env var is SET
-    (expanded mode) on entry and restores it on exit."""
-    s = summarize(fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString())
-    # second compile + the executed run with the reuse checkpoints
-    # ENABLED — the production plan shape; its plan-text shuffle count
-    # is the bracket's lower bound (the env var is read per
-    # lazy_checkpoint call, so toggling it here is enough)
-    del os.environ["SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"]
-    try:
-        ckpt = summarize(
-            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        )["shuffles"]
-        # fresh build for the run: the compile above may have primed
-        # lazy-checkpoint handles whose blocks would hide work
-        executed, executed_total = executed_shuffles(
-            spark, fn, sf_dir, f"audit_{name}"
+def _expanded_worker(sf_dir: str, names: list[str]) -> None:
+    """``--expanded-worker`` mode: compile ONLY the expanded plans
+    (the kill-switch env var is set at module import and never
+    toggled here) and stream one prefixed JSON line per query. Runs
+    in a dedicated subprocess so the parent can enforce a per-query
+    compile budget — a wedged py4j call cannot be interrupted
+    in-process."""
+    import __spark_entry__ as e
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark("explain_audit_expanded")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = e.queries()
+    for name in names:
+        plan = (
+            registry[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         )
-    finally:
-        os.environ["SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"] = "1"
+        print("EXPANDED " + json.dumps({"query": name, **summarize(plan)}), flush=True)
+
+
+#: per-query expanded-compile budget (sec); the worker's first query
+#: gets extra headroom for the JVM start
+EXPANDED_BUDGET = int(os.environ.get("SPARK_GRAFT_AUDIT_EXPANDED_BUDGET", "300"))
+_WORKER_STARTUP = 90
+
+
+def expanded_summaries(sf_dir: str, names: list[str]) -> dict[str, dict | None]:
+    """Expanded-plan summaries per query via the budgeted worker.
+    ``None`` marks a query whose expanded compile exceeded
+    EXPANDED_BUDGET (worker killed and restarted on the remainder) or
+    crashed."""
+    import queue
+    import subprocess
+    import threading
+
+    out: dict[str, dict | None] = {}
+    remaining = list(names)
+    while remaining:
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                sf_dir,
+                "--expanded-worker",
+                ",".join(remaining),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        lines: "queue.Queue[str | None]" = queue.Queue()
+
+        def pump(p=proc, q=lines):
+            for raw in p.stdout:
+                if raw.startswith("EXPANDED "):
+                    q.put(raw[len("EXPANDED "):])
+            q.put(None)
+
+        threading.Thread(target=pump, daemon=True).start()
+        first = True
+        worker_died = False
+        for name in list(remaining):
+            try:
+                line = lines.get(
+                    timeout=EXPANDED_BUDGET + (_WORKER_STARTUP if first else 0)
+                )
+            except queue.Empty:
+                line = False
+            first = False
+            if line is False:  # budget exceeded: kill, mark, restart
+                proc.kill()
+                out[name] = None
+                print(
+                    f"expanded compile budget exceeded: {name} "
+                    f"(> {EXPANDED_BUDGET}s; marked intractable)",
+                    file=sys.stderr,
+                )
+                break
+            if line is None:  # worker crashed on this query
+                worker_died = True
+                out[name] = None
+                print(f"expanded worker died on: {name}", file=sys.stderr)
+                break
+            d = json.loads(line)
+            assert d.pop("query") == name, name
+            out[name] = d
+        else:
+            proc.kill()
+            break  # every remaining query answered
+        if not worker_died:
+            proc.kill()
+        remaining = [n for n in names if n not in out]
+    return out
+
+
+def audit_query(spark, fn, sf_dir: str, name: str, expanded: dict | None) -> dict:
+    """One registry row: the (pre-computed, possibly intractable)
+    expanded summary + the production-shape plan summary + the
+    executed shuffle counts. The session runs with reuse checkpoints
+    ENABLED (production shape) throughout."""
+    ckpt_summary = summarize(
+        fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    # fresh build for the run: the compile above may have primed
+    # lazy-checkpoint handles whose blocks would hide work
+    executed, executed_total = executed_shuffles(spark, fn, sf_dir, f"audit_{name}")
     spark.catalog.clearCache()
-    s["ckpt_shuffles"] = ckpt
+    if expanded is None:
+        # expanded compile intractable: the production-shape plan
+        # feeds the join/pushdown/scan columns (top plan only — reuse
+        # subtrees truncated), expanded counts print as n/a
+        s = dict(ckpt_summary)
+        s["shuffles"] = None
+        s["expanded_intractable"] = True
+    else:
+        s = dict(expanded)
+        s["expanded_intractable"] = False
+    s["ckpt_shuffles"] = ckpt_summary["shuffles"]
     s["executed_shuffles"] = executed
     s["executed_total_shuffles"] = executed_total
     return s
@@ -178,12 +288,21 @@ def main() -> None:
         help="comma-separated query-name subset (both --only=a,b and --only a,b work)",
     )
     ap.add_argument("--json", action="store_true", dest="as_json")
+    ap.add_argument(
+        "--expanded-worker",
+        default=None,
+        help="internal: compile expanded plans for these names and stream JSON",
+    )
     ns = ap.parse_args()
     sf_dir = ns.sf_dir
     only: set[str] | None = set(ns.only.split(",")) if ns.only else None
     as_json = ns.as_json
     if not os.path.isdir(sf_dir):
         ap.error(f"sf_dir {sf_dir!r} is not a directory")
+
+    if ns.expanded_worker is not None:
+        _expanded_worker(sf_dir, ns.expanded_worker.split(","))
+        return
 
     import __spark_entry__ as e
     from open_data_pipelines_spark.session import get_spark
@@ -193,6 +312,12 @@ def main() -> None:
         unknown = only - set(registry)
         if unknown:
             ap.error(f"--only names not in the query registry: {sorted(unknown)}")
+
+    ordered = [n for n in registry if only is None or n in only]
+    # expanded compiles first, from the budgeted worker subprocess —
+    # the parent session then runs only production-shape work
+    expanded = expanded_summaries(sf_dir, ordered)
+    del os.environ["SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"]
 
     # UI on: the executed-shuffle counter reads the status store REST
     # API (stage shuffle-write metrics are not exposed to PySpark's
@@ -227,21 +352,29 @@ def main() -> None:
         "(minmax_norm, impact_score) — executed-below-planned is the",
         "measurement working, not an error. `total` is the number a",
         "regression audit should watch. The other columns read from",
-        "the expanded plan, where nothing is hidden.",
+        "the expanded plan, where nothing is hidden. Expanded compiles",
+        "run in a budgeted worker subprocess (round 13): a checkpoint-",
+        "free deep-fan-out plan can grind Catalyst for tens of minutes",
+        "(an audit-mode artifact — production plans truncate at their",
+        "checkpoints), so a query exceeding the budget keeps its",
+        "production-shape columns and is marked †.",
         "",
         "| query | broadcast | sort-merge | shuffle-hash | shuffles | executed | global sorts | pushed filters | scan widths |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
     results: dict[str, dict] = {}
-    for name, fn in registry.items():
-        if only is not None and name not in only:
-            continue
+    for name in ordered:
+        fn = registry[name]
         try:
-            s = audit_query(spark, fn, sf_dir, name)
+            s = audit_query(spark, fn, sf_dir, name, expanded.get(name))
             results[name] = s
+            exp_shuffles = (
+                "n/a" if s["shuffles"] is None else str(s["shuffles"])
+            )
+            marker = "†" if s.get("expanded_intractable") else ""
             lines.append(
-                f"| {name} | {s['broadcast_joins']} | {s['sortmerge_joins']} | "
-                f"{s['shuffle_hash_joins']} | {s['shuffles']}/{s['ckpt_shuffles']} | "
+                f"| {name}{marker} | {s['broadcast_joins']} | {s['sortmerge_joins']} | "
+                f"{s['shuffle_hash_joins']} | {exp_shuffles}/{s['ckpt_shuffles']} | "
                 f"{s['executed_shuffles']}({s['executed_total_shuffles']}) | "
                 f"{s['global_sorts']} | "
                 f"{s['pushed_filters']} | {s['scan_widths']} |"
@@ -252,6 +385,18 @@ def main() -> None:
             lines.append(f"| {name} | ERROR: {str(ex)[:60]} | | | | | | | |")
             if as_json:
                 print(json.dumps({"query": name, "error": str(ex)[:200]}))
+    if any(r.get("expanded_intractable") for r in results.values()):
+        lines.append("")
+        lines.append(
+            "† expanded compile exceeded the "
+            f"{EXPANDED_BUDGET}s budget (checkpoint-free plan re-embeds "
+            "shared subtrees once per consumer; Catalyst's fixed-point "
+            "rules grind over the duplicated forest — an audit-mode "
+            "artifact, never paid by the production pipeline, whose "
+            "checkpoints truncate at construction). Columns for these "
+            "rows read from the production-shape plan; the executed "
+            "counts are measured as usual."
+        )
 
     if not as_json:
         out = "EXPLAIN_AUDIT.md"
