@@ -192,6 +192,41 @@ def test_plan_shape(docs, model):
     # the FINAL enrichment join (per-doc predictions back onto docs)
     # is big-big by design and may plan as SMJ pre-AQE; the assertion
     # above is the scale-critical one (the model side must broadcast)
+    # the model frame is RDD-backed (round 13): a literal LocalRelation
+    # would re-inline every vocabulary row into any checkpoint-free
+    # composite plan (the explain-audit 25-minute optimizer grind)
+    assert "LocalTableScan" not in plan
+
+
+def test_ids_only_single_shuffle(spark, docs, model):
+    """Round-13 plan rewrite: the whole scoring path is ONE shuffle —
+    gram explode, broadcast model join, a single per-doc pivoted
+    aggregation with an expression argmax. The old shape paid three
+    (per-(doc,gram) counts, per-(doc,label) mass, a corpus-sized
+    doc x label grid join). An extra exchange may appear only for the
+    under-partitioned-input spread, which must itself vanish on a
+    wide input."""
+    compact = predict_language(docs, model, "text", "doc_id", ids_only=True)
+    plan = compact._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    # docs fixture is small (under-partitioned): agg shuffle + spread
+    assert shuffles <= 2
+    assert "SortMergeJoin" not in plan  # no grid join anywhere
+
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    plan_wide = (
+        predict_language(wide, model, "text", "doc_id", ids_only=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # already-wide input: the conditional spread is a no-op, leaving
+    # exactly the ONE aggregation exchange (plus the caller's own
+    # repartition above)
+    agg_shuffles = (
+        plan_wide.count("Exchange")
+        - plan_wide.count("BroadcastExchange")
+        - plan_wide.count("RoundRobinPartitioning")
+    )
+    assert agg_shuffles == 1
 
 
 def test_ids_only_matches_enriched(spark, docs, model):
