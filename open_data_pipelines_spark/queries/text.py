@@ -701,9 +701,9 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm_score import train_ngram_lm
     from ..plans.corpus_prep import prepare_corpus
 
-    # six consumers of the base table (the LM training slice, the NB
-    # training slices and the four planted-union branches): one
-    # checkpointed scan feeds all of them instead of six parquet
+    # seven consumers of the base table (the LM training slice, the
+    # two NB training slices and the four planted-union branches): one
+    # checkpointed scan feeds all of them instead of seven parquet
     # re-reads (round-9 trim)
     docs = lazy_checkpoint(_docs(spark, sf_dir))
     lm = train_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), "text")
