@@ -588,8 +588,9 @@ FROM ranked r JOIN per_doc p USING (doc_id)
 
 # --- corpus_funnel ------------------------------------------------------------
 # The flagship LLM-extension driver row: the SQL-expressible sub-funnel
-# of plans/corpus_prep.prepare_corpus — URL gate -> content-blockword
-# gate -> trained-NB language gate (both r13) -> boilerplate line
+# of plans/corpus_prep.prepare_corpus — URL gate -> HTML extraction ->
+# mojibake repair (both r14) -> content-blockword gate -> trained-NB
+# language gate (both r13) -> boilerplate line
 # strip -> clean (redact+normalize) -> annotate (lang, quality) ->
 # filter -> exact dedup -> CCNet perplexity buckets -> MinHash-LSH
 # near-dup clustering -> chunk — executed by the REAL pipeline code on
@@ -644,12 +645,15 @@ _FUNNEL_BLOCKLIST = ("spamfarm.example", "shop.co.uk")
 # the URL gate r12 folds).
 #
 # Blockword branch: residues 6/9 mod 13 get a blocklisted word/phrase
-# appended (the phrase with an internal DOUBLE space, so \s+-run
-# phrase matching is load-bearing); gate = any hit drops.
+# appended (the phrase split across a NEWLINE, so \s+-run phrase
+# matching is load-bearing — round 14: the r13 double-space form
+# stopped being evidence once html_to_text's whitespace collapse ran
+# upstream of the gate; a newline SURVIVES extraction, so the run
+# match is still doing work); gate = any hit drops.
 _FUNNEL_BLOCKWORDS = ("casino", "free money")
 _FUNNEL_BW_SQL = """CASE
   WHEN doc_id % 13 = 6 THEN text || ' spin the casino wheel'
-  WHEN doc_id % 13 = 9 THEN text || ' claim free  money today'
+  WHEN doc_id % 13 = 9 THEN text || ' claim free' || chr(10) || 'money today'
   ELSE text END"""
 # Trained-NB branch: every 10th doc (residue 3) spawns a doc_id+30000
 # twin whose text is 'zz-language' gibberish LACED with en stopwords
@@ -669,6 +673,95 @@ _FUNNEL_ZZ_SQL = (
 _FUNNEL_NB_VOCAB = 512
 _FUNNEL_NB_SMOOTH = 0.5
 _FUNNEL_KEEP_LANGS = ("en", "fr", "de")
+
+# Round-14 fold: the funnel input is now a WARC-shaped markup page —
+# head/script/comment chrome, the banner and body as <p> paragraphs,
+# a planted mojibake appendix (residue 2 mod 8: UTF-8 bytes read as
+# cp1252) and a markup list appendix (residue 4 mod 8, with an
+# &amp; entity) — so html_to_text + fix_mojibake run load-bearing in
+# the driver hash at every SF (the recorded-run discipline of
+# tests/test_funnel_html_mojibake.py made permanent; VERDICT r13 #1).
+# The oracle plants the EXPECTED post-extraction/post-repair text:
+# if extraction regressed, raw tags / dropped-subtree bodies would
+# flow into every downstream column; if the repair regressed, the
+# corrupted rendering would.
+_FUNNEL_MOJIBAKE = " cafÃ© rÃ©sumÃ©"
+_FUNNEL_MOJI_FIXED_SQL = "' café résumé'"
+_FUNNEL_LIST_HTML = "<ul><li>alpha &amp; beta</li><li>gamma</li></ul>"
+_FUNNEL_LIST_TEXT_SQL = "chr(10) || chr(10) || 'alpha & beta' || chr(10) || 'gamma'"
+
+
+def funnel_planted_docs(spark: SparkSession, sf_dir: str):
+    """(raw docs, planted funnel input) — the 4-branch union (raw +
+    exact copies + near copies + the mislabeled zz branch), blockword
+    injection, then the round-14 markup wrap: every doc becomes a full
+    HTML page (banner and body as <p> paragraphs, head/script/comment
+    chrome, per-residue mojibake and list appendices) with a
+    deterministic per-doc URL. Shared by the driver row and the
+    gate/margin pin tests (tests/test_funnel_gates.py) so the planting
+    can never drift between them."""
+    from ..caching import lazy_checkpoint
+
+    # seven consumers of the base table (the LM training slice, the
+    # two NB training slices and the four planted-union branches): one
+    # checkpointed scan feeds all of them instead of seven parquet
+    # re-reads (round-9 trim)
+    docs = lazy_checkpoint(_docs(spark, sf_dir))
+    exact_copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    near_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz mutated suffix")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    # the mislabeled-language branch the trained gate must reject
+    # (claimed-lang column value is never read by the funnel — the
+    # stopword heuristic reclassifies from text; see _FUNNEL_ZZ_SQL)
+    zz_docs = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 30000).alias("doc_id"), "lang", "source", "n_chars")
+        .withColumn("text", F.expr(_FUNNEL_ZZ_SQL))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    planted = (
+        docs.unionByName(exact_copies)
+        .unionByName(near_copies)
+        .unionByName(zz_docs)
+    )
+    # blockword injection rides the pre-markup body (residues mod 13)
+    planted = planted.withColumn("text", F.expr(_FUNNEL_BW_SQL))
+    # markup wrap: banner + body as paragraphs (the <p> boundaries
+    # become the blank lines the boilerplate stage strips around), the
+    # shifted branch ids are all ≡ 0 mod 8, so every copy inherits its
+    # original's appendix residues and exact twins stay exact
+    moj = F.when(F.col("doc_id") % 8 == 2, F.lit(_FUNNEL_MOJIBAKE)).otherwise(
+        F.lit("")
+    )
+    lst = F.when(F.col("doc_id") % 8 == 4, F.lit(_FUNNEL_LIST_HTML)).otherwise(
+        F.lit("")
+    )
+    planted = planted.withColumn(
+        "text",
+        F.concat(
+            F.lit(
+                "<html><head><title>T</title><script>var x=1;</script></head>"
+                "<body><p>" + _FUNNEL_BANNER + "</p><p>"
+            ),
+            F.col("text"),
+            moj,
+            F.lit("</p>"),
+            lst,
+            F.lit("<!-- tracking note --></body></html>"),
+        ),
+    )
+    # deterministic per-doc URL so the web-curation gate (blocklist +
+    # shape flags) is load-bearing in the oracle hash — see
+    # _FUNNEL_URL_SQL for the branch coverage
+    planted = planted.withColumn("url", F.expr(_FUNNEL_URL_SQL))
+    return docs, planted
 
 
 def funnel_lang_model(docs: DataFrame):
@@ -697,59 +790,22 @@ def funnel_lang_model(docs: DataFrame):
 
 
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import lazy_checkpoint
     from ..operators.lm_score import train_ngram_lm
     from ..plans.corpus_prep import prepare_corpus
 
-    # seven consumers of the base table (the LM training slice, the
-    # two NB training slices and the four planted-union branches): one
-    # checkpointed scan feeds all of them instead of seven parquet
-    # re-reads (round-9 trim)
-    docs = lazy_checkpoint(_docs(spark, sf_dir))
+    docs, planted = funnel_planted_docs(spark, sf_dir)
     lm = train_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), "text")
     lang_model = funnel_lang_model(docs)
-    exact_copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 10000
-    )
-    near_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz mutated suffix")).alias("text"),
-        "lang",
-        "source",
-        "n_chars",
-    )
-    # the mislabeled-language branch the trained gate must reject
-    # (claimed-lang column value is never read by the funnel — the
-    # stopword heuristic reclassifies from text; see _FUNNEL_ZZ_SQL)
-    zz_docs = (
-        docs.filter(F.col("doc_id") % 10 == 3)
-        .select((F.col("doc_id") + 30000).alias("doc_id"), "lang", "source", "n_chars")
-        .withColumn("text", F.expr(_FUNNEL_ZZ_SQL))
-        .select("doc_id", "text", "lang", "source", "n_chars")
-    )
-    planted = (
-        docs.unionByName(exact_copies)
-        .unionByName(near_copies)
-        .unionByName(zz_docs)
-    )
-    # blockword injection rides the pre-banner text (residues mod 13)
-    planted = planted.withColumn("text", F.expr(_FUNNEL_BW_SQL))
-    # every doc gets the same leading banner line (harness texts are
-    # single-line, so each planted doc is banner + body); stripping the
-    # shared line restores the body exactly, keeping the downstream
-    # funnel algebra identical while exercising the C4-style stage
-    planted = planted.withColumn(
-        "text", F.concat(F.lit(_FUNNEL_BANNER + "\n"), F.col("text"))
-    )
-    # deterministic per-doc URL so the web-curation gate (blocklist +
-    # shape flags) is load-bearing in the oracle hash — see
-    # _FUNNEL_URL_SQL for the branch coverage
-    planted = planted.withColumn("url", F.expr(_FUNNEL_URL_SQL))
     return prepare_corpus(
         spark,
         sf_dir,
         docs=planted,
         url_col="url",
+        # round-14 fold: extraction + mojibake repair run INSIDE the
+        # driver row (the input is a markup page; the oracle plants
+        # the expected extraction — see funnel_planted_docs)
+        html=True,
+        fix_encoding=True,
         url_blocklist=_FUNNEL_BLOCKLIST,
         url_quality=True,
         content_blocklist=_FUNNEL_BLOCKWORDS,
@@ -905,8 +961,17 @@ url_parsed AS (
 ),
 url_dom AS (SELECT *, {_URL_DOM_SQL} AS dom FROM url_parsed),
 url_gated AS (SELECT doc_id, text FROM url_dom WHERE {_URL_GATE_SQL}),
+-- html_to_text + fix_mojibake mirror (round 14): the Spark side reads
+-- a full markup page (head/script/comment chrome dropped, <p>
+-- boundaries -> blank lines, <li> -> lines, &amp; decoded, mojibake
+-- repaired) — the oracle plants the EXPECTED extraction verbatim, so
+-- any extraction/repair regression diverges on every row it touches
 planted_bannered AS (
-  SELECT doc_id, '{_FUNNEL_BANNER}' || chr(10) || text AS text FROM url_gated
+  SELECT doc_id, '{_FUNNEL_BANNER}' || chr(10) || chr(10) || text
+    || (CASE WHEN doc_id % 8 = 2 THEN {_FUNNEL_MOJI_FIXED_SQL} ELSE '' END)
+    || (CASE WHEN doc_id % 8 = 4 THEN {_FUNNEL_LIST_TEXT_SQL} ELSE '' END)
+    AS text
+  FROM url_gated
 ),
 -- C4-style content-blockword gate (operators/text_analysis
 -- .filter_content_blockwords, expr mode, max_hits=0): alternation

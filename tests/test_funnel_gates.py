@@ -31,37 +31,25 @@ _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _planted(spark):
-    from open_data_pipelines_spark.caching import lazy_checkpoint
-    from open_data_pipelines_spark.queries.text import (
-        _FUNNEL_BANNER,
-        _FUNNEL_BW_SQL,
-        _FUNNEL_URL_SQL,
-        _FUNNEL_ZZ_SQL,
-        _docs,
-    )
+    # the driver row's OWN planting (round 14: shared helper — the
+    # input is a full markup page; see funnel_planted_docs)
+    from open_data_pipelines_spark.queries.text import funnel_planted_docs
 
-    docs = lazy_checkpoint(_docs(spark, SF_SMOKE))
-    exact_copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 10000
+    return funnel_planted_docs(spark, SF_SMOKE)
+
+
+def _gate_input(planted):
+    """The trained gate's actual input in the funnel: the markup page
+    AFTER extraction + mojibake repair (prepare_corpus runs the NB
+    gate downstream of html/fix_encoding)."""
+    from open_data_pipelines_spark.operators.html_text import html_to_text
+    from open_data_pipelines_spark.operators.text_norm import with_normalized_text
+
+    return with_normalized_text(
+        planted.withColumn("text", html_to_text("text")),
+        "text",
+        fix_encoding=True,
     )
-    near_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz mutated suffix")).alias("text"),
-        "lang", "source", "n_chars",
-    )
-    zz_docs = (
-        docs.filter(F.col("doc_id") % 10 == 3)
-        .select((F.col("doc_id") + 30000).alias("doc_id"), "lang", "source", "n_chars")
-        .withColumn("text", F.expr(_FUNNEL_ZZ_SQL))
-        .select("doc_id", "text", "lang", "source", "n_chars")
-    )
-    planted = (
-        docs.unionByName(exact_copies).unionByName(near_copies).unionByName(zz_docs)
-        .withColumn("text", F.expr(_FUNNEL_BW_SQL))
-        .withColumn("text", F.concat(F.lit(_FUNNEL_BANNER + "\n"), F.col("text")))
-        .withColumn("url", F.expr(_FUNNEL_URL_SQL))
-    )
-    return docs, planted
 
 
 def test_funnel_gates_load_bearing(spark):
@@ -84,6 +72,7 @@ def test_funnel_gates_load_bearing(spark):
     out, stats = prepare_corpus(
         spark, SF_SMOKE, docs=planted,
         url_col="url", url_blocklist=_FUNNEL_BLOCKLIST, url_quality=True,
+        html=True, fix_encoding=True,
         content_blocklist=_FUNNEL_BLOCKWORDS, lang_model=model,
         keep_langs=_FUNNEL_KEEP_LANGS,
         boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
@@ -113,6 +102,7 @@ def test_funnel_gates_load_bearing(spark):
     control = prepare_corpus(
         spark, SF_SMOKE, docs=planted,
         url_col="url", url_blocklist=_FUNNEL_BLOCKLIST, url_quality=True,
+        html=True, fix_encoding=True,
         content_blocklist=_FUNNEL_BLOCKWORDS,
         keep_langs=_FUNNEL_KEEP_LANGS,
         boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
@@ -125,6 +115,7 @@ def test_funnel_gates_load_bearing(spark):
     no_bw = prepare_corpus(
         spark, SF_SMOKE, docs=planted,
         url_col="url", url_blocklist=_FUNNEL_BLOCKLIST, url_quality=True,
+        html=True, fix_encoding=True,
         lang_model=model, keep_langs=_FUNNEL_KEEP_LANGS,
         boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
         chunk_size=_FUNNEL_CHUNK, overlap=_FUNNEL_OVERLAP, max_bucket_size=None,
@@ -158,7 +149,8 @@ def test_nb_margin_dwarfs_cross_engine_noise(spark):
 
     docs, planted = _planted(spark)
     model = funnel_lang_model(docs)
-    rows = planted.select("doc_id", "text").collect()
+    gated_in = _gate_input(planted)
+    rows = gated_in.select("doc_id", "text").collect()
     margins, zz_margins, want = [], [], {}
     for r in rows:
         scores, total = _py_scores(model, r.text)
@@ -175,7 +167,7 @@ def test_nb_margin_dwarfs_cross_engine_noise(spark):
     got = {
         r["doc_id"]: r["pred_lang"]
         for r in predict_language(
-            planted, model, "text", "doc_id", ids_only=True
+            gated_in, model, "text", "doc_id", ids_only=True
         ).collect()
     }
     assert got == want

@@ -10,9 +10,12 @@ Load-bearing by construction: if html_to_text regressed, raw tags and
 dropped-subtree bodies would flow into the fingerprint/quality/chunk
 columns; if fix_mojibake regressed, the corrupted rendering would.
 Either diverges from the oracle's planted expectation on every row it
-touches. The permanent corpus_funnel driver row stays without these
-stages (its bench pin already absorbed two r13 gates); this is the
-recorded verification run the verdict asked for.
+touches. Round 14 folded both stages into the permanent corpus_funnel
+driver row too (funnel_planted_docs wraps every planted doc in markup
+and the funnel oracle plants the expected extraction); this file stays
+as the ISOLATED cross-engine check — minimal pipeline (no gates, no
+LM), whole-text chunks — so an extraction/repair regression is
+attributable without decoding the full funnel hash.
 """
 
 from __future__ import annotations
