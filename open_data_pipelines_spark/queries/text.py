@@ -1214,20 +1214,75 @@ _DIFF_MOD_SQL = "CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END"
 
 
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release audit in one frame, keyed by ``scope`` (the
+    wellbeing_pipeline fold pattern): ``scope='diff'`` rows are the
+    per-doc :func:`..operators.corpus_diff.corpus_diff` table;
+    ``scope='datasheet'`` rows are the NEW release's
+    :func:`..operators.report.corpus_report` rollup (exact mode) —
+    per (lang, source) cohort, per lang, and global, with the planted
+    verbatim duplicate making ``n_unique < n_docs`` load-bearing.
+    Round 14: the datasheet fold gives corpus_report its driver-
+    oracle evidence (VERDICT r13 #2) — the two operators share the
+    release workflow (diff the versions, datasheet the new one), so
+    one registry row carries both. Numeric columns are cast DOUBLE in
+    both engines: each is NULL on the other branch, and
+    nullable-int-to-float pandas coercion differs between the engines'
+    drivers (counts here are far below 2^53, so double is exact)."""
     from ..operators.corpus_diff import corpus_diff
+    from ..operators.report import corpus_report
 
     docs = _docs(spark, sf_dir)
     old = docs.select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 11 != 0).select(
-        "doc_id", F.expr(_DIFF_MOD_SQL).alias("text")
+        "doc_id", F.expr(_DIFF_MOD_SQL).alias("text"), "lang", "source"
     )
     added = docs.filter(F.col("doc_id") % 9 == 1).select(
         (F.col("doc_id") + 40000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" fresh doc")).alias("text"),
+        "lang",
+        "source",
     )
     dup = base.filter(F.col("doc_id") % 13 == 5)
     new = base.unionByName(added).unionByName(dup)
-    return corpus_diff(old, new)
+    diff = corpus_diff(old, new.select("doc_id", "text"))
+    sheet = corpus_report(new, exact=True)
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    diff_w = diff.select(
+        F.lit("diff").alias("scope"),
+        F.col("doc_id").cast("double").alias("doc_id"),
+        "status",
+        "old_fingerprint",
+        "new_fingerprint",
+        null_s.alias("lang"),
+        null_s.alias("source"),
+        null_d.alias("level"),
+        null_d.alias("n_docs"),
+        null_d.alias("n_tokens"),
+        null_d.alias("n_chars"),
+        null_d.alias("n_unique"),
+        null_d.alias("p50_tokens"),
+        null_d.alias("p90_tokens"),
+        null_d.alias("mean_quality"),
+    )
+    sheet_w = sheet.select(
+        F.lit("datasheet").alias("scope"),
+        null_d.alias("doc_id"),
+        null_s.alias("status"),
+        null_s.alias("old_fingerprint"),
+        null_s.alias("new_fingerprint"),
+        "lang",
+        "source",
+        F.col("level").cast("double").alias("level"),
+        F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.col("n_unique").cast("double").alias("n_unique"),
+        F.col("p50_tokens").cast("double").alias("p50_tokens"),
+        F.col("p90_tokens").cast("double").alias("p90_tokens"),
+        "mean_quality",
+    )
+    return diff_w.unionByName(sheet_w)
 
 
 ORACLE_CORPUS_DIFF = f"""
@@ -1235,30 +1290,71 @@ WITH old AS (
   SELECT doc_id, md5({_NORM.format(t='text')}) AS fp FROM documents
 ),
 base AS (
-  SELECT doc_id, {_DIFF_MOD_SQL} AS text FROM documents WHERE doc_id % 11 <> 0
+  SELECT doc_id, {_DIFF_MOD_SQL} AS text, lang, source
+  FROM documents WHERE doc_id % 11 <> 0
 ),
 new_all AS (
-  SELECT doc_id, text FROM base
+  SELECT doc_id, text, lang, source FROM base
   UNION ALL
-  SELECT doc_id + 40000 AS doc_id, text || ' fresh doc' AS text
+  SELECT doc_id + 40000 AS doc_id, text || ' fresh doc' AS text, lang, source
   FROM documents WHERE doc_id % 9 = 1
   UNION ALL
-  SELECT doc_id, text FROM base WHERE doc_id % 13 = 5
+  SELECT doc_id, text, lang, source FROM base WHERE doc_id % 13 = 5
 ),
 new AS (
   -- agreeing duplicates collapse to min(fp) == the shared fp (the
   -- operator RAISES on conflicting duplicates; none are planted)
   SELECT doc_id, min(md5({_NORM.format(t='text')})) AS fp
   FROM new_all GROUP BY doc_id
+),
+-- corpus_report mirror (operators/report.py, exact mode) over the
+-- NEW release: one ROLLUP pass — the datasheet branch of the fold
+sheet_base AS (
+  SELECT lang, source,
+         {_Q_NT} AS tok,
+         length(coalesce(text, '')) AS len,
+         md5({_N}) AS fp,
+         CAST(length(text) >= 100 AND length(text) <= 20000 AS DOUBLE) * 0.25
+         + CAST({_Q_MEAN} >= 3.0 AND {_Q_MEAN} <= 12.0 AS DOUBLE) * 0.25
+         + CAST({_Q_PUNCT} <= 0.2 AS DOUBLE) * 0.25
+         + CAST({_hits_sql('en')} >= 1 AS DOUBLE) * 0.25 AS q
+  FROM new_all
 )
-SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+SELECT 'diff' AS scope,
+       CAST(coalesce(o.doc_id, n.doc_id) AS DOUBLE) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
             WHEN o.fp = n.fp THEN 'unchanged'
             ELSE 'modified' END AS status,
        o.fp AS old_fingerprint,
-       n.fp AS new_fingerprint
+       n.fp AS new_fingerprint,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+       CAST(NULL AS DOUBLE) AS level,
+       CAST(NULL AS DOUBLE) AS n_docs,
+       CAST(NULL AS DOUBLE) AS n_tokens,
+       CAST(NULL AS DOUBLE) AS n_chars,
+       CAST(NULL AS DOUBLE) AS n_unique,
+       CAST(NULL AS DOUBLE) AS p50_tokens,
+       CAST(NULL AS DOUBLE) AS p90_tokens,
+       CAST(NULL AS DOUBLE) AS mean_quality
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+UNION ALL
+SELECT 'datasheet' AS scope,
+       CAST(NULL AS DOUBLE) AS doc_id,
+       CAST(NULL AS VARCHAR) AS status,
+       CAST(NULL AS VARCHAR) AS old_fingerprint,
+       CAST(NULL AS VARCHAR) AS new_fingerprint,
+       lang, source,
+       CAST(GROUPING(lang, source) AS DOUBLE) AS level,
+       CAST(count(*) AS DOUBLE) AS n_docs,
+       CAST(SUM(tok) AS DOUBLE) AS n_tokens,
+       CAST(SUM(len) AS DOUBLE) AS n_chars,
+       CAST(count(DISTINCT fp) AS DOUBLE) AS n_unique,
+       quantile_cont(tok, 0.5) AS p50_tokens,
+       quantile_cont(tok, 0.9) AS p90_tokens,
+       CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_quality
+FROM sheet_base GROUP BY ROLLUP (lang, source)
 """
 
 
