@@ -57,14 +57,37 @@ from pyspark.sql import functions as F
 __all__ = ["read_webdataset", "write_webdataset"]
 
 
-def _fs_and_path(path: str):
+def _fs_and_path(path: str, factory: str | None = None):
     """(pyarrow FileSystem, in-filesystem path) for ``path``'s own
     scheme. Executor-safe: Python workers have no py4j gateway, so
     this is the worker-side analogue of ``index_commit._hadoop_fs``
     (driver-JVM Hadoop FS) — plain paths and ``file://`` resolve to
-    the local FS, other schemes to pyarrow's store clients."""
+    the local FS, other schemes to pyarrow's store clients.
+
+    ``factory`` ("module:callable", default from
+    ``SPARK_GRAFT_WDS_FS_FACTORY``) injects a filesystem factory
+    consulted FIRST: the callable gets the full path and returns
+    (FileSystem, in-fs path) to claim it, or None to fall through. A
+    NAME, not an object, because the resolution runs INSIDE
+    mapInPandas workers — separate processes a driver-side monkeypatch
+    can never reach (and whose daemon inherited its env at JVM start,
+    so a late driver env var is invisible there too); the writer
+    resolves the env on the DRIVER, ships the name in the task
+    closure, and the worker imports the factory itself. This is both
+    the seam for schemes pyarrow lacks a client for and what lets the
+    remote (atomic-at-close, no-rename) branch be integration-tested
+    without an object store (tests/wds_mock_fs.py)."""
+    import importlib
+    import os
+
     from pyarrow import fs as pafs
 
+    factory = factory or os.environ.get("SPARK_GRAFT_WDS_FS_FACTORY")
+    if factory:
+        mod, _, fn = factory.partition(":")
+        got = getattr(importlib.import_module(mod), fn)(path)
+        if got is not None:
+            return got
     if "://" in path:
         fs, p = pafs.FileSystem.from_uri(path)
         return fs, p
@@ -152,7 +175,10 @@ def write_webdataset(
     if len(set(exts)) != len(exts):
         raise ValueError(f"duplicate member extensions: {sorted(exts)}")
 
-    fs, base = _fs_and_path(out_dir)
+    import os as _os
+
+    fs_factory = _os.environ.get("SPARK_GRAFT_WDS_FS_FACTORY")
+    fs, base = _fs_and_path(out_dir, fs_factory)
     base = base.rstrip("/")
     if _exists(fs, posixpath.join(base, "manifest.json")):
         # in-place rewrite would replace shards one-by-one under the
@@ -190,7 +216,7 @@ def write_webdataset(
 
         import pandas as pd
 
-        wfs, wbase = _fs_and_path(out_dir)
+        wfs, wbase = _fs_and_path(out_dir, fs_factory)
         wbase = wbase.rstrip("/")
         # local FS: tmp-name + rename publish; object stores: the
         # multipart stream is invisible until close, so the final

@@ -395,3 +395,54 @@ def test_foreign_multipart_extension_groups_by_first_dot(spark, tmp_path):
     rows = {r.sample_key: (r.seg, bytes(r.caption)) for r in wide.collect()}
     assert rows["x"] == (b"segpng", b"caption x")
     assert rows["y"] == (None, b"caption y")
+
+
+def test_mock_object_store_takes_remote_branch(spark, tmp_path):
+    """Round-14 (VERDICT r13 #7): the remote code route, proven on a
+    mock object store (tests/wds_mock_fs.py — a PyFileSystem handler
+    with a non-'local' type_name that REFUSES rename). The write must
+    succeed (a silent fallback to the local tmp+rename publish would
+    raise inside the mock's move()), never open a dotted tmp name,
+    produce shards byte-identical to the plain-path write, and carry
+    stream-folded digests that match the bytes on 'the store'."""
+    import hashlib
+
+    frame = _frame(spark)
+    root = tmp_path / "mockstore"
+    root.mkdir()
+    uri = f"mockremote://{root}!ds"
+    os.environ["SPARK_GRAFT_WDS_FS_FACTORY"] = "tests.wds_mock_fs:factory"
+    try:
+        m_remote = write_webdataset(
+            frame, uri, "sample_key", {"text": "txt"}, n_shards=5
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_WDS_FS_FACTORY", None)
+
+    # every output open is journaled by the mock: final names only —
+    # the rename-publish branch would have opened '.shard-…tmp' names
+    ops = (root / "__ops.log").read_text().strip().splitlines()
+    opened = [l.split(" ", 1)[1] for l in ops if l.startswith("open_output_stream")]
+    assert opened, "mock filesystem never reached — factory not engaged"
+    assert all(not os.path.basename(p).startswith(".") for p in opened), opened
+    assert "ds/manifest.json" in opened
+
+    # byte determinism across filesystems + digest-on-stream honesty
+    m_plain = write_webdataset(
+        frame, str(tmp_path / "plain"), "sample_key", {"text": "txt"}, n_shards=5
+    )
+    assert {s["shard"]: s["sha256"] for s in m_remote["shards"]} == {
+        s["shard"]: s["sha256"] for s in m_plain["shards"]
+    }
+    for s in m_remote["shards"]:
+        data = (root / "ds" / s["path"]).read_bytes()
+        assert hashlib.sha256(data).hexdigest() == s["sha256"]
+        assert len(data) == s["bytes"]
+
+    # publish-refusal holds on the mock store too (manifest present)
+    with pytest.raises(Exception, match="already a published webdataset"):
+        os.environ["SPARK_GRAFT_WDS_FS_FACTORY"] = "tests.wds_mock_fs:factory"
+        try:
+            write_webdataset(frame, uri, "sample_key", {"text": "txt"})
+        finally:
+            os.environ.pop("SPARK_GRAFT_WDS_FS_FACTORY", None)
