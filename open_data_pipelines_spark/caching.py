@@ -40,11 +40,63 @@ The flag changes reuse strategy only, never results.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame
 
+# Checkpoint-free grind guard (round 14; VERDICT r13 #5). With the
+# kill switch set, every skipped checkpoint leaves its subtree to be
+# RE-EMBEDDED once per downstream consumer — on a deep composite plan
+# (the corpus funnel) the duplicated expression forest grows
+# multiplicatively and Catalyst's constant-heavy rules (PruneFilters)
+# ground for 25+ minutes (EXPLAIN_AUDIT.md footnote, measured round
+# 13). The tree itself cannot be probed cheaply — analysis of the
+# expanded plan is exactly the cost being avoided (a collectLeaves
+# probe on the funnel shape ran past 400 s) — so the guard is the
+# verdict's construction-time arithmetic: each skipped checkpoint
+# multiplies a session-cumulative estimate by its declared consumer
+# count (callers pass ``consumers``; the default 2 is the minimum a
+# reuse cache implies), and crossing the limit warns ONCE, loudly.
+# Session-cumulative is deliberate and conservative: any no-op'd
+# frame MAY later be composed with any other; resetting between
+# "constructions" would need a boundary the library cannot see.
+_NOCKPT_LIMIT = int(os.environ.get("SPARK_GRAFT_NO_CKPT_WARN_LIMIT", "32"))
+_nockpt_state = {"blowup": 1, "points": 0, "warned": False}
 
-def lazy_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+
+class CheckpointFreeDepthWarning(UserWarning):
+    """SPARK_GRAFT_NO_INTERNAL_CHECKPOINT is set on a plan deep enough
+    to risk a multi-minute Catalyst optimization grind."""
+
+
+def _reset_checkpoint_free_estimate() -> None:
+    """Test hook: zero the session-cumulative blowup estimate."""
+    _nockpt_state.update(blowup=1, points=0, warned=False)
+
+
+def _note_checkpoint_free(consumers: int) -> None:
+    _nockpt_state["blowup"] *= max(consumers, 1)
+    _nockpt_state["points"] += 1
+    if _nockpt_state["blowup"] >= _NOCKPT_LIMIT and not _nockpt_state["warned"]:
+        _nockpt_state["warned"] = True
+        warnings.warn(
+            "SPARK_GRAFT_NO_INTERNAL_CHECKPOINT is set and this session has "
+            f"now skipped {_nockpt_state['points']} reuse checkpoints with a "
+            f"combined consumer fan-out of ~{_nockpt_state['blowup']}x. If "
+            "these frames compose into one plan, every skipped subtree is "
+            "re-embedded per consumer and Catalyst optimization can grind "
+            "for MINUTES (the corpus-funnel shape measured 25+ min; see "
+            "EXPLAIN_AUDIT.md). Unset the flag for production runs, or "
+            "budget the compile like tools/explain_audit.py does "
+            "(SPARK_GRAFT_AUDIT_EXPANDED_BUDGET).",
+            CheckpointFreeDepthWarning,
+            stacklevel=3,
+        )
+
+
+def lazy_checkpoint(
+    df: DataFrame, eager: bool = False, consumers: int = 2
+) -> DataFrame:
     """Local checkpoint per the repo convention (no-op under
     ``SPARK_GRAFT_NO_INTERNAL_CHECKPOINT=1``), lazy by default.
 
@@ -60,7 +112,13 @@ def lazy_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
     ``eager=True`` — relying on an intervening shuffle is correct
     today but silently breaks if the operator between them stops
     shuffling. Everything else stays lazy: materialized on first use,
-    no extra job when the caller never executes the plan."""
+    no extra job when the caller never executes the plan.
+
+    ``consumers`` declares how many downstream consumers the cached
+    frame feeds (the default 2 is the minimum that justifies a reuse
+    cache). It changes nothing when the checkpoint runs; under the
+    kill switch it feeds the grind-guard estimate above."""
     if os.environ.get("SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"):
+        _note_checkpoint_free(consumers)
         return df
     return df.localCheckpoint(eager=eager)

@@ -705,8 +705,9 @@ def funnel_planted_docs(spark: SparkSession, sf_dir: str):
     # seven consumers of the base table (the LM training slice, the
     # two NB training slices and the four planted-union branches): one
     # checkpointed scan feeds all of them instead of seven parquet
-    # re-reads (round-9 trim)
-    docs = lazy_checkpoint(_docs(spark, sf_dir))
+    # re-reads (round-9 trim); the declared fan-out feeds the
+    # checkpoint-free grind guard (caching._note_checkpoint_free)
+    docs = lazy_checkpoint(_docs(spark, sf_dir), consumers=7)
     exact_copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10000
     )
