@@ -293,3 +293,74 @@ def test_caller_temp_column_collision(spark):
     assert out.pred_lang == "fr"
     compact = predict_language(df, m, "text", "doc_id", ids_only=True)
     assert sorted(compact.columns) == ["doc_id", "pred_lang"]
+
+
+def test_many_label_grouped_shape(spark):
+    """Round-14 scale point (VERDICT r13 #4): at a CCNet-realistic
+    label cardinality the r13 pivot stops scaling (its 2-per-label
+    conditional aggregates are evaluated against every joined gram
+    row — 742 µs/row at 64 labels vs ~9 at 3, STRESS round 14), so
+    above ``pivot_max_labels`` scoring switches to the GROUPED shape:
+    per-(doc,label) exact scores over matched rows + per-doc argmax +
+    a closed-form absent-label maximum. Exactly TWO aggregation
+    exchanges, O(1) aggregates, still no doc x label grid join, and
+    the predictions are exact. Corpus: 64 synthetic languages whose
+    words carry label-distinctive trigrams."""
+    n_labels = 64
+    labels = [f"l{i:02d}" for i in range(n_labels)]
+    rows = [
+        (d, lbl, " ".join(f"w{i:02d}x{j}" for j in range(12)))
+        for d, (i, lbl) in enumerate(
+            (i, lbl) for i in range(n_labels) for lbl in [labels[i]] for _ in range(4)
+        )
+    ]
+    df = spark.createDataFrame(
+        [(d, lbl, t) for d, lbl, t in rows], "doc_id long, lang string, text string"
+    )
+    model = fit_lang_classifier(df, "text", "lang", n=3, vocab_size=4096)
+    assert len(model.labels) == n_labels
+
+    wide = df.repartition(spark.sparkContext.defaultParallelism)
+    compact = predict_language(wide, model, "text", "doc_id", ids_only=True)
+    plan = compact._jdf.queryExecution().executedPlan().toString()
+    agg_shuffles = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("RoundRobinPartitioning")
+    )
+    # the grouped shape: (doc,label) agg + doc argmax — exchange count
+    # must not grow with label cardinality beyond these two
+    assert agg_shuffles == 2
+    assert "SortMergeJoin" not in plan
+
+    got = {r.doc_id: r.pred_lang for r in compact.collect()}
+    want = {d: lbl for d, lbl, _ in rows}
+    assert got == want
+
+
+def test_grouped_shape_matches_pivot(spark, docs, model):
+    """Forcing the grouped shape on the pivot-sized harness corpus
+    must reproduce the pivot path's predictions AND scores (the two
+    shapes compute the same algebra; only the aggregation layout
+    differs — scores agree to aggregation-order float noise)."""
+    pivot = {
+        r.doc_id: (r.pred_lang, r.s)
+        for r in predict_language(
+            docs, model, "text", "doc_id", ids_only=True, score_col="s"
+        ).collect()
+    }
+    grouped = {
+        r.doc_id: (r.pred_lang, r.s)
+        for r in predict_language(
+            docs, model, "text", "doc_id", ids_only=True, score_col="s",
+            pivot_max_labels=0,
+        ).collect()
+    }
+    assert set(pivot) == set(grouped)
+    for d, (lbl, s) in pivot.items():
+        g_lbl, g_s = grouped[d]
+        assert g_lbl == lbl, d
+        if s is None:
+            assert g_s is None
+        else:
+            assert g_s == pytest.approx(s, rel=1e-9)
