@@ -143,6 +143,52 @@ def _calibration(spark):
     )
 
 
+def _calibration_shuffle(spark):
+    """Fixed-work SHUFFLE probe (round 14, VERDICT r13 #6): 8M rows
+    hash-repartitioned on a 100k-key column, then aggregated — one
+    real exchange whose cost is serialization + spill-path + fetch,
+    the resource the CPU probe cannot see. Round 13 showed why both
+    are needed: impact_score (exchange-bound) swung +29% in a round
+    whose CPU probe moved only +5.6% — CPU-only normalization
+    under-corrects shuffle-heavy ambient contention. Queries listed
+    in SHUFFLE_NORMALIZED normalize by this probe's ratio; the rest
+    by the CPU probe's (STRESS.md round-14 entry documents the
+    split)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 8_000_000, 1, 32).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("k"),
+        # bounded values: SUM over raw 64-bit hashes overflows ANSI
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).alias("v"),
+    )
+    return (
+        df.repartition(32, "k")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+    )
+
+
+# Queries whose sf0.1 plans are exchange-dominated (sort-merge joins,
+# wide aggs, windows over shuffled input) normalize by the shuffle
+# probe; expression/UDF-dominated plans (regex chains, HOF aggregates,
+# Arrow UDFs, broadcast-only joins) by the CPU probe. Chosen from the
+# EXPLAIN_AUDIT executed-exchange counts, documented in STRESS.md r14.
+SHUFFLE_NORMALIZED = {
+    "impact_score",
+    "distinct_on",
+    "join_count",
+    "group_sum",
+    "agg_battery",
+    "anti_join",
+    "scd2_merge",
+    "window_tumbling",
+    "minhash_lsh_dedup",
+    "dedup_exact",
+    "substring_dedup",
+}
+
+
 def _gc_settle(spark) -> None:
     """Deterministic storage reclaim between headline entries.
 
@@ -219,6 +265,21 @@ def main() -> None:
     }
     _gc_settle(spark)
 
+    # second probe (round 14): same discipline, one real exchange
+    shuf_q = _calibration_shuffle(spark)
+    shuf_q.write.format("noop").mode("overwrite").save()
+    shuf_samples = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        shuf_q.write.format("noop").mode("overwrite").save()
+        shuf_samples.append(time.perf_counter() - t0)
+    calibration_shuffle = {
+        "median": round(statistics.median(shuf_samples), 3),
+        "min": round(min(shuf_samples), 3),
+        "max": round(max(shuf_samples), 3),
+    }
+    _gc_settle(spark)
+
     result = {
         "metric": "headline_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -231,6 +292,9 @@ def main() -> None:
         # fixed-work CPU probe for cross-round ambient normalization
         # (constant seed, no repo code path) — NOT in `value`
         "calibration": calibration,
+        # fixed-work shuffle probe (round 14): the exchange-bound
+        # ambient axis the CPU probe cannot see — NOT in `value`
+        "calibration_shuffle": calibration_shuffle,
         "sf": sf,
         "mode": f"steady_state_median{passes}",
     }
@@ -259,6 +323,14 @@ def main() -> None:
                 if ref_cal and calibration["median"] > 0
                 else 1.0
             )
+            # exchange-bound queries normalize by the shuffle probe
+            # (round 14); missing pin -> fall back to the CPU ratio
+            ref_shuf = ref.get("calibration_shuffle")
+            cal_ratio_shuffle = (
+                calibration_shuffle["median"] / ref_shuf
+                if ref_shuf and calibration_shuffle["median"] > 0
+                else cal_ratio
+            )
             ratios: dict[str, float] = {}
             ratios_normalized: dict[str, float] = {}
             for name, secs in timings.items():
@@ -266,7 +338,9 @@ def main() -> None:
                 if not base:
                     continue
                 raw = secs / base
-                norm = raw / cal_ratio
+                norm = raw / (
+                    cal_ratio_shuffle if name in SHUFFLE_NORMALIZED else cal_ratio
+                )
                 ratios[name] = round(raw, 3)
                 ratios_normalized[name] = round(norm, 3)
                 if norm > limit:
@@ -279,6 +353,7 @@ def main() -> None:
             result["ratios"] = ratios
             result["ratios_normalized"] = ratios_normalized
             result["calibration_ratio"] = round(cal_ratio, 3)
+            result["calibration_ratio_shuffle"] = round(cal_ratio_shuffle, 3)
             result["regressions"] = regressions
             for name, r in regressions.items():
                 print(

@@ -21,6 +21,10 @@ def test_reference_covers_headline_set():
     assert ref["sf"] == 0.1
     assert 1.0 < ref["ratio_limit"] <= 2.0
     assert all(v > 0 for v in ref["queries"].values())
+    # round 14: both probes pinned, and the shuffle-normalized set
+    # stays a subset of the headline queries
+    assert ref["calibration"] > 0 and ref["calibration_shuffle"] > 0
+    assert set(bench.SHUFFLE_NORMALIZED) <= set(bench.HEADLINE)
 
 
 def test_bench_emits_per_query_spread(monkeypatch, capsys):
@@ -69,8 +73,9 @@ def test_bench_emits_per_query_spread(monkeypatch, capsys):
     # bench prefers EXTRA (bench-local callables) over the registry;
     # empty it so every headline name resolves to the stub above
     monkeypatch.setattr(bench_mod, "EXTRA", {})
-    # the calibration probe needs a real spark.range — stub it too
+    # the calibration probes need a real spark.range — stub them too
     monkeypatch.setattr(bench_mod, "_calibration", lambda spark: _FakeDF())
+    monkeypatch.setattr(bench_mod, "_calibration_shuffle", lambda spark: _FakeDF())
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "2")
     bench_mod.main()
 
@@ -85,9 +90,13 @@ def test_bench_emits_per_query_spread(monkeypatch, capsys):
     cal = result["calibration"]
     assert cal["min"] <= cal["median"] <= cal["max"]
     assert "calibration" not in result["queries"]
+    # round 14: the shuffle probe rides the same contract
+    shuf = result["calibration_shuffle"]
+    assert shuf["min"] <= shuf["median"] <= shuf["max"]
+    assert "calibration_shuffle" not in result["queries"]
     assert abs(result["value"] - round(sum(result["queries"].values()), 3)) < 1e-6
     # every headline query actually EXECUTED (warmup + measured
     # passes) — without this, a bench that emitted spreads while
     # skipping execution entirely would pass (round-9 test-review);
-    # +1 for the calibration probe's own warmup + passes
-    assert calls["n"] == (len(bench_mod.HEADLINE) + 1) * 3  # 1 warmup + 2 passes
+    # +2 for the two calibration probes' own warmup + passes
+    assert calls["n"] == (len(bench_mod.HEADLINE) + 2) * 3  # 1 warmup + 2 passes
