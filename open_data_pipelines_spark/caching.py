@@ -60,8 +60,13 @@ from pyspark.sql import DataFrame
 # Session-cumulative is deliberate and conservative: any no-op'd
 # frame MAY later be composed with any other; resetting between
 # "constructions" would need a boundary the library cannot see.
-_NOCKPT_LIMIT = int(os.environ.get("SPARK_GRAFT_NO_CKPT_WARN_LIMIT", "32"))
 _nockpt_state = {"blowup": 1, "points": 0, "warned": False}
+
+
+def _nockpt_limit() -> int:
+    # read per call, like the sibling kill switch — a limit set after
+    # import must take effect (round-14 review)
+    return int(os.environ.get("SPARK_GRAFT_NO_CKPT_WARN_LIMIT", "32"))
 
 
 class CheckpointFreeDepthWarning(UserWarning):
@@ -77,7 +82,7 @@ def _reset_checkpoint_free_estimate() -> None:
 def _note_checkpoint_free(consumers: int) -> None:
     _nockpt_state["blowup"] *= max(consumers, 1)
     _nockpt_state["points"] += 1
-    if _nockpt_state["blowup"] >= _NOCKPT_LIMIT and not _nockpt_state["warned"]:
+    if _nockpt_state["blowup"] >= _nockpt_limit() and not _nockpt_state["warned"]:
         _nockpt_state["warned"] = True
         warnings.warn(
             "SPARK_GRAFT_NO_INTERNAL_CHECKPOINT is set and this session has "

@@ -466,36 +466,43 @@ def lang_pandas_predictor(model: LangClassifier, min_ngrams: int = 1):
                 doc_pos.append(j)
         if docs:
             lens = np.fromiter((len(t) for t in docs), dtype=np.int64)
-            # one codepoint array for the whole batch; 1-char joiners
-            # keep doc offsets addressable and boundary-crossing
-            # windows are simply never selected
-            codes = np.frombuffer(
-                "\x00".join(docs).encode("utf-32-le", "surrogatepass"),
-                dtype="<u4",
-            )
-            windows = np.lib.stride_tricks.sliding_window_view(codes, n)
-            totals = lens - n + 1
-            starts = np.zeros(len(docs), dtype=np.int64)
-            starts[1:] = np.cumsum(lens[:-1] + 1)
-            win_doc = np.repeat(np.arange(len(docs)), totals)
-            offs = np.cumsum(totals) - totals
-            in_doc = np.arange(int(totals.sum())) - np.repeat(offs, totals)
-            keys = (
-                np.ascontiguousarray(windows[np.repeat(starts, totals) + in_doc])
-                .view(f"V{nbytes}")
-                .ravel()
-            )
-            if V:
-                pos = np.searchsorted(vocab_keys, keys)
-                clamped = np.minimum(pos, V - 1)
-                rows = np.where(vocab_keys[clamped] == keys, clamped, V)
-            else:
-                rows = np.zeros(len(keys), dtype=np.int64)
+            # window counts CLAMPED at 0: with min_ngrams <= 0 a doc
+            # shorter than n is legitimately admitted and scores as
+            # priors-only (the scalar form's empty loop — round-14
+            # review caught sliding_window_view raising here)
+            totals = np.maximum(lens - n + 1, 0)
             scores = np.tile(priors, (len(docs), 1))
-            for li in range(nl):
-                scores[:, li] += np.bincount(
-                    win_doc, weights=mfull[rows, li], minlength=len(docs)
+            if int(totals.sum()) > 0:
+                # one codepoint array for the whole batch; 1-char
+                # joiners keep doc offsets addressable and boundary-
+                # crossing windows are simply never selected
+                codes = np.frombuffer(
+                    "\x00".join(docs).encode("utf-32-le", "surrogatepass"),
+                    dtype="<u4",
                 )
+                windows = np.lib.stride_tricks.sliding_window_view(codes, n)
+                starts = np.zeros(len(docs), dtype=np.int64)
+                starts[1:] = np.cumsum(lens[:-1] + 1)
+                win_doc = np.repeat(np.arange(len(docs)), totals)
+                offs = np.cumsum(totals) - totals
+                in_doc = np.arange(int(totals.sum())) - np.repeat(offs, totals)
+                keys = (
+                    np.ascontiguousarray(
+                        windows[np.repeat(starts, totals) + in_doc]
+                    )
+                    .view(f"V{nbytes}")
+                    .ravel()
+                )
+                if V:
+                    pos = np.searchsorted(vocab_keys, keys)
+                    clamped = np.minimum(pos, V - 1)
+                    rows = np.where(vocab_keys[clamped] == keys, clamped, V)
+                else:
+                    rows = np.zeros(len(keys), dtype=np.int64)
+                for li in range(nl):
+                    scores[:, li] += np.bincount(
+                        win_doc, weights=mfull[rows, li], minlength=len(docs)
+                    )
             # batch tie-break: max(struct(score, label)) -> among tied
             # scores the lexicographically LARGER label wins; labels
             # is sorted, so take the LAST argmax

@@ -1229,10 +1229,14 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines: each is NULL on the other branch, and
     nullable-int-to-float pandas coercion differs between the engines'
     drivers (counts here are far below 2^53, so double is exact)."""
+    from ..caching import lazy_checkpoint
     from ..operators.corpus_diff import corpus_diff
     from ..operators.report import corpus_report
 
-    docs = _docs(spark, sf_dir)
+    # one checkpointed scan feeds the three release branches; the
+    # assembled new release feeds two consumers (diff + datasheet) —
+    # the funnel's round-9 reuse discipline (round-14 review)
+    docs = lazy_checkpoint(_docs(spark, sf_dir), consumers=3)
     old = docs.select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 11 != 0).select(
         "doc_id", F.expr(_DIFF_MOD_SQL).alias("text"), "lang", "source"
@@ -1244,7 +1248,7 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     dup = base.filter(F.col("doc_id") % 13 == 5)
-    new = base.unionByName(added).unionByName(dup)
+    new = lazy_checkpoint(base.unionByName(added).unionByName(dup))
     diff = corpus_diff(old, new.select("doc_id", "text"))
     sheet = corpus_report(new, exact=True)
     null_s = F.lit(None).cast("string")

@@ -389,8 +389,31 @@ def read_webdataset(
     same pass; no shuffle at all unless a sample's members straddle
     shards, which the writer never produces (keys are hash-assigned
     whole). An empty published dataset (manifest with zero shards)
-    reads as an empty frame."""
+    reads as an empty frame.
+
+    Factory-claimed schemes (``SPARK_GRAFT_WDS_FS_FACTORY``) are
+    WRITE/manifest-side only: shard loading goes through Spark's JVM
+    ``binaryFile`` source, which resolves paths via Hadoop
+    filesystems the Python factory can never provide — the reader
+    fails loudly up front rather than passing the manifest check and
+    then dying inside the scan with a bare 'No FileSystem for
+    scheme' (round-14 review)."""
+    import importlib
+    import os as _os
+
     import pandas as pd
+
+    reader_factory = _os.environ.get("SPARK_GRAFT_WDS_FS_FACTORY")
+    if reader_factory:
+        mod, _, fn = reader_factory.partition(":")
+        if getattr(importlib.import_module(mod), fn)(in_dir) is not None:
+            raise ValueError(
+                f"{in_dir}: scheme is claimed by SPARK_GRAFT_WDS_FS_FACTORY, "
+                "which only the WRITE path can use — read_webdataset loads "
+                "shards through the JVM binaryFile source (Hadoop "
+                "filesystems). Read the dataset from a JVM-resolvable URI "
+                "(file://, s3a://, hdfs://...) instead."
+            )
 
     fs, base = _fs_and_path(in_dir)
     base = base.rstrip("/")

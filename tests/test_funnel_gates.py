@@ -45,10 +45,13 @@ def _gate_input(planted):
     from open_data_pipelines_spark.operators.html_text import html_to_text
     from open_data_pipelines_spark.operators.text_norm import with_normalized_text
 
+    # form=None mirrors prepare_corpus(unicode_form=None): the funnel
+    # never runs the NFC pass, so neither may the margin pin's input
     return with_normalized_text(
         planted.withColumn("text", html_to_text("text")),
         "text",
         fix_encoding=True,
+        form=None,
     )
 
 

@@ -364,3 +364,39 @@ def test_grouped_shape_matches_pivot(spark, docs, model):
             assert g_s is None
         else:
             assert g_s == pytest.approx(s, rel=1e-9)
+
+
+def test_pandas_predictor_short_doc_edges(spark):
+    """Round-14 review: with min_ngrams <= 0 a doc shorter than n is
+    legitimately admitted and must score as priors-only (the scalar
+    form's empty loop) — the first vectorized form crashed
+    sliding_window_view on an all-short batch. Scalar semantics:
+    total = len - n + 1 may be NEGATIVE; total < min_ngrams -> 'und',
+    otherwise zero windows -> priors argmax."""
+    from open_data_pipelines_spark.operators.lang_classifier import (
+        lang_pandas_predictor,
+    )
+
+    m = fit_lang_classifier(_multilingual(spark), "text", "lang", n=3, vocab_size=256)
+    prior_argmax = max(m.labels, key=lambda l: (m.priors[l], l))
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a"), (4, "ab"), (5, "le chat est sur la table")],
+        "doc_id int, text string",
+    )
+    p0 = lang_pandas_predictor(m, min_ngrams=0)
+    got0 = {
+        r.doc_id: r.p
+        for r in df.select("doc_id", p0(F.col("text")).alias("p")).collect()
+    }
+    # None -> und; ""/"a" have total < 0 < min_ngrams -> und;
+    # "ab" has total == 0 == min_ngrams -> priors argmax
+    assert got0[1] == "und" and got0[2] == "und" and got0[3] == "und"
+    assert got0[4] == prior_argmax
+    assert got0[5] == "fr"
+    # an ALL-short batch (zero windows anywhere) must not crash
+    short = spark.createDataFrame([(1, "a"), (2, "bc")], "doc_id int, text string")
+    got_s = {
+        r.doc_id: r.p
+        for r in short.select("doc_id", p0(F.col("text")).alias("p")).collect()
+    }
+    assert got_s == {1: "und", 2: prior_argmax}

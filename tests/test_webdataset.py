@@ -446,3 +446,27 @@ def test_mock_object_store_takes_remote_branch(spark, tmp_path):
             write_webdataset(frame, uri, "sample_key", {"text": "txt"})
         finally:
             os.environ.pop("SPARK_GRAFT_WDS_FS_FACTORY", None)
+
+
+def test_reader_refuses_factory_claimed_scheme(spark, tmp_path):
+    """The factory seam is write/manifest-side only — shard loading
+    goes through the JVM binaryFile source, which a Python factory
+    can never serve. The reader must refuse UP FRONT (round-14
+    review: it used to pass the manifest check then die inside the
+    scan with a bare 'No FileSystem for scheme')."""
+    from open_data_pipelines_spark.sinks.webdataset import read_webdataset
+
+    frame = _frame(spark)
+    root = tmp_path / "store"
+    root.mkdir()
+    uri = f"mockremote://{root}!ds"
+    os.environ["SPARK_GRAFT_WDS_FS_FACTORY"] = "tests.wds_mock_fs:factory"
+    try:
+        write_webdataset(frame, uri, "sample_key", {"text": "txt"}, n_shards=3)
+        with pytest.raises(ValueError, match="JVM binaryFile"):
+            read_webdataset(spark, uri)
+    finally:
+        os.environ.pop("SPARK_GRAFT_WDS_FS_FACTORY", None)
+    # the same bytes ARE readable through a JVM-resolvable path
+    got = read_webdataset(spark, str(root / "ds"))
+    assert got.count() == frame.count()

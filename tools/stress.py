@@ -1558,8 +1558,8 @@ def lang_classifier_scenario(sizes=(100_000, 400_000, 1_600_000)) -> None:
     # round 14 (VERDICT r13 #4): label-cardinality scale point — a
     # CCNet-realistic 64-label model grows the pivoted aggregation to
     # 128 aggregate columns; prove µs/row stays in the same regime and
-    # the one-shuffle shape holds (plan pinned in
-    # tests/test_lang_classifier.py::test_many_label_pivot_holds)
+    # the grouped two-exchange shape holds (plan pinned in
+    # tests/test_lang_classifier.py::test_many_label_grouped_shape)
     n_labels = 64
     big_langs = [f"l{i:02d}" for i in range(n_labels)]
 
