@@ -70,6 +70,8 @@ def strip_boilerplate_lines(
     id_col: str,
     min_docs: int = 3,
     broadcast_boilerplate: bool = True,
+    method: str = "auto",
+    max_inline_fps: int = 4096,
 ) -> DataFrame:
     """Remove every line appearing in >= ``min_docs`` distinct docs and
     reassemble the remaining lines in order. Schema preserved; docs
@@ -80,13 +82,59 @@ def strip_boilerplate_lines(
     (round 12 — dropping them degraded html+boilerplate+paragraph
     runs to whole-document dedup granularity).
 
+    ``method`` (round 14): ``"filter"`` strips ROW-LOCALLY — the
+    boilerplate fingerprints (dim-sized by construction: heavy-hitter
+    lines) are collected once and each document's lines are filtered
+    with an array HOF, so after the one unavoidable counting
+    aggregation there is NO anti-join, NO per-line reassembly shuffle
+    and NO rebuilt-corpus join back onto ``df`` (the join path pays
+    all three; at sf0.1 the swap cut the funnel's boilerplate stage
+    ~2x). ``"join"`` is the former shape — anti-join + groupBy
+    reassembly — kept for fingerprint sets too big to inline.
+    ``"auto"`` (default) collects up to ``max_inline_fps`` + 1
+    fingerprints and picks ``filter`` when the set fits, else
+    ``join``. Both produce identical text for every document
+    (equality-pinned in tests/test_boilerplate.py).
+
     ``broadcast_boilerplate=True`` (default) broadcasts the offending
-    fingerprint set — correct while boilerplate stays dim-sized, which
-    heavy-hitter lines are by construction. Set False at extreme
-    corpus diversity to force the shuffle anti-join (same semantics,
-    one more keyed exchange) — mirroring the decontamination
-    operator's broadcast/shuffle flag.
+    fingerprint set on the JOIN path — correct while boilerplate stays
+    dim-sized. Set False at extreme corpus diversity to force the
+    shuffle anti-join (same semantics, one more keyed exchange) —
+    mirroring the decontamination operator's broadcast/shuffle flag.
     """
+    if method not in ("auto", "filter", "join"):
+        raise ValueError(f"unknown method {method!r}")
+    if method != "join":
+        fps = _boilerplate_fps(
+            _line_rows(df, text_col, id_col), id_col, min_docs
+        ).select("line_fp")
+        head = [r.line_fp for r in fps.limit(max_inline_fps + 1).collect()]
+        if len(head) <= max_inline_fps:
+            # complete set (the limit was not hit) — strip row-locally
+            lines = F.split(F.col(text_col), r"\n")
+            if head:
+                # one InSet membership test per line; md5('') is never
+                # in the set (_boilerplate_fps counts non-blank norms
+                # only), so blank paragraph boundaries always survive
+                kept = F.filter(
+                    lines,
+                    lambda l: ~F.md5(normalize_text(l)).isin(*head),
+                )
+            else:
+                kept = lines
+            new_text = F.coalesce(F.array_join(kept, "\n"), F.lit(""))
+            return df.select(
+                *[
+                    new_text.alias(text_col) if c == text_col else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        if method == "filter":
+            raise ValueError(
+                f"method='filter' but > {max_inline_fps} boilerplate "
+                "fingerprints — use method='join' (or raise max_inline_fps)"
+            )
+        # auto + oversized set: fall through to the join path
     # ONE line-explode shared by the audit aggregation and the
     # anti-join side — lazily checkpointed so the explode+fingerprint
     # pass over the corpus executes once, not twice (blocks reclaimed

@@ -166,3 +166,52 @@ def test_strip_identity_when_nothing_shared(spark):
             assert out[i] == expected, (i, out[i], expected)
 
     run()
+
+
+def test_filter_and_join_methods_agree(spark):
+    """Round 14: the row-local HOF strip must produce IDENTICAL text
+    to the anti-join + reassembly shape for every document, including
+    blank-line preservation, all-boilerplate docs, NULL text, and the
+    no-boilerplate corpus."""
+    rows = [
+        (1, "Accept Cookies\nreal body one\n\nmore text"),
+        (2, "Accept Cookies\nreal body two"),
+        (3, "Accept Cookies\nreal body three\nAccept Cookies"),
+        (4, "Accept Cookies"),          # all-boilerplate -> ''
+        (5, None),                       # NULL -> ''
+        (6, "unique only\n\ntrailer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(df, "text", "doc_id", method="filter").collect()
+    }
+    b = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(df, "text", "doc_id", method="join").collect()
+    }
+    assert a == b
+    assert a[4] == "" and a[5] == ""
+    assert a[1] == "real body one\n\nmore text"  # blank line kept
+
+    # no boilerplate at all: both methods are the identity (mod NULL->'')
+    clean = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id int, text string"
+    )
+    fa = {r.doc_id: r.text for r in strip_boilerplate_lines(clean, "text", "doc_id", method="filter").collect()}
+    ja = {r.doc_id: r.text for r in strip_boilerplate_lines(clean, "text", "doc_id", method="join").collect()}
+    assert fa == ja == {1: "a\nb", 2: ""}
+
+    # auto with a tiny cap falls back to the join path (same output);
+    # an explicit filter request on an oversized set fails loud
+    import pytest as _pytest
+
+    auto_small = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, "text", "doc_id", method="auto", max_inline_fps=0
+        ).collect()
+    }
+    assert auto_small == a
+    with _pytest.raises(ValueError, match="boilerplate"):
+        strip_boilerplate_lines(df, "text", "doc_id", method="filter", max_inline_fps=0)
