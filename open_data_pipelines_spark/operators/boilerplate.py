@@ -110,7 +110,15 @@ def strip_boilerplate_lines(
         ).select("line_fp")
         head = [r.line_fp for r in fps.limit(max_inline_fps + 1).collect()]
         if len(head) <= max_inline_fps:
-            # complete set (the limit was not hit) — strip row-locally
+            # complete set (the limit was not hit) — strip row-locally.
+            # The HOF is CodegenFallback (interpreted), so an under-
+            # partitioned input would serialize the whole strip onto
+            # one core — a hazard the join path never had because its
+            # shuffles re-spread implicitly (the lang_classifier._spread
+            # rule); the guard is a no-op on well-partitioned corpora
+            target = df.sparkSession.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
             lines = F.split(F.col(text_col), r"\n")
             if head:
                 # one InSet membership test per line; md5('') is never
