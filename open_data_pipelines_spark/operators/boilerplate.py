@@ -96,6 +96,17 @@ def strip_boilerplate_lines(
     ``join``. Both produce identical text for every document
     (equality-pinned in tests/test_boilerplate.py).
 
+    EAGER at construction for ``method != "join"``: the fingerprint
+    probe is a Spark job (a ``collect``), so calling this function
+    executes the whole upstream plan BEFORE any action on the result
+    — unlike the join path, which computes the set lazily at first
+    action. Freezing the set at construction time is also a
+    semantics choice: the stripped text is pinned to the corpus as
+    seen NOW, not re-derived per downstream action. Callers that
+    only need the unexecuted plan (explain/audit paths, or deep
+    checkpoint-free compositions where the upstream compile itself
+    is the cost) should pass ``method="join"``.
+
     ``broadcast_boilerplate=True`` (default) broadcasts the offending
     fingerprint set on the JOIN path — correct while boilerplate stays
     dim-sized. Set False at extreme corpus diversity to force the

@@ -269,7 +269,33 @@ def predict_language(
         c_id, c_total, F.explode_outer(char_ngrams(c_t, model.n)).alias("__g")
     ).join(model_df, "__g", "left")
 
-    if len(model.labels) <= pivot_max_labels:
+    use_pivot = len(model.labels) <= pivot_max_labels
+    if not use_pivot:
+        # Grouped-shape precondition (round-15 review): the closed-form
+        # absent-label maximum is the true per-label score ONLY if every
+        # stored (gram, label) log-prob >= that label's unknown-bucket
+        # log-prob — guaranteed for fit_lang_classifier output (counts
+        # >= 1 under a shared denominator) but NOT for an arbitrary
+        # table handed to LangClassifier.from_dict. A violating model
+        # would silently mispredict here while the pivot shape scores it
+        # exactly, so fall back to the pivot (correct at any table) and
+        # say why. Pure-Python scan of the broadcast-sized table — no
+        # Spark job.
+        if any(p < model.unk[l] for (_g, l), p in model.table.items()):
+            import warnings
+
+            warnings.warn(
+                "predict_language: model table has a (gram, label) "
+                "log-prob below that label's unk log-prob, so the "
+                "grouped scoring shape's absent-label closed form is "
+                "invalid for this model; falling back to the pivot "
+                "shape (exact for any table, slower above "
+                f"pivot_max_labels={pivot_max_labels} labels)",
+                stacklevel=2,
+            )
+            use_pivot = True
+
+    if use_pivot:
         aggs = [F.first(c_total).alias(c_total)]
         for i, lbl in enumerate(model.labels):
             is_l = F.col("__lbl") == lbl

@@ -327,13 +327,16 @@ def prepare_corpus(
         # line-level boilerplate removal (C4/RefinedWeb) MUST run on
         # raw text: the normalize stage below collapses newlines, so
         # line structure only exists here.
-        # BOTH observations ride the strip OUTPUT: the strip's internal
-        # line-explode localCheckpoint would swallow an observation
-        # attached to its input (the RDD materialization bypasses SQL
-        # observed-metrics — an input observe silently read 0, round-8
-        # find), and the strip is row-preserving by construction (left
-        # join back to every input id; all-boilerplate docs come back
-        # with empty text), so input count == stripped count exactly.
+        # BOTH observations ride the strip OUTPUT. Output-side is
+        # correct for EITHER method the strip picks, but for different
+        # reasons: the default filter path is a row-local projection
+        # (one output row per input row trivially), while the join
+        # path's internal line-explode localCheckpoint would swallow an
+        # observation attached to its INPUT (the RDD materialization
+        # bypasses SQL observed-metrics — an input observe silently
+        # read 0, round-8 find) and preserves rows via the left join
+        # back to every input id (all-boilerplate docs come back with
+        # empty text). Either way input count == stripped count.
         stripped = strip_boilerplate_lines(
             docs, "text", "doc_id", min_docs=boilerplate_min_docs
         )

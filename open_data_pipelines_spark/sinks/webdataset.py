@@ -57,6 +57,22 @@ from pyspark.sql import functions as F
 __all__ = ["read_webdataset", "write_webdataset"]
 
 
+def _load_factory(factory: str):
+    """Import 'module:callable', re-raising failures with the env var
+    named — a broken factory should implicate its configuration, not
+    read as a mystery ImportError inside a dataset read."""
+    import importlib
+
+    mod, _, fn = factory.partition(":")
+    try:
+        return getattr(importlib.import_module(mod), fn)
+    except Exception as exc:  # noqa: BLE001 — context, then re-raise
+        raise RuntimeError(
+            f"SPARK_GRAFT_WDS_FS_FACTORY={factory!r} could not be "
+            "imported; unset the env var or fix the factory module"
+        ) from exc
+
+
 def _fs_and_path(path: str, factory: str | None = None):
     """(pyarrow FileSystem, in-filesystem path) for ``path``'s own
     scheme. Executor-safe: Python workers have no py4j gateway, so
@@ -76,16 +92,21 @@ def _fs_and_path(path: str, factory: str | None = None):
     closure, and the worker imports the factory itself. This is both
     the seam for schemes pyarrow lacks a client for and what lets the
     remote (atomic-at-close, no-rename) branch be integration-tested
-    without an object store (tests/wds_mock_fs.py)."""
-    import importlib
+    without an object store (tests/wds_mock_fs.py).
+
+    The factory is consulted ONLY for '://'-schemed paths (round-15
+    review): a factory exists to claim schemes pyarrow can't resolve,
+    so a stale/unimportable factory name must not break plain local
+    paths it could never serve; when it IS consulted and fails to
+    import, the error names the env var instead of surfacing as a
+    bare ImportError unrelated to the dataset."""
     import os
 
     from pyarrow import fs as pafs
 
     factory = factory or os.environ.get("SPARK_GRAFT_WDS_FS_FACTORY")
-    if factory:
-        mod, _, fn = factory.partition(":")
-        got = getattr(importlib.import_module(mod), fn)(path)
+    if factory and "://" in path:
+        got = _load_factory(factory)(path)
         if got is not None:
             return got
     if "://" in path:
@@ -398,15 +419,17 @@ def read_webdataset(
     fails loudly up front rather than passing the manifest check and
     then dying inside the scan with a bare 'No FileSystem for
     scheme' (round-14 review)."""
-    import importlib
     import os as _os
 
     import pandas as pd
 
     reader_factory = _os.environ.get("SPARK_GRAFT_WDS_FS_FACTORY")
-    if reader_factory:
-        mod, _, fn = reader_factory.partition(":")
-        if getattr(importlib.import_module(mod), fn)(in_dir) is not None:
+    # a factory can only ever claim a '://'-schemed URI, so plain
+    # local paths skip the probe entirely — a stale/unimportable
+    # factory module must not break reads it could never serve
+    # (round-15 review)
+    if reader_factory and "://" in in_dir:
+        if _load_factory(reader_factory)(in_dir) is not None:
             raise ValueError(
                 f"{in_dir}: scheme is claimed by SPARK_GRAFT_WDS_FS_FACTORY, "
                 "which only the WRITE path can use — read_webdataset loads "

@@ -400,3 +400,53 @@ def test_pandas_predictor_short_doc_edges(spark):
         for r in short.select("doc_id", p0(F.col("text")).alias("p")).collect()
     }
     assert got_s == {1: "und", 2: prior_argmax}
+
+
+def test_grouped_shape_invalid_table_falls_back(spark):
+    """Round-15 review: the grouped shape's closed-form absent-label
+    maximum assumes every stored (gram, label) log-prob >= that
+    label's unk log-prob. A from_dict model violating it (possible
+    for externally-built tables; impossible for fit_lang_classifier
+    output) would silently mispredict in the grouped shape —
+    predict_language must detect the violation, warn, and fall back
+    to the exact pivot shape."""
+    p0 = math.log(0.5)
+    m = LangClassifier.from_dict(
+        {
+            "n": 2,
+            "labels": ["en", "fr"],
+            "priors": {"en": p0, "fr": p0},
+            # en's stored gram log-prob (-20) is BELOW its unk (-1):
+            # the grouped absent-formula would credit en with p0-1 and
+            # steal the argmax from fr's true p0-2
+            "unk": {"en": -1.0, "fr": -3.0},
+            "table": [["ab", "en", -20.0], ["ab", "fr", -2.0]],
+        }
+    )
+    df = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
+    with pytest.warns(UserWarning, match="grouped scoring shape"):
+        got = predict_language(
+            df, m, "text", "doc_id", ids_only=True, score_col="s",
+            pivot_max_labels=0,
+        ).collect()
+    assert got[0].pred_lang == "fr"
+    assert got[0].s == pytest.approx(p0 - 2.0, rel=1e-12)
+    # a VALID table (every stored logp >= unk) still takes the grouped
+    # shape silently at the same pivot_max_labels
+    ok = LangClassifier.from_dict(
+        {
+            "n": 2,
+            "labels": ["en", "fr"],
+            "priors": {"en": p0, "fr": p0},
+            "unk": {"en": -21.0, "fr": -3.0},
+            "table": [["ab", "en", -20.0], ["ab", "fr", -2.0]],
+        }
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        got2 = predict_language(
+            df, ok, "text", "doc_id", ids_only=True, pivot_max_labels=0
+        ).collect()
+    assert got2[0].pred_lang == "fr"

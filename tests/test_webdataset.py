@@ -470,3 +470,28 @@ def test_reader_refuses_factory_claimed_scheme(spark, tmp_path):
     # the same bytes ARE readable through a JVM-resolvable path
     got = read_webdataset(spark, str(root / "ds"))
     assert got.count() == frame.count()
+
+
+def test_reader_probe_skips_local_paths_and_wraps_errors(spark, tmp_path):
+    """Round-15 review: the reader's factory probe runs on every read,
+    so a stale/unimportable SPARK_GRAFT_WDS_FS_FACTORY must not break
+    reads it could never serve. Schemeless local paths skip the probe
+    entirely; schemed paths that DO hit the broken factory fail with
+    the env var named, not a bare ImportError."""
+    from open_data_pipelines_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    frame = _frame(spark)
+    out = str(tmp_path / "ds")
+    write_webdataset(frame, out, "sample_key", {"text": "txt"}, n_shards=2)
+    os.environ["SPARK_GRAFT_WDS_FS_FACTORY"] = "no_such_module_xyz:factory"
+    try:
+        # local path: probe skipped, read succeeds despite the broken factory
+        assert read_webdataset(spark, out).count() == frame.count()
+        # schemed path: the probe fires, fails, and names the env var
+        with pytest.raises(RuntimeError, match="SPARK_GRAFT_WDS_FS_FACTORY"):
+            read_webdataset(spark, "mockremote://nowhere!ds")
+    finally:
+        os.environ.pop("SPARK_GRAFT_WDS_FS_FACTORY", None)
