@@ -690,6 +690,46 @@ _FUNNEL_MOJI_FIXED_SQL = "' café résumé'"
 _FUNNEL_LIST_HTML = "<ul><li>alpha &amp; beta</li><li>gamma</li></ul>"
 _FUNNEL_LIST_TEXT_SQL = "chr(10) || chr(10) || 'alpha & beta' || chr(10) || 'gamma'"
 
+# Round-15 fold: benchmark DECONTAMINATION joins the oracle row
+# (VERDICT r14 #1 — the last flagship curation operator with no
+# driver-oracle evidence). Residue 1 mod 23 docs get the full 8-token
+# benchmark span appended (exact 8-gram collision → the GPT-3/PaLM
+# rule DROPS them); residue 2 gets only the first SEVEN tokens — a
+# shared 7-gram but no shared 8-gram, the near-miss control that must
+# SURVIVE (a detector widened to 7-grams, or one matching on subset
+# rather than contiguous n-grams, would drop them and move the hash).
+# Span design (first draft failed): the first SEVEN tokens are common
+# harness-vocabulary words (31-word vocab, all in the bigram LM's
+# training split at every SF) so the injection is PERPLEXITY-NEUTRAL
+# — an all-synthetic span put 7-8 OOV unigrams into ~55-token docs
+# and the ppl tail bucket swallowed both branches before decon ever
+# saw them (measured: residues 1 AND 2 were empty even with decon
+# off, i.e. the stage guarded nothing). Only the EIGHTH token is
+# synthetic (leakq8): residue-2 docs carry zero OOV tokens, residue-1
+# exactly one (~0.1 nat on the doc average), and every one of the
+# benchmark's five 8-grams contains at least one synthetic token
+# (bquux*/leakq8), so no natural corpus text can collide with ANY
+# benchmark 8-gram — only the planted full-span docs drop. Injection
+# rides the pre-markup body exactly like the blockword plant, so
+# copies inherit shifted residues and every transformation downstream
+# (markup wrap, extraction, cleaning) is identically mirrored. The
+# benchmark set is three eval items: the leaking one (synthetic
+# bquux* context words — REAL words would let 'context+7-leak-token'
+# 8-grams contaminate the near-miss branch), a no-overlap control,
+# and a < n-token item whose shingle set is empty.
+_FUNNEL_LEAK_SPAN = "order hash window column part big value leakq8"
+_FUNNEL_LEAK_NEAR = " ".join(_FUNNEL_LEAK_SPAN.split()[:7])
+_FUNNEL_LEAK_SQL = f"""CASE
+  WHEN doc_id % 23 = 1 THEN text || ' {_FUNNEL_LEAK_SPAN}'
+  WHEN doc_id % 23 = 2 THEN text || ' {_FUNNEL_LEAK_NEAR}'
+  ELSE text END"""
+_FUNNEL_DECON_N = 8
+_FUNNEL_BENCH = (
+    (1, f"bquux0 bquux1 {_FUNNEL_LEAK_SPAN} bquux2 bquux3"),
+    (2, "unrelq0 unrelq1 unrelq2 unrelq3 unrelq4 unrelq5 unrelq6 unrelq7"),
+    (3, "too short"),
+)
+
 
 def funnel_planted_docs(spark: SparkSession, sf_dir: str):
     """(raw docs, planted funnel input) — the 4-branch union (raw +
@@ -734,6 +774,9 @@ def funnel_planted_docs(spark: SparkSession, sf_dir: str):
     )
     # blockword injection rides the pre-markup body (residues mod 13)
     planted = planted.withColumn("text", F.expr(_FUNNEL_BW_SQL))
+    # benchmark-leak injection (residues mod 23): 8-token exact span /
+    # 7-token near-miss — see _FUNNEL_LEAK_SQL (round-15 decon fold)
+    planted = planted.withColumn("text", F.expr(_FUNNEL_LEAK_SQL))
     # markup wrap: banner + body as paragraphs (the <p> boundaries
     # become the blank lines the boilerplate stage strips around), the
     # shifted branch ids are all ≡ 0 mod 8, so every copy inherits its
@@ -790,6 +833,18 @@ def funnel_lang_model(docs: DataFrame):
     )
 
 
+def funnel_benchmark(spark: SparkSession) -> DataFrame:
+    """The funnel's 3-item eval benchmark (see _FUNNEL_BENCH).
+    RDD-backed, not createDataFrame(list): a literal LocalRelation
+    would inline the benchmark rows into the logical plan, and in the
+    checkpoint-free expanded form the decon subtree is re-embedded
+    per consumer (the lang-model LogicalRDD rationale, round 13)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(_FUNNEL_BENCH), 1),
+        "bench_id int, text string",
+    )
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm_score import train_ngram_lm
     from ..plans.corpus_prep import prepare_corpus
@@ -816,6 +871,11 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         perplexity_lm=lm,
         perplexity_keep_buckets=_FUNNEL_PPL_BUCKETS,
         perplexity_bucket_exact=True,
+        # round-15 fold: n-gram benchmark decontamination runs INSIDE
+        # the driver row (planted 8-gram collisions drop, 7-gram
+        # near-misses survive — see _FUNNEL_LEAK_SQL / _FUNNEL_BENCH)
+        benchmark=funnel_benchmark(spark),
+        contamination_n=_FUNNEL_DECON_N,
         chunk_size=_FUNNEL_CHUNK,
         overlap=_FUNNEL_OVERLAP,
         # cap-free so the Spark algebra is EXACTLY the oracle SQL at
@@ -946,14 +1006,33 @@ _URL_GATE_SQL = f"""dom IS NOT NULL
     AND NOT regexp_matches(lower(url), '(^|[^a-z0-9])({_URL_BADWORD_ALT})([^a-z0-9]|$)')
     AND (CASE WHEN query IS NULL THEN 0 ELSE len(string_split(query, '&')) END) <= 12"""
 
+# word n-gram shingle mirror, n-generalized from _SHINGLES (the
+# minhash n=3 template above; same _TOKENS tokenization) — used by the
+# decontamination fold (operators/text_dedup.word_shingles semantics:
+# empty list below n tokens, inclusive DuckDB slice == Spark F.slice)
+def _shingle_n_sql(t: str, n: int) -> str:
+    toks = _TOKENS.format(t=t)
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
+_FUNNEL_BENCH_VALUES = ", ".join(
+    f"({i}, '{txt}')" for i, txt in _FUNNEL_BENCH
+)
+
 ORACLE_CORPUS_FUNNEL = f"""
 WITH RECURSIVE
 planted_base AS ({_FUNNEL_PLANTED_SQL}
   UNION ALL
 {_FUNNEL_ZZ_BRANCH_SQL}),
 planted_raw AS (SELECT doc_id, {_FUNNEL_BW_SQL} AS text FROM planted_base),
+planted_leak AS (SELECT doc_id, {_FUNNEL_LEAK_SQL} AS text FROM planted_raw),
 planted_url AS (
-  SELECT doc_id, text, {_FUNNEL_URL_SQL} AS url FROM planted_raw
+  SELECT doc_id, text, {_FUNNEL_URL_SQL} AS url FROM planted_leak
 ),
 url_parsed AS (
   SELECT doc_id, text, url, {_URL_HOST_SQL} AS host,
@@ -1176,16 +1255,41 @@ reach(node, lab) AS (
 ),
 comp AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node),
 drops AS (SELECT node AS doc_id FROM comp WHERE node != rep),
-survivors AS (
+survivors AS MATERIALIZED (
   SELECT e.* FROM ppl_kept e
   WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+-- benchmark decontamination mirror (operators/contamination
+-- .decontaminate, n={_FUNNEL_DECON_N}, max_rate=0.0): a surviving doc
+-- sharing ANY word {_FUNNEL_DECON_N}-gram with any benchmark item
+-- drops; the shingle template is the n-generalized form of the
+-- minhash _SHINGLES mirror (same tokenization). survivors is
+-- MATERIALIZED above because it now has three readers (DuckDB
+-- inlines plain CTEs per reference — the corpus_diff lesson).
+decon_bench AS (
+  SELECT * FROM (VALUES {_FUNNEL_BENCH_VALUES}) AS b(bench_id, btext)
+),
+decon_bsh AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({_shingle_n_sql('btext', _FUNNEL_DECON_N)}) AS s
+    FROM decon_bench
+  )
+),
+decon_bad AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({_shingle_n_sql('text', _FUNNEL_DECON_N)}) AS s
+    FROM survivors
+  ) WHERE s IN (SELECT s FROM decon_bsh)
+),
+decontaminated AS (
+  SELECT * FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM decon_bad)
 ),
 tokd AS (
   SELECT doc_id, lang, quality,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
               ELSE {_TOKENS.format(t='text')} END AS toks,
          text
-  FROM survivors
+  FROM decontaminated
 ),
 windowed AS (
   SELECT doc_id, lang, quality,

@@ -202,3 +202,61 @@ def test_zz_branch_passes_heuristic_gates(spark):
     assert checked
     assert all(r.lang == "en" for r in checked)
     assert all(r.q >= 0.5 for r in checked)
+
+
+def test_funnel_decon_load_bearing(spark):
+    """Round-15 fold: benchmark decontamination runs inside the
+    driver row. Pins the branch semantics the oracle hash rests on:
+    residue-1 mod 23 docs (full 8-token leak span appended → exact
+    8-gram collision with the benchmark) are GONE from the output;
+    residue-2 docs (first 7 tokens only → shared 7-gram, no shared
+    8-gram) SURVIVE — a detector that widened to 7-grams or matched
+    non-contiguous token subsets would drop them and move the hash.
+    Control run with decon off shows residue-1 docs would otherwise
+    reach the output (the load-bearing direction)."""
+    from open_data_pipelines_spark.operators.lm_score import train_ngram_lm
+    from open_data_pipelines_spark.plans.corpus_prep import prepare_corpus
+    from open_data_pipelines_spark.queries.text import (
+        _FUNNEL_BL_MIN_DOCS,
+        _FUNNEL_BLOCKLIST,
+        _FUNNEL_BLOCKWORDS,
+        _FUNNEL_CHUNK,
+        _FUNNEL_DECON_N,
+        _FUNNEL_KEEP_LANGS,
+        _FUNNEL_OVERLAP,
+        _FUNNEL_PPL_BUCKETS,
+        funnel_benchmark,
+        funnel_lang_model,
+    )
+
+    docs, planted = _planted(spark)
+    lm = train_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), "text")
+    model = funnel_lang_model(docs)
+    kwargs = dict(
+        docs=planted,
+        url_col="url", url_blocklist=_FUNNEL_BLOCKLIST, url_quality=True,
+        html=True, fix_encoding=True,
+        content_blocklist=_FUNNEL_BLOCKWORDS, lang_model=model,
+        keep_langs=_FUNNEL_KEEP_LANGS,
+        boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
+        perplexity_lm=lm, perplexity_keep_buckets=_FUNNEL_PPL_BUCKETS,
+        perplexity_bucket_exact=True,
+        chunk_size=_FUNNEL_CHUNK, overlap=_FUNNEL_OVERLAP,
+        max_bucket_size=None,
+    )
+    out = prepare_corpus(
+        spark, SF_SMOKE,
+        benchmark=funnel_benchmark(spark),
+        contamination_n=_FUNNEL_DECON_N,
+        **kwargs,
+    )
+    kept = out.groupBy((F.col("doc_id") % 23).alias("r")).count().collect()
+    by_res = {r.r: r["count"] for r in kept}
+    # every exact-overlap doc dropped, near-miss survivors present
+    assert by_res.get(1, 0) == 0
+    assert by_res.get(2, 0) > 0
+
+    # decon OFF: residue-1 docs reach the output (they pass every
+    # other gate by construction — the stage is load-bearing)
+    control = prepare_corpus(spark, SF_SMOKE, **kwargs)
+    assert control.filter(F.col("doc_id") % 23 == 1).count() > 0
