@@ -1680,7 +1680,141 @@ def domain_cap_scenario(n_rows: int = 4_000_000, n_domains: int = 200_000) -> No
     spark.stop()
 
 
+def relational_scale_scenario(factors=(1, 4, 16)) -> None:
+    """Round 15 (VERDICT r14 #2): growth pins for the relational
+    headline cohort — `agg_battery`, `group_sum`, `scd2_merge`, and
+    the `impact_score` DAG (the reference semantics:
+    impact_scores_england.sql, section_58.py). The LLM families have
+    16x curves; this cohort had only the sf0.1 bench point while its
+    normalized ratios drifted (1.16-1.25x).
+
+    For each growth factor the queries run through the normal
+    ``queries()`` surface on a key-shifted copy of sf0.1 (the
+    round-1 ``build`` machinery), and the scenario records BOTH the
+    per-fact-row cost (µs/row — flat or falling means linear scaling)
+    and the EXECUTED shuffle count from the status store (the
+    explain_audit counter). The plan-shape assertion is that the
+    executed shuffle count is CONSTANT in the growth factor: a
+    partition strategy that held at 1x but re-planned into extra
+    exchanges at 16x would show up here before it shows up on a
+    1000-executor cluster.
+    """
+    import __spark_entry__ as e
+    from tools.explain_audit import executed_shuffles
+
+    from open_data_pipelines_spark.session import get_spark
+
+    # dominant fact table per query: the per-row denominator
+    fact_of = {
+        "agg_battery": ("orders",),
+        "group_sum": ("lineitem",),
+        "scd2_merge": ("events",),
+        "impact_score": ("orders", "lineitem"),
+    }
+    spark = get_spark(
+        "stress-relational-scale", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    report = []
+    try:
+        for factor in factors:
+            dest = BASE if factor == 1 else f"/tmp/stress_rel_x{factor}"
+            if factor != 1:
+                from open_data_pipelines_spark.session import TESTDATA_TABLES
+
+                if not all(
+                    os.path.exists(os.path.join(dest, f"{t}.parquet"))
+                    for t in TESTDATA_TABLES
+                ):
+                    t0 = time.perf_counter()
+                    build(spark, factor, dest)
+                    print(
+                        f"built x{factor} in {time.perf_counter()-t0:.1f}s",
+                        file=sys.stderr,
+                    )
+            n_rows = {
+                t: spark.read.parquet(os.path.join(dest, f"{t}.parquet")).count()
+                for t in ("orders", "lineitem", "events")
+            }
+            for name in fact_of:
+                fn = qs[name]
+                fn(spark, dest).write.format("noop").mode("overwrite").save()  # warm
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                run, total = executed_shuffles(
+                    spark, fn, dest, f"relscale_{name}_x{factor}"
+                )
+                sec = round(time.perf_counter() - t0, 3)
+                plan = (
+                    fn(spark, dest)._jdf.queryExecution().executedPlan().toString()
+                )
+                denom = sum(n_rows[t] for t in fact_of[name])
+                report.append(
+                    {
+                        "query": name,
+                        "factor": factor,
+                        "fact_rows": denom,
+                        "sec": sec,
+                        "us_per_row": round(sec / denom * 1e6, 3),
+                        "executed_shuffles": run,
+                        "executed_total": total,
+                        "broadcast_joins": plan.count("BroadcastHashJoin"),
+                        "shuffle_joins": plan.count("SortMergeJoin")
+                        + plan.count("ShuffledHashJoin"),
+                    }
+                )
+                print(json.dumps(report[-1]), file=sys.stderr)
+    finally:
+        for factor in factors:
+            if factor != 1 and "--keep" not in sys.argv:
+                shutil.rmtree(f"/tmp/stress_rel_x{factor}", ignore_errors=True)
+    # plan-shape assertion: the executed exchange count never grows
+    # with the data EXCEPT through a broadcast->shuffle join-strategy
+    # flip (a scaled side crossing autoBroadcastJoinThreshold — the
+    # CORRECT adaptive behavior at growth: a fact-derived frame must
+    # not stay broadcast at 100 TB; measured on impact_score at x16,
+    # 4 -> 5 executed with 2 joins flipping to SortMergeJoin).
+    # Unexplained growth — more exchanges with the SAME join
+    # strategies — is the regression this scenario exists to catch.
+    shape_ok = True
+    for name in fact_of:
+        pts = sorted(
+            (r for r in report if r["query"] == name), key=lambda r: r["factor"]
+        )
+        base = pts[0]
+        for p in pts[1:]:
+            grew = p["executed_shuffles"] - base["executed_shuffles"]
+            flipped = p["shuffle_joins"] - base["shuffle_joins"]
+            if grew > 0 and flipped <= 0:
+                shape_ok = False
+                print(
+                    f"SHAPE REGRESSION {name}: x{p['factor']} executes "
+                    f"{p['executed_shuffles']} shuffles vs "
+                    f"{base['executed_shuffles']} at 1x with no join-strategy "
+                    "flip to explain it",
+                    file=sys.stderr,
+                )
+    print(
+        json.dumps(
+            {
+                "scenario": "relational_scale",
+                "base": "sf0.1",
+                "factors": list(factors),
+                "shape_constant": shape_ok,
+                "points": report,
+            }
+        )
+    )
+    spark.stop()
+    if not shape_ok:
+        sys.exit(1)
+
+
 def main() -> None:
+    if "--relational-scale" in sys.argv:
+        relational_scale_scenario()
+        return
     if "--domain-cap" in sys.argv:
         domain_cap_scenario()
         return
