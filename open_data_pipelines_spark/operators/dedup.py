@@ -14,8 +14,17 @@ the key. Prefer this over ``dropDuplicates`` when an explicit order
 matters, and always carry a total order (tiebreaker columns) — the
 reference relies on DuckDB's incidental first-row semantics, which is
 nondeterministic; we make determinism explicit (SURVEY.md §7 watch
-list). The window's sort is per-key (no global sort); AQE handles key
-skew.
+list). Skew posture (measured, STRESS.md round 15
+``--relational-skew``): the ``rn = 1`` filter compiles to a map-side
+WindowGroupLimit on Spark 4 (SPARK-37099) that pre-reduces every
+input partition to one row per key BEFORE the shuffle, so a zipf-hot
+key never concentrates — but that protection is pattern-matched to
+rank/row_number group-limit filters; general windows (running
+aggregates) have no such rescue and AQE does not split window
+partitions. :func:`top1_per_key_agg` is the algebraic twin whose
+immunity is structural (``max_by`` partial-aggregates map-side)
+rather than dependent on an optimizer rule recognizing the filter
+shape.
 """
 
 from __future__ import annotations
@@ -40,6 +49,36 @@ def top1_per_key(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def top1_per_key_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_struct: Column,
+) -> DataFrame:
+    """Skew-immune top-1-per-key: ``max_by(row, order_struct)``.
+
+    Value-identical to :func:`top1_per_key` with a DESCENDING total
+    order over the same columns (``max_by`` picks the row whose
+    ``order_struct`` is LARGEST under Spark's lexicographic struct
+    comparison — the caller encodes direction in the struct, e.g.
+    negate numerics for ascending fields). Equality on skewed keys is
+    pinned in tests/test_macros_salting.py.
+
+    Why it exists: the window form sorts each key's rows inside ONE
+    task and AQE cannot split a skewed window partition, so a key
+    holding 13% of a 100 TB table serializes 13 TB through one core.
+    This form is a plain hash aggregation — per-key state is a single
+    row, partial-aggregated map-side, so the hot key contributes one
+    row per map task to the shuffle regardless of its share. Column
+    order is preserved. Output partition count follows
+    ``spark.sql.shuffle.partitions``/AQE like any aggregation.
+    """
+    cols = df.columns
+    row = F.max_by(F.struct(*[F.col(c) for c in cols]), order_struct).alias("__r")
+    return df.groupBy(*[F.col(k) for k in keys]).agg(row).select(
+        *[F.col(f"__r.{c}").alias(c) for c in cols]
     )
 
 

@@ -50,7 +50,25 @@ def _latest_per_entity(
     entity_key: str,
     event_time: str,
     tiebreakers: Sequence[str],
+    via: str = "window",
 ) -> DataFrame:
+    """Latest staging row per entity. ``via="agg"`` swaps the
+    row_number window for the algebraic ``max_by`` twin
+    (:func:`..dedup.top1_per_key_agg`) — value-identical because the
+    order here is all-DESC (max of the (event_time, *tiebreakers)
+    struct IS the window's first row). Both forms measured flat under
+    a 13%-hot zipf key (STRESS.md round 15 ``--relational-skew``):
+    Spark 4's WindowGroupLimit pre-reduces the rn=1 window map-side,
+    and max_by partial-aggregates map-side. The agg form is the one
+    whose immunity doesn't hinge on the optimizer recognizing the
+    filter pattern."""
+    if via == "agg":
+        from .dedup import top1_per_key_agg
+
+        order = F.struct(
+            F.col(event_time), *[F.col(t) for t in tiebreakers]
+        )
+        return top1_per_key_agg(staging, [entity_key], order)
     order = [F.col(event_time).desc()] + [F.col(t).desc() for t in tiebreakers]
     return top1_per_key(staging, [entity_key], order)
 
@@ -62,9 +80,12 @@ def scd2_initial_load(
     attr_cols: Sequence[str],
     hash_cols: Sequence[str],
     tiebreakers: Sequence[str] = (),
+    dedup_via: str = "window",
 ) -> DataFrame:
-    """W2 dedup -> typed insert with validity window + change hash."""
-    latest = _latest_per_entity(staging, entity_key, event_time, tiebreakers)
+    """W2 dedup -> typed insert with validity window + change hash.
+    ``dedup_via="agg"`` is the skew-immune staging dedup (see
+    :func:`_latest_per_entity`)."""
+    latest = _latest_per_entity(staging, entity_key, event_time, tiebreakers, dedup_via)
     return latest.select(
         entity_key,
         *attr_cols,
@@ -84,8 +105,13 @@ def scd2_merge(
     attr_cols: Sequence[str],
     hash_cols: Sequence[str],
     tiebreakers: Sequence[str] = (),
+    dedup_via: str = "window",
 ) -> DataFrame:
     """Incremental merge -> new dimension snapshot (join-based rewrite).
+
+    ``dedup_via="agg"`` swaps the staging dedup window for the
+    algebraic ``max_by`` aggregation (see :func:`_latest_per_entity`);
+    value-identical, structurally skew-immune.
 
     Plan shape (round 8: the union branches used to re-run their
     shared subtrees — 9 shuffles in EXPLAIN_AUDIT): ``inc`` (consumed
@@ -97,7 +123,7 @@ def scd2_merge(
     to the caller, incl. the per-batch streaming wrapper).
     """
     inc = (
-        _latest_per_entity(staging, entity_key, event_time, tiebreakers)
+        _latest_per_entity(staging, entity_key, event_time, tiebreakers, dedup_via)
         .select(
             F.col(entity_key).alias("__k"),
             *[F.col(c).alias(f"__{c}") for c in attr_cols],

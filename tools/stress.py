@@ -1811,7 +1811,207 @@ def relational_scale_scenario(factors=(1, 4, 16)) -> None:
         sys.exit(1)
 
 
+def _task_spread(spark, group: str) -> dict:
+    """Worst-stage task-time spread for the job group: for each stage
+    the group ran, pull the executorRunTime distribution from the
+    status store and report the stage with the largest max task —
+    (median_ms, max_ms, n_tasks, skew = max/median). A serialized hot
+    key shows up as skew >> 1 on the reduce stage."""
+    import urllib.request
+
+    from tools.explain_audit import _rest
+
+    stage_ids: set[int] = set()
+    for job in _rest(spark, "jobs"):
+        if job.get("jobGroup") == group:
+            stage_ids.update(job["stageIds"])
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = []
+    for sid in sorted(stage_ids):
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/{sid}/0/taskSummary"
+                "?quantiles=0.0,0.5,1.0"
+            ) as r:
+                summ = json.load(r)
+        except Exception:
+            continue  # skipped stage (no tasks) has no summary
+        med, mx = summ["executorRunTime"][1], summ["executorRunTime"][2]
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages/{sid}?details=false"
+        ) as r:
+            st = json.load(r)[0]
+        stages.append({
+            "stage": sid,
+            "n_tasks": st["numCompleteTasks"],
+            "read_mb": st.get("shuffleReadBytes", 0) // (1 << 20),
+            "median_ms": round(med),
+            "max_ms": round(mx),
+            "skew": round(mx / max(med, 1.0), 1),
+        })
+    if not stages:
+        return {}
+    # the map-side scan can dominate max_ms while being perfectly
+    # even; the SKEW signal lives on whichever stage has the worst
+    # max/median ratio — report both views, plus the stage doing the
+    # shuffle-read work (for joins: the join stage itself)
+    out = {
+        "worst_by_max": max(stages, key=lambda s: s["max_ms"]),
+        "worst_by_skew": max(stages, key=lambda s: (s["skew"], s["max_ms"])),
+    }
+    readers = [s for s in stages if s.get("read_mb", 0) > 0]
+    if readers:
+        out["biggest_read"] = max(readers, key=lambda s: s["read_mb"])
+    return out
+
+
+def relational_skew_scenario(n_rows: int = 8_000_000) -> None:
+    """Round 15 (VERDICT r14 #3): a zipf(1.2)-hot entity key through
+    the merge/agg family, with measured task-time spread.
+
+    Key draw: inverse-CDF Pareto tail — ``k = ceil(u^-5)`` capped, so
+    P(K > x) = x^-0.2 (zipf exponent s = 1.2) and the hottest key
+    holds ~13% of all rows. Four measurements:
+
+    1. plain ``groupBy(key).sum`` — algebraic aggs partial-combine
+       map-side, so the hot key reaches the reducer as one partial per
+       map task; expected skew ~1 (salting NOT needed — the evidence
+       behind salted_sum's docstring).
+    2. ``salted_sum`` on the same input — same answer, one extra
+       shuffle; the escape for poor combine ratios / non-algebraic
+       states, priced here.
+    3. ``top1_per_key`` (row_number window — the scd2 staging dedup):
+       MEASURED SAFE on Spark 4 — the ``rn = 1`` filter compiles to a
+       map-side WindowGroupLimit (SPARK-37099) that pre-reduces every
+       input partition to one row per key before the shuffle, so the
+       hot key never concentrates. The protection is FILTER-SHAPED:
+       it exists only for rank/row_number group limits.
+    4. ``top1_per_key_agg`` (max_by) — the algebraic twin; same flat
+       spread, the form whose immunity doesn't depend on a
+       pattern-matched optimizer rule.
+    5. ``running_window`` — a running SUM over the hot key (no group
+       limit, so no WindowGroupLimit): the REAL window hazard. AQE
+       cannot split a window partition; the hot key's rows sort and
+       scan inside one task (measured skew ~5x at a 13% hot share).
+       The escape at scale is restructuring (two-pass prefix
+       aggregation) or pre-filtering — not a conf.
+
+    Plus the join axis: the skewed fact sort-merge-joined to a
+    non-broadcastable dim with AQE skew-join OFF vs ON
+    (skewedPartitionThresholdInBytes lowered to 8m for demo bytes;
+    the factor-5 test fires because hot-share x partition-count =
+    0.13 x 128 ≈ 16 — on a real cluster's thousands of partitions the
+    256 MB default fires without tuning). The join stage is the one
+    with the largest shuffle read; AQE splits the hot partition and
+    its task-time spread collapses.
+    """
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.operators.aggregates import salted_sum
+    from open_data_pipelines_spark.operators.dedup import (
+        top1_per_key,
+        top1_per_key_agg,
+    )
+    from open_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(
+        "stress-relational-skew",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # 128 shuffle partitions: with a 13%-hot key the skewed
+            # partition is ~16x the median, so AQE's DEFAULT
+            # skewedPartitionFactor=5 fires exactly as it would on a
+            # real cluster's thousands of partitions (at 32 the ratio
+            # is 0.13*32 = 4.2 and the factor-5 test can NEVER pass —
+            # hot-share x partition-count is the quantity that
+            # matters, not bytes)
+            "spark.sql.shuffle.partitions": "128",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1) / 1_000_000.0
+    key = F.least(
+        F.ceil(F.pow(u, F.lit(-5.0))), F.lit(1_000_000)
+    ).alias("k")
+    df = spark.range(n_rows).select(
+        key,
+        F.col("id"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) / 10.0).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df = df.localCheckpoint()
+    top = (
+        df.groupBy("k").count().orderBy(F.col("count").desc()).limit(3).collect()
+    )
+    report = {
+        "scenario": "relational_skew",
+        "n_rows": n_rows,
+        "top_keys": {int(r["k"]): r["count"] for r in top},
+        "hot_share": round(top[0]["count"] / n_rows, 3),
+    }
+
+    def timed(name, fn):
+        sc.setJobGroup(name, name)
+        try:
+            t0 = time.perf_counter()
+            fn()
+            sec = round(time.perf_counter() - t0, 2)
+        finally:
+            sc._jsc.clearJobGroup()
+        report[name] = {"sec": sec, **_task_spread(spark, name)}
+        print(json.dumps({name: report[name]}), file=sys.stderr)
+
+    noop = lambda d: d.write.format("noop").mode("overwrite").save()
+    timed("plain_sum", lambda: noop(
+        df.groupBy("k").agg(F.sum(F.col("v").cast("decimal(18,2)")).alias("s"))
+    ))
+    timed("salted_sum", lambda: noop(
+        salted_sum(df, ["k"], F.col("v"), F.col("id"), 32, "s")
+    ))
+    w = top1_per_key(df, ["k"], [F.col("id").desc()])
+    report["window_group_limit"] = (
+        "WindowGroupLimit" in w._jdf.queryExecution().executedPlan().toString()
+    )
+    timed("top1_window", lambda: noop(w))
+    timed("top1_agg", lambda: noop(
+        top1_per_key_agg(df, ["k"], F.struct(F.col("id")))
+    ))
+    from pyspark.sql import Window
+
+    timed("running_window", lambda: noop(
+        df.withColumn(
+            "rs", F.sum("id").over(Window.partitionBy("k").orderBy("id"))
+        )
+    ))
+
+    # the join axis: skewed fact x key-complete dim, SMJ forced (the
+    # dim would broadcast otherwise, hiding the skew); the wide
+    # payload makes per-task bytes the dominant cost so a split is
+    # visible in the spread, not just the task count
+    dim = df.select("k").distinct().withColumn(
+        "attr", F.repeat(F.md5(F.col("k").cast("string")), 4)
+    ).localCheckpoint()
+    join = lambda: noop(
+        df.join(dim.hint("merge"), "k").select("k", "id", "attr", "payload")
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    timed("skew_join_aqe_off", join)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    timed("skew_join_aqe_on", join)
+
+    print(json.dumps(report))
+    spark.stop()
+
+
 def main() -> None:
+    if "--relational-skew" in sys.argv:
+        relational_skew_scenario()
+        return
     if "--relational-scale" in sys.argv:
         relational_scale_scenario()
         return
