@@ -162,6 +162,7 @@ def write_webdataset(
     n_shards: int = 16,
     prefix: str = "shard",
     dynamic_members: dict[str, str] | None = None,
+    fault_injector=None,
 ) -> dict:
     """Write ``df`` as ``n_shards`` WebDataset tar shards under
     ``out_dir`` (any pyarrow-resolvable scheme); returns the manifest
@@ -184,7 +185,20 @@ def write_webdataset(
     same payload column, with the extension read from e.g. a ``kind``
     column). Read such datasets back with ``read_webdataset(...,
     raw=True)`` (long form) — a fixed ext->column pivot cannot name
-    per-row extensions."""
+    per-row extensions.
+
+    ``fault_injector`` is the exactly-once TEST seam (round-15
+    verdict: task-retry/speculation injection): a picklable callable
+    shipped to every write task and invoked as ``(ctx, "before_publish",
+    None)`` once after the partition's tar bytes are written but
+    before any shard publish, and ``(ctx, "after_publish", sid)``
+    after each shard's publish, with ``ctx`` the live TaskContext.
+    Raising from it simulates a task dying mid-write (retry leaves
+    orphaned tmp files the reader never sees) or a zombie/speculative
+    attempt that PUBLISHED and then died (the retry re-publishes over
+    it — consistent because the shard assignment and in-shard order
+    are deterministic, which tests/test_wds_exactly_once.py pins by
+    sha256). Production callers leave it None."""
     dynamic_members = dynamic_members or {}
     if not members and not dynamic_members:
         raise ValueError("members must map at least one column to an extension")
@@ -325,12 +339,20 @@ def write_webdataset(
                 if wrote:
                     counter[0] += 1
 
+        if fault_injector is not None:
+            from pyspark import TaskContext
+
+            fault_injector(TaskContext.get(), "before_publish", None)
         out_rows = []
         for sid, (tmp, final, stream, tf, counter) in open_tars.items():
             tf.close()  # external fileobj: tarfile writes padding, no close
             stream.close()
             if rename_publish and tmp != final:
                 wfs.move(tmp, final)  # atomic publish of the shard
+            if fault_injector is not None:
+                from pyspark import TaskContext
+
+                fault_injector(TaskContext.get(), "after_publish", sid)
             out_rows.append(
                 (sid, posixpath.basename(final), counter[0],
                  stream.nbytes, stream.sha256.hexdigest())
