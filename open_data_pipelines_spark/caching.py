@@ -99,6 +99,39 @@ def _note_checkpoint_free(consumers: int) -> None:
         )
 
 
+# Segment-audit collector (round 15; VERDICT r14 #5). The expanded
+# (checkpoint-free) compile of the deepest composition — the corpus
+# funnel — is intractable by construction (the grind the guard above
+# warns about), so its EXPLAIN_AUDIT row had no expanded upper bound.
+# The per-SEGMENT bracket replaces it: while a collector is active,
+# every lazy_checkpoint records its input's compiled physical plan
+# text BEFORE truncation. Checkpoint boundaries partition the full
+# plan — each segment's own inputs are already truncated — so
+# sum(segment exchanges) + the final top-plan exchanges is an upper
+# bound on the exchanges the production run can plan, computed in
+# seconds instead of the 25+ minutes the monolithic expanded compile
+# costs. (A subtree reused WITHOUT a checkpoint still re-embeds into
+# multiple segments and counts once per appearance — the same
+# once-per-consumer upper-bound semantics the expanded compile had.)
+_segment_collector: list | None = None
+
+
+class collect_checkpoint_segments:
+    """Context manager audit hook (tools/explain_audit.py): yields a
+    list that accumulates one compiled-plan string per
+    ``lazy_checkpoint`` reached while active."""
+
+    def __enter__(self) -> list:
+        global _segment_collector
+        self._prev = _segment_collector
+        _segment_collector = []
+        return _segment_collector
+
+    def __exit__(self, *exc) -> None:
+        global _segment_collector
+        _segment_collector = self._prev
+
+
 def lazy_checkpoint(
     df: DataFrame, eager: bool = False, consumers: int = 2
 ) -> DataFrame:
@@ -126,4 +159,8 @@ def lazy_checkpoint(
     if os.environ.get("SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"):
         _note_checkpoint_free(consumers)
         return df
+    if _segment_collector is not None:
+        _segment_collector.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
     return df.localCheckpoint(eager=eager)

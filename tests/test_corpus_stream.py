@@ -400,3 +400,108 @@ def test_streaming_lang_gate_und_and_null(spark):
     df = spark.createDataFrame([(1, None), (2, ""), (3, "ab")], "i int, t string")
     got = {r.i: r.p for r in df.select("i", pred(F.col("t")).alias("p")).collect()}
     assert got == {1: "und", 2: "und", 3: "und"}
+
+
+def test_streaming_funnel_survives_hard_kill_mid_batch(spark, doc_landing):
+    """Round-15 (VERDICT r14 #6, the IVF/media discipline): recovery
+    from a HARD KILL mid-batch — the worst crash point, after the
+    sink's parquet append but before the checkpoint commit. Simulated
+    the repo's established way (incremental-dedup test family):
+    delete the newest ``commits/<n>`` marker (+ its hidden .crc) so
+    the restarted query replays that exact micro-batch from the
+    recorded offsets. The sink is at-least-once by design, so the
+    replay APPENDS duplicates to bronze (asserted, to prove the kill
+    simulation isn't vacuous); the documented protocol is that the
+    fingerprint dedup collapses them at compaction — asserted here as
+    no duplicate and no lost fingerprints vs the batch reference."""
+    import os
+    import shutil
+
+    from open_data_pipelines_spark.operators.text_analysis import (
+        lang_id,
+        normalize_text,
+        quality_score,
+        redact_pii,
+    )
+
+    shared_landing, docs = doc_landing
+    landing = tempfile.mkdtemp(prefix="doc_landing_kill_") + "/drop"
+    shutil.copytree(shared_landing, landing)
+    bronze_dir = tempfile.mkdtemp(prefix="bronze_kill_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_kill_")
+    bronze_path = f"{bronze_dir}/corpus"
+
+    q = stream_corpus_to_bronze(
+        read_document_stream(spark, landing), bronze_path, ckpt
+    )
+    assert q.awaitTermination(120)
+
+    # second drop lands; second drain commits it
+    novel = docs.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh post-crash sentence")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    novel.write.mode("append").parquet(landing)
+    q2 = stream_corpus_to_bronze(
+        read_document_stream(spark, landing), bronze_path, ckpt
+    )
+    assert q2.awaitTermination(120)
+    n_committed = spark.read.parquet(bronze_path).count()
+
+    # the hard kill: the sink wrote the data batch, the commit marker
+    # never landed, the process died. Each drain logs TWO batches
+    # (data + the no-row watermark-advance flush), and on restart the
+    # engine replays only the LATEST offsets entry (a commit-log gap
+    # below it is ignored — measured while building this test), so
+    # the rewind must make the data batch the latest: offsets
+    # truncate to [0..2], commits to [0..1]. Hidden .crc siblings go
+    # too or the marker rewrite fails with a misleading
+    # multiple-queries error (repo gotcha, .claude/skills/verify).
+    batches = sorted(
+        int(n)
+        for n in os.listdir(os.path.join(ckpt, "offsets"))
+        if n.isdigit()
+    )
+    data_batch = batches[-2]
+    for sub, keep in (("offsets", data_batch), ("commits", data_batch - 1)):
+        d = os.path.join(ckpt, sub)
+        for n in list(os.listdir(d)):
+            core = n[1:-4] if (n.startswith(".") and n.endswith(".crc")) else n
+            if core.isdigit() and int(core) > keep:
+                os.remove(os.path.join(d, n))
+
+    q3 = stream_corpus_to_bronze(
+        read_document_stream(spark, landing), bronze_path, ckpt
+    )
+    assert q3.awaitTermination(120)
+
+    bronze = spark.read.parquet(bronze_path)
+    n_after = bronze.count()
+    # at-least-once: the replayed batch re-appended — the kill was real
+    assert n_after > n_committed
+
+    # compaction's exact-dedup stage collapses the replay: one
+    # survivor per fingerprint, and the fingerprint SET matches the
+    # batch pipeline over the same landing content (nothing lost)
+    surv = dedup_exact_text(bronze.select("doc_id", "text"), "text", "doc_id")
+    sfp = {r["fp"] for r in surv.select(doc_fingerprint("text").alias("fp")).collect()}
+    assert surv.count() == len(sfp)
+
+    planted = spark.read.parquet(landing)
+    cleaned = planted.select(
+        "doc_id", normalize_text(redact_pii("text")).alias("text")
+    ).select(
+        "doc_id",
+        "text",
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+    )
+    kept = cleaned.filter(
+        (F.col("quality") >= 0.5) & F.col("lang").isin("en", "fr", "de")
+    )
+    batch = dedup_exact_text(kept, "text", "doc_id")
+    bfp = {r["fp"] for r in batch.select(doc_fingerprint("text").alias("fp")).collect()}
+    assert sfp == bfp

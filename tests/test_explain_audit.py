@@ -62,3 +62,64 @@ def test_executed_shuffles_lie_inside_bracket():
     # build-phase materializations (the staging checkpoint) execute
     # real shuffles on top of the final action's
     assert total > run
+
+
+def test_segment_bracket_for_intractable_expanded():
+    """Round-15 (VERDICT r14 #5): a query whose monolithic expanded
+    compile blows the budget gets the per-segment bracket instead of
+    an n/a dagger. Forced here by a 0-second budget on scd2_merge (a
+    cheap stand-in with real internal checkpoints — the production
+    target is corpus_funnel, audited the same way at full budget):
+    expanded counts come back finite via collect_checkpoint_segments,
+    with run <= bracket."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_AUDIT_EXPANDED_BUDGET="0",
+        SPARK_GRAFT_AUDIT_WORKER_STARTUP="0",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "explain_audit.py"),
+            "/root/testdata/sf0.001",
+            "--only=scd2_merge",
+            "--json",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(rows) == 1 and "error" not in rows[0], rows
+    r = rows[0]
+    assert r["expanded_via_segments"] >= 1
+    assert not r["expanded_intractable"]
+    assert isinstance(r["shuffles"], int)
+    # the bracket brackets: sum(segments)+top is an upper bound on run
+    assert r["executed_shuffles"] <= r["shuffles"]
+    assert r["ckpt_shuffles"] <= r["shuffles"]
+
+
+def test_segment_collector_records_subtree_plans(spark):
+    from pyspark.sql import functions as F
+
+    from open_data_pipelines_spark.caching import (
+        collect_checkpoint_segments,
+        lazy_checkpoint,
+    )
+
+    df = spark.range(100).groupBy((F.col("id") % 5).alias("g")).count()
+    with collect_checkpoint_segments() as segs:
+        out = lazy_checkpoint(df)
+        out.count()
+    assert len(segs) == 1
+    # the recorded text is the PRE-truncation subtree: its exchange
+    # is visible even though the checkpointed frame hides it
+    assert "Exchange" in segs[0]
+    # collector deactivates on exit
+    from open_data_pipelines_spark import caching
+
+    assert caching._segment_collector is None
