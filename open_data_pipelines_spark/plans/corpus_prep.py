@@ -624,17 +624,17 @@ def prepare_corpus(
     if benchmark is not None:
         from ..operators.contamination import decontaminate
 
-        # decontaminate consumes its input three times (the shingle
-        # explode feeding the hit aggregation, the n_shingles base
-        # projection, and the final anti-join); without a reuse point
-        # the whole near-dup endgame above would execute 3x. Eager in
+        # decontaminate (max_rate=0.0 fast path) consumes its input
+        # twice — the shingle explode feeding the semi-join and the
+        # final anti-join; without a reuse point the whole near-dup
+        # endgame above would execute per consumer. Eager in
         # observe-stats mode: the near_deduped observation sits right
         # under this checkpoint and a LAZY one fulfills it with 0
         # (measured rule, caching.lazy_checkpoint docstring)
         surviving = lazy_checkpoint(
             surviving,
             eager=with_stats and stats_via == "observe",
-            consumers=3,
+            consumers=2,
         )
 
         surviving = note(

@@ -363,3 +363,38 @@ def test_derived_banding_recall_at_marginal_cosine(spark):
         for r in embedding_contamination(corpus, bench, threshold=0.95).collect()
     }
     assert len(flagged) >= 0.99 * n, len(flagged)
+
+
+def test_decontaminate_fast_path_equals_report_path(spark):
+    """Round-15: max_rate=0.0 takes the semi-join fast route (no
+    counting agg, no n_shingles base join). Must equal the
+    report-path form at an epsilon rate threshold that drops on any
+    shared shingle, on a corpus containing: clean docs, single- and
+    multi-shingle overlaps, a doc repeating the contaminated shingle
+    (distinct-collapse), and sub-n-token docs (no shingles — kept by
+    both routes)."""
+    from open_data_pipelines_spark.operators.contamination import decontaminate
+
+    leak = "q0 q1 q2 q3"
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only here nothing shared at all"),
+            (2, f"prefix {leak} suffix words"),
+            (3, f"{leak} and again {leak} repeated twice over"),
+            (4, "too short"),
+            (5, f"unrelated body then q1 q2 q3 near miss only three"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1, f"ctx0 {leak} ctx1")], ["bench_id", "text"]
+    )
+    fast = decontaminate(docs, bench, n=4, max_rate=0.0)
+    # report path: any rate > 0 drops — tiny positive threshold is
+    # the same predicate evaluated through the counting route
+    report = decontaminate(docs, bench, n=4, max_rate=1e-12)
+    assert sorted(r["doc_id"] for r in fast.collect()) == sorted(
+        r["doc_id"] for r in report.collect()
+    )
+    kept = {r["doc_id"] for r in fast.collect()}
+    assert kept == {1, 4, 5}
