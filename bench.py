@@ -212,6 +212,11 @@ def _gc_settle(spark) -> None:
 
 
 def main() -> None:
+    # sampled FIRST — before get_spark starts the JVM — so the value
+    # is genuinely external load, matching the witness's stated
+    # purpose (round-15 review: sampling after session start folded
+    # our own spin-up into the "external" baseline)
+    loadavg_start = round(os.getloadavg()[0], 1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -231,11 +236,11 @@ def main() -> None:
     # round-15 burst attribution: impact_score flagged 3.3x normalized
     # while an interleaved same-day A/B showed HEAD == r14 — the burst
     # hit the query passes harder than the end-of-run probes). The
-    # 1-min loadavg BEFORE any Spark work is mostly external; the
-    # per-query values include our own executors but still localize
-    # WHICH entries a burst hit. Attribution evidence, not a knob —
-    # the guard's flags are unchanged.
-    loadavg_start = round(os.getloadavg()[0], 1)
+    # 1-min loadavg BEFORE any Spark work (sampled at the top of
+    # main) is mostly external; the per-query values include our own
+    # executors but still localize WHICH entries a burst hit.
+    # Attribution evidence, not a knob — the guard's flags are
+    # unchanged.
     load_per_query: dict[str, float] = {}
     for name in HEADLINE:
         # EXTRA first: media_funnel gained a driver-registry twin in

@@ -281,6 +281,17 @@ def predict_language(
         # exactly, so fall back to the pivot (correct at any table) and
         # say why. Pure-Python scan of the broadcast-sized table — no
         # Spark job.
+        # a table label with no unk entry is a malformed model either
+        # shape would mis-handle (the pivot silently ignores its rows)
+        # — fail loudly by name rather than KeyError-ing mid-scan
+        # (round-15 review)
+        alien = {l for (_g, l) in model.table if l not in model.unk}
+        if alien:
+            raise ValueError(
+                "predict_language: model table contains labels with no "
+                f"unk log-prob entry: {sorted(alien)} — not a valid "
+                "LangClassifier model"
+            )
         if any(p < model.unk[l] for (_g, l), p in model.table.items()):
             import warnings
 

@@ -62,6 +62,8 @@ def _latest_per_entity(
     and max_by partial-aggregates map-side. The agg form is the one
     whose immunity doesn't hinge on the optimizer recognizing the
     filter pattern."""
+    if via not in ("window", "agg"):
+        raise ValueError(f"unknown dedup via {via!r} (use 'window' or 'agg')")
     if via == "agg":
         from .dedup import top1_per_key_agg
 

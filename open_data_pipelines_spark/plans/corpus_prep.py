@@ -627,15 +627,20 @@ def prepare_corpus(
         # decontaminate (max_rate=0.0 fast path) consumes its input
         # twice — the shingle explode feeding the semi-join and the
         # final anti-join; without a reuse point the whole near-dup
-        # endgame above would execute per consumer. Eager in
+        # endgame above would execute per consumer. Skipped when no
+        # near-dup clustering ran (near_dup='none'): surviving is then
+        # the already-checkpointed exact frame and a second checkpoint
+        # would duplicate the whole corpus into fresh storage blocks
+        # for zero reuse gain (round-15 review). Eager in
         # observe-stats mode: the near_deduped observation sits right
         # under this checkpoint and a LAZY one fulfills it with 0
         # (measured rule, caching.lazy_checkpoint docstring)
-        surviving = lazy_checkpoint(
-            surviving,
-            eager=with_stats and stats_via == "observe",
-            consumers=2,
-        )
+        if pairs is not None:
+            surviving = lazy_checkpoint(
+                surviving,
+                eager=with_stats and stats_via == "observe",
+                consumers=2,
+            )
 
         surviving = note(
             "decontaminated",

@@ -280,7 +280,7 @@ def audit_query(spark, fn, sf_dir: str, name: str, expanded: dict | None) -> dic
     # lazy-checkpoint handles whose blocks would hide work
     executed, executed_total = executed_shuffles(spark, fn, sf_dir, f"audit_{name}")
     spark.catalog.clearCache()
-    if expanded is None:
+    if expanded is None and segments:
         seg_sums = [summarize(p) for p in segments]
         s = {
             k: ckpt_summary[k] + sum(ss[k] for ss in seg_sums)
@@ -298,6 +298,17 @@ def audit_query(spark, fn, sf_dir: str, name: str, expanded: dict | None) -> dic
         ]
         s["expanded_intractable"] = False
         s["expanded_via_segments"] = len(segments)
+    elif expanded is None:
+        # no reuse checkpoints were reached, so there is no bracket to
+        # sum; a zero-segment query whose expanded compile also failed
+        # (worker crash — a budget blow is impossible here, its plan IS
+        # the production plan that just compiled) keeps the honest
+        # dagger instead of masquerading as a real expanded number
+        # (round-15 review: the bracket path had made † unreachable)
+        s = dict(ckpt_summary)
+        s["shuffles"] = None
+        s["expanded_intractable"] = True
+        s["expanded_via_segments"] = 0
     else:
         s = dict(expanded)
         s["expanded_intractable"] = False
@@ -387,7 +398,11 @@ def main() -> None:
         "run in a budgeted worker subprocess (round 13): a checkpoint-",
         "free deep-fan-out plan can grind Catalyst for tens of minutes",
         "(an audit-mode artifact — production plans truncate at their",
-        "checkpoints), so a query exceeding the budget keeps its",
+        "checkpoints). A query exceeding the budget gets the",
+        "per-SEGMENT \u03a3 bracket instead (each reuse checkpoint's",
+        "compiled subtree, recorded before truncation, summed with the",
+        "top plan — same once-per-consumer upper-bound semantics); only",
+        "a query with NO bracket (worker crash, zero segments) keeps",
         "production-shape columns and is marked †.",
         "",
         "| query | broadcast | sort-merge | shuffle-hash | shuffles | executed | global sorts | pushed filters | scan widths |",
