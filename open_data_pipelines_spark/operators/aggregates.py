@@ -119,6 +119,97 @@ def salted_sum(
     )
 
 
+def running_sum_scaled(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value: Column,
+    alias: str,
+    num_partitions: int | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Skew-immune running (cumulative) sum per key — the two-pass
+    distributed prefix aggregation the round-15 skew stress names as
+    the escape for hot-key windows.
+
+    A plain ``SUM(v) OVER (PARTITION BY key ORDER BY ord)`` sorts and
+    scans each key inside ONE task; AQE cannot split a window
+    partition and (unlike ``rn = 1`` filters) there is no
+    WindowGroupLimit rescue, so a key holding 13% of a 100 TB table
+    serializes 13 TB through one core (measured 3.9x task-time skew
+    at 8M rows, STRESS.md round 15). The textbook fix, expressed
+    entirely in DataFrame ops:
+
+    1. ``repartitionByRange(keys..., order_by...)`` — the hot key's
+       rows SPLIT across consecutive range partitions in order;
+    2. a local running sum windowed by ``(spark_partition_id, keys)``
+       — every window partition is now bounded by the range-partition
+       size, hot key or not;
+    3. per-(pid, key) totals get a per-key exclusive prefix over pid
+       (a window over at most ``num_partitions`` rows per key), then
+       only NON-ZERO offsets survive — a key fully inside one range
+       partition needs none, and each partition boundary can split at
+       most ONE key, so the broadcast side is bounded by
+       ``num_partitions - 1`` rows at ANY key cardinality.
+
+    The range partitioning is captured by a lazy checkpoint before
+    both consumers: partition ids must be IDENTICAL in the local pass
+    and the totals pass (a recomputed range exchange may sample
+    different boundaries), and the checkpoint also guarantees the
+    nondeterministic-boundary exchange executes once.
+
+    ``order_by`` must be a TOTAL order within each key (the repo-wide
+    window rule): a tie straddling a range-partition boundary would
+    otherwise split what the single-window form treats as one RANGE
+    frame. With a total order this is value-identical to the window
+    form under a ROWS frame — pinned in
+    tests/test_macros_salting.py::test_running_sum_scaled_matches_window.
+    The sum is decimal-routed (order-independent, bit-identical
+    across partitionings, the ``decimal_sum`` rule).
+    """
+    from ..caching import lazy_checkpoint
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    dec = value.cast(f"decimal(18,{scale})")
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in [*keys, *order_by]])
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", dec)
+    )
+    part = lazy_checkpoint(part, consumers=2)
+
+    w_local = (
+        Window.partitionBy("__pid", *keys)
+        .orderBy(*[F.col(c) for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("__run", F.sum("__v").over(w_local))
+
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        part.groupBy("__pid", *keys)
+        .agg(F.sum("__v").alias("__t"))
+        .withColumn("__off", F.sum("__t").over(w_off) - F.col("__t"))
+        # bounded broadcast: zero-offset rows (keys that never cross a
+        # partition boundary) carry no information — what remains is
+        # at most one row per boundary, i.e. < num_partitions rows
+        .filter(F.col("__off") != 0)
+        .select("__pid", *keys, "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *keys], "left")
+        .withColumn(
+            alias,
+            (F.col("__run") + F.coalesce("__off", F.lit(0))).cast("double"),
+        )
+        .drop("__pid", "__v", "__run", "__off")
+    )
+
+
 def approx_distinct(
     df: DataFrame, keys: Sequence[str], col: str, rsd: float = 0.05
 ) -> DataFrame:

@@ -112,3 +112,37 @@ def test_top1_agg_matches_window_on_zipf_keys(spark):
         tiebreakers=["ref"], dedup_via="agg",
     )
     assert sorted(map(tuple, out_w.collect())) == sorted(map(tuple, out_a.collect()))
+
+
+def test_running_sum_scaled_matches_window(spark):
+    """Round-15: the two-pass distributed prefix sum (range partition
+    -> (pid, key)-local window -> boundary-offset broadcast) equals
+    the plain hot-key window form under a total order, on a zipf-hot
+    key (one key ~1/3 of rows), at several partition counts including
+    ones that force the hot key across many range partitions."""
+    from pyspark.sql import Window
+
+    from open_data_pipelines_spark.operators.aggregates import running_sum_scaled
+
+    rows = [
+        (i, "hot" if i % 3 else f"k{i % 53}", float((i * 29) % 97) + 0.25)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "v"])
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = {
+        (r["k"], r["id"]): r["rs"]
+        for r in df.withColumn(
+            "rs",
+            F.sum(F.col("v").cast("decimal(18,2)")).over(w).cast("double"),
+        ).collect()
+    }
+    for n in (3, 8, 17):
+        out = running_sum_scaled(df, ["k"], ["id"], F.col("v"), "rs", num_partitions=n)
+        got = {(r["k"], r["id"]): r["rs"] for r in out.collect()}
+        assert got == expect, f"num_partitions={n}"
+        assert set(out.columns) == {"id", "k", "v", "rs"}

@@ -1906,8 +1906,11 @@ def relational_skew_scenario(n_rows: int = 8_000_000) -> None:
        limit, so no WindowGroupLimit): the REAL window hazard. AQE
        cannot split a window partition; the hot key's rows sort and
        scan inside one task (measured skew ~5x at a 13% hot share).
-       The escape at scale is restructuring (two-pass prefix
-       aggregation) or pre-filtering — not a conf.
+    6. ``running_scaled`` — the escape:
+       :func:`..operators.aggregates.running_sum_scaled`, the
+       two-pass distributed prefix sum (range partition ->
+       (pid, key)-local window -> bounded boundary-offset broadcast);
+       expected flat spread at equal output.
 
     Plus the join axis: the skewed fact sort-merge-joined to a
     non-broadcastable dim with AQE skew-join OFF vs ON
@@ -1999,6 +2002,13 @@ def relational_skew_scenario(n_rows: int = 8_000_000) -> None:
         df.withColumn(
             "rs", F.sum("id").over(Window.partitionBy("k").orderBy("id"))
         )
+    ))
+    from open_data_pipelines_spark.operators.aggregates import running_sum_scaled
+
+    # the escape the hazard row points at: two-pass distributed
+    # prefix sum — the hot key splits across range partitions
+    timed("running_scaled", lambda: noop(
+        running_sum_scaled(df, ["k"], ["id"], F.col("id"), "rs", scale=0)
     ))
 
     # the join axis: skewed fact x key-complete dim, SMJ forced (the
