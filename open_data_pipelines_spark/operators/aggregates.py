@@ -166,10 +166,37 @@ def running_sum_scaled(
     tests/test_macros_salting.py::test_running_sum_scaled_matches_window.
     The sum is decimal-routed (order-independent, bit-identical
     across partitionings, the ``decimal_sum`` rule).
+
+    ``num_partitions`` sets the RANGE granularity, which is the
+    per-task work bound: the largest (pid, key) window group is one
+    full range partition (a partition the hot key owns outright), i.e.
+    ``n_rows / num_partitions`` rows REGARDLESS of key distribution —
+    that is the whole point; the plain window's bound is ``hot_share x
+    n_rows``, unbounded in the hot key. Residual task spread is then
+    balls-in-bins PLACEMENT noise (which reducer draws how many
+    groups), bounded by ``shuffle_partitions / num_partitions`` x
+    mean; it does NOT grow with the hot key. Default: the session's
+    shuffle partition count (bound == mean reducer load), falling
+    back to ``defaultParallelism``. Raising it past the shuffle count
+    trades smoother placement for more range/sort overhead — measured
+    a real wall-time loss at 4x on 8M rows (STRESS.md round 15), so
+    oversample only when the per-task bound itself is the problem.
+    The two-pass form costs ~2-4x the single window's wall at small
+    scale (range sample pass + checkpoint + one extra agg): it is
+    INSURANCE, priced for the regime where the hot key exceeds what
+    one task can sort — use the plain window until profiling says
+    otherwise.
     """
     from ..caching import lazy_checkpoint
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions
     dec = value.cast(f"decimal(18,{scale})")
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in [*keys, *order_by]])

@@ -1909,8 +1909,11 @@ def relational_skew_scenario(n_rows: int = 8_000_000) -> None:
     6. ``running_scaled`` — the escape:
        :func:`..operators.aggregates.running_sum_scaled`, the
        two-pass distributed prefix sum (range partition ->
-       (pid, key)-local window -> bounded boundary-offset broadcast);
-       expected flat spread at equal output.
+       (pid, key)-local window -> bounded boundary-offset broadcast).
+       Expected: per-task MAX bounded by the range-partition size
+       (n_rows / num_partitions, key-distribution-independent);
+       residual spread is placement noise, NOT hot-key mass; wall
+       2-4x the plain window at this scale — the insurance premium.
 
     Plus the join axis: the skewed fact sort-merge-joined to a
     non-broadcastable dim with AQE skew-join OFF vs ON
