@@ -184,8 +184,14 @@ FROM documents
 # Lee et al. 2022 exact-substring dedup as k-token rolling windows
 # (operators/substring_dedup.py). k=8: the harness corpus's 30-word
 # vocabulary produces genuine cross-doc 8-token repeats, so the row
-# exercises non-trivial span merging at every SF. Cross-engine md5
-# window hashes (fast=False) make the oracle replicable in DuckDB.
+# exercises non-trivial span merging at every SF. Round 15: the row
+# drives the SCALE path (fast=True, xxhash64 window hashes). The hash
+# never reaches the output — it only GROUPS equal windows — so any
+# collision-free hash yields identical stats, and the oracle below
+# groups by the raw window STRING (the semantic truth both hashes
+# approximate), making the DuckDB side exact rather than
+# hash-mirroring. fast-vs-stable span equality is separately pinned in
+# tests/test_substring_dedup.py.
 _SUB_K = 8
 
 
@@ -193,7 +199,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.substring_dedup import duplication_stats
 
     docs = _docs(spark, sf_dir)
-    stats = duplication_stats(docs, "text", "doc_id", k=_SUB_K, fast=False)
+    stats = duplication_stats(docs, "text", "doc_id", k=_SUB_K, fast=True)
     return stats.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -215,7 +221,7 @@ WITH base AS (
 wins AS (
   SELECT doc_id, unnest(range(len(toks) - {_SUB_K} + 1)) AS start,
          unnest(list_transform(range(len(toks) - {_SUB_K} + 1),
-           i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + {_SUB_K}), ' ')), 1, 15))::BIGINT
+           i -> array_to_string(list_slice(toks, i + 1, i + {_SUB_K}), ' ')
          )) AS whash
   FROM base WHERE len(toks) >= {_SUB_K}
 ),
