@@ -301,11 +301,23 @@ FROM grouped g CROSS JOIN extremes e
 
 
 # --- A5+W4 pct_rank_grouped: PERCENT_RANK over grouped aggregate ------------
+# Round 15: scope-union fold (the wellbeing/corpus_diff precedent) —
+# scope='segment' keeps the original 5-row window-over-aggregate;
+# scope='running' adds a per-order cumulative spend by market segment
+# computed with the SKEW-IMMUNE two-pass prefix sum
+# (operators/aggregates.running_sum_scaled), giving the operator
+# driver-oracle evidence at real row counts (orders-sized, not
+# segment-sized). The oracle mirrors it as a plain decimal window
+# running sum — the two forms are value-identical under a total order
+# (o_orderkey is unique), which is exactly the operator's contract.
 def q_pct_rank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-over-aggregate (A5) plus the W4 0-100 percentile scaling
-    (the wellbeing convention) in one row; the single-partition window
-    stays on <=segment cardinality — the documented safe use of
+    (the wellbeing convention), unioned with the distributed running
+    sum over raw orders; the single-partition window stays on
+    <=segment cardinality — the documented safe use of
     percent_rank_over."""
+    from ..operators.aggregates import running_sum_scaled
+
     orders, customer = _t(spark, sf_dir, "orders", "customer")
     joined = orders.join(
         F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "inner"
@@ -314,9 +326,34 @@ def q_pct_rank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_sum("o_totalprice", 2, "segment_total")
     )
     order = [F.col("segment_total").asc(), F.col("c_mktsegment").asc()]
-    out = percent_rank_over(grouped, order, "segment_rank")
-    out = percent_rank_over(out, order, "segment_rank_pct", 100.0)
-    return out.select("c_mktsegment", "segment_total", "segment_rank", "segment_rank_pct")
+    seg = percent_rank_over(grouped, order, "segment_rank")
+    seg = percent_rank_over(seg, order, "segment_rank_pct", 100.0)
+    seg = seg.select(
+        F.lit("segment").alias("scope"),
+        "c_mktsegment",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("segment_total").alias("val"),
+        "segment_rank",
+        "segment_rank_pct",
+        F.lit(None).cast("double").alias("run_spend"),
+    )
+    run = running_sum_scaled(
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        ["o_orderkey"],
+        F.col("o_totalprice"),
+        "run_spend",
+        scale=2,
+    ).select(
+        F.lit("running").alias("scope"),
+        "c_mktsegment",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        F.lit(None).cast("double").alias("segment_rank"),
+        F.lit(None).cast("double").alias("segment_rank_pct"),
+        "run_spend",
+    )
+    return seg.unionByName(run)
 
 
 ORACLE_PCT_RANK_GROUPED = """
@@ -326,11 +363,23 @@ WITH grouped AS (
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_mktsegment
 )
-SELECT c_mktsegment, segment_total,
+SELECT 'segment' AS scope, c_mktsegment,
+       CAST(NULL AS BIGINT) AS o_orderkey,
+       segment_total AS val,
        percent_rank() OVER (ORDER BY segment_total ASC, c_mktsegment ASC) AS segment_rank,
        percent_rank() OVER (ORDER BY segment_total ASC, c_mktsegment ASC) * 100.0
-         AS segment_rank_pct
+         AS segment_rank_pct,
+       CAST(NULL AS DOUBLE) AS run_spend
 FROM grouped
+UNION ALL
+SELECT 'running' AS scope, c.c_mktsegment, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS val,
+       CAST(NULL AS DOUBLE) AS segment_rank,
+       CAST(NULL AS DOUBLE) AS segment_rank_pct,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY c.c_mktsegment ORDER BY o.o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
