@@ -18,6 +18,7 @@ The reference delegates all execution to DuckDB/MotherDuck
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
 
 from pyspark.sql import SparkSession
 
@@ -99,6 +100,41 @@ TESTDATA_TABLES = (
 )
 
 
+class _LazyTables(Mapping):
+    """Mapping name -> DataFrame that defers ``spark.read.parquet`` to
+    first access (round-15 optimization).
+
+    Constructing a parquet scan costs ~0.1-0.2 s of driver work
+    (footer/schema read + py4j) per table; the eager form paid that
+    for all ten harness tables on EVERY ``load_tables`` call when the
+    typical query reads one or two. Measured: 1.0 s/call eager vs
+    ~0.15 s per table actually touched — a pure fixed cost repeated
+    per bench pass per query. At cluster scale the same deferral
+    avoids footer reads and file listings for tables a job never
+    touches. Construction is cached per name, so repeated access
+    within one query build stays one scan object (plan-identical to
+    the eager dict — no data is materialized or reused across
+    actions)."""
+
+    def __init__(self, names: tuple[str, ...], build) -> None:
+        self._names = names
+        self._build = build
+        self._dfs: dict[str, "DataFrame"] = {}
+
+    def __getitem__(self, name: str):
+        if name not in self._dfs:
+            if name not in self._names:
+                raise KeyError(name)
+            self._dfs[name] = self._build(name)
+        return self._dfs[name]
+
+    def __iter__(self):
+        return iter(self._names)
+
+    def __len__(self) -> int:
+        return len(self._names)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -107,8 +143,14 @@ def load_tables(
 ):
     """Read the harness parquet tables (TESTDATA.md) and register views.
 
-    Returns a dict name -> DataFrame. Reads are schema-on-file parquet
-    scans — column pruning and predicate pushdown apply per query.
+    Returns a mapping name -> DataFrame. Reads are schema-on-file
+    parquet scans — column pruning and predicate pushdown apply per
+    query. With ``register_views=False`` the mapping is LAZY: each
+    table's scan is constructed on first access (and cached for the
+    mapping's lifetime), so callers pay driver-side footer/schema
+    cost only for the tables they touch. ``register_views=True``
+    keeps the eager behavior — every existing table is read and
+    registered so SQL can reference any of them.
 
     ``configure_session`` (default True) SETS SESSION-WIDE CONFS on the
     caller's session: ``nanosAsLong`` (without it events.parquet's
@@ -128,12 +170,9 @@ def load_tables(
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         if spark.conf.get("spark.sql.session.timeZone") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = {}
-    for name in TESTDATA_TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
+
+    def _one(name: str):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for col in _EVENT_TIME_COLUMNS.get(name, ()):
             # Normalize whatever the harness encoded the event-time
             # column as to a proper TimestampType:
@@ -153,10 +192,21 @@ def load_tables(
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
             elif isinstance(dt, T.TimestampNTZType):
                 df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
-        if register_views:
+        return df
+
+    present = tuple(
+        name
+        for name in TESTDATA_TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+    if register_views:
+        out = {}
+        for name in present:
+            df = _one(name)
             df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+            out[name] = df
+        return out
+    return _LazyTables(present, _one)
 
 
 # tables whose event-time column must land as TimestampType regardless
