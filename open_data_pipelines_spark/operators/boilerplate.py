@@ -128,7 +128,8 @@ def strip_boilerplate_lines(
             # shuffles re-spread implicitly (the lang_classifier._spread
             # rule); the guard is a no-op on well-partitioned corpora
             target = df.sparkSession.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < target:
+            # JVM-side probe (round 15): avoids the PythonRDD wrap
+            if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
                 df = df.repartition(target)
             lines = F.split(F.col(text_col), r"\n")
             if head:

@@ -197,27 +197,36 @@ def image_near_dup_pairs(
     hash_col: str = "ahash",
     max_hamming: int = 6,
     band_bits: int = 8,
+    within: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within ``max_hamming`` over 64-bit
     aHashes. Pigeonhole: distance d < 64/band_bits guarantees a shared
     band, so ``band_bits=8`` (8 bands) is lossless up to hamming 7 —
     candidates come from a hash equi-join, verification is one
-    popcount expression."""
+    popcount expression.
+
+    ``within`` names grouping columns folded into the band-join key:
+    rows only pair inside the same group — value-identical to calling
+    this once per group value and unioning, but as ONE join with no
+    per-group plan duplication or driver-side group enumeration
+    (round-15 optimization for the per-kind media loop)."""
     require_pigeonhole(max_hamming, band_bits)
     sig = hashed.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), F.col(hash_col).alias("__sh")
+        F.col(id_col), F.col(hash_col).alias("__sh"), *within
     )
     banded = sig.select(
         id_col,
         "__sh",
+        *within,
         F.posexplode(hamming_bands(F.col("__sh"), band_bits)).alias(
             "band_id", "band_value"
         ),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"), "band_id", "band_value")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"), "band_id", "band_value")
+    keys = [*within, "band_id", "band_value"]
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"), *keys)
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"), *keys)
     pairs = (
-        a.join(b, ["band_id", "band_value"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__sa", "__sb")
         .distinct()

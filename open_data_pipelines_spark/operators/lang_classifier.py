@@ -60,7 +60,9 @@ def _spread(df: DataFrame) -> DataFrame:
     already arrives in >> defaultParallelism partitions, so the
     guard never triggers and no corpus-wide shuffle is introduced."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side probe (round 15): df.rdd wraps the plan in a Python-
+    # serialization RDD per call; toRdd() reads the count directly
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return df.repartition(target)
     return df
 

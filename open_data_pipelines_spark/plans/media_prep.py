@@ -77,8 +77,8 @@ def prepare_media_corpus(
 
     The signed frame and the exact-dedup survivors are lazily
     local-checkpointed (repo caching convention): both are consumed by
-    several subtrees (quarantine split, kinds collect, per-kind pair
-    builds, the survivors side, the manifest signature), and for
+    several subtrees (quarantine split, the kind-keyed pair build,
+    the survivors side, the manifest signature), and for
     raw-content input the checkpoint guarantees the Arrow-batched
     decode runs ONCE — blocks are reclaimed when the result frame is
     GC'd, no ``clearCache()`` obligation leaks to the caller.
@@ -131,10 +131,10 @@ def prepare_media_corpus(
         )
     elif checkpoint_input:
         # bronze-signed input with NONDETERMINISTIC lineage: the
-        # decodable/quarantine split below filters the input TWICE in
-        # two separate jobs (exact-dedup materialization at the kinds
-        # collect vs the quarantine branch at the caller's first
-        # action); without freezing one materialization a row could
+        # decodable/quarantine split below filters the input TWICE
+        # (the exact-dedup subtree vs the quarantine branch — separate
+        # evaluations even inside one job, and separate jobs in
+        # observe mode); without freezing one materialization a row could
         # land in both or neither branch. Pass checkpoint_input=True to
         # restore the frozen split for such input.
         df = lazy_checkpoint(df)
@@ -177,22 +177,30 @@ def prepare_media_corpus(
     # are fulfilled by a LAZY one only because top1_per_key happens to
     # shuffle — an eager materialization always fulfills them
     exact = lazy_checkpoint(exact, eager=with_stats and stats_via == "observe")
-    exact = note("exact_deduped", exact)
+    # the observation rides ONLY the survivors side (the anti-join's
+    # left input sees every exact row, so the count is identical):
+    # attaching it to the frame the pair build reads would duplicate
+    # the CollectMetrics node into both sides of the band self-join,
+    # and a duplicated named metrics node leaves the observation
+    # unfulfilled (measured on the round-15 kind-keyed join rewrite —
+    # Observation.get raised on an empty row)
+    noted_exact = note("exact_deduped", exact)
 
-    # bounded collect: the distinct media kinds (a handful by nature)
-    kinds = sorted(
-        r["kind"] for r in exact.select("kind").distinct().collect() if r["kind"]
-    )
-    pairs = None
-    for kind in kinds:
-        sub = exact.filter(F.col("kind") == kind).select(
-            id_col, F.col("signature").alias("__h")
-        )
-        p = image_near_dup_pairs(sub, id_col, hash_col="__h", max_hamming=max_hamming)
-        pairs = p.select("id_a", "id_b") if pairs is None else pairs.unionByName(
-            p.select("id_a", "id_b")
-        )
-    out = exact if pairs is None else keep_cluster_representatives(exact, pairs, id_col)
+    # ONE kind-keyed banding join (round 15): previously a driver-side
+    # kinds collect (an extra construction-time job materializing the
+    # whole exact-dedup prefix) fanned into one join per kind plus a
+    # union — per-group plan duplication for identical algebra. The
+    # `within=("kind",)` key folds the group into the band equi-join:
+    # rows only pair inside their kind, exactly as the loop produced,
+    # with no group enumeration on the driver (and no assumption the
+    # kind cardinality is small — the 100 TB-safe form).
+    sub = exact.filter(
+        F.col("kind").isNotNull() & (F.col("kind") != "")
+    ).select(id_col, "kind", F.col("signature").alias("__h"))
+    pairs = image_near_dup_pairs(
+        sub, id_col, hash_col="__h", max_hamming=max_hamming, within=("kind",)
+    ).select("id_a", "id_b")
+    out = keep_cluster_representatives(noted_exact, pairs, id_col)
     out = note("near_deduped", out)
 
     if keep_undecodable:
@@ -205,9 +213,9 @@ def prepare_media_corpus(
     out = out.persist()
 
     if with_stats and stats_via == "observe":
-        # ONE action fills every remaining observation (the earlier
-        # kinds collect already executed — and reported — the ones
-        # upstream of the exact checkpoint)
+        # ONE action fills every remaining observation (the eager
+        # exact checkpoint's materialization already fulfilled the
+        # ones upstream of it)
         out.count()
         stats.update(
             {name: int(obs.get["rows"] or 0) for name, obs in observations.items()}
