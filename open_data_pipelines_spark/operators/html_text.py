@@ -29,7 +29,10 @@ hand-written fixtures.
 from __future__ import annotations
 
 from pyspark.sql import Column
+
 from pyspark.sql import functions as F
+
+from ..functions.exprmemo import memo_column
 
 # subtrees whose text content must not leak into the corpus
 _DROP_BLOCKS = ("script", "style", "noscript", "template", "head", "svg")
@@ -65,6 +68,7 @@ _ENTITIES = (
 )
 
 
+@memo_column
 def html_to_text(col: Column | str) -> Column:
     """Visible text of an HTML document as one expression chain:
     comments and non-content subtrees (``script``/``style``/…) are

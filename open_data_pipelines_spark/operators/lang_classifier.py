@@ -40,7 +40,10 @@ import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+
+from ..functions.exprmemo import memo_column
 
 __all__ = [
     "LangClassifier",
@@ -67,6 +70,7 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+@memo_column
 def prep_text(col: Column | str) -> Column:
     """Lowercase + collapse whitespace runs to single spaces + trim —
     the canonical form both training and scoring n-gram over."""
@@ -74,6 +78,7 @@ def prep_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+@memo_column
 def char_ngrams(col: Column | str, n: int) -> Column:
     """All overlapping character ``n``-grams of an ALREADY-PREPPED
     plain column (pass a stored column ref, not a computed tree — the
@@ -131,11 +136,10 @@ def fit_lang_classifier(
     n-grams (ties broken by n-gram ascending — deterministic and
     mirrored by the test oracle); add-k smoothing with the unknown
     bucket as one extra vocabulary cell."""
-    prepped = _spread(
-        df.select(
-            F.col(label_col).alias("__lbl"), prep_text(text_col).alias("__t")
-        ).filter(F.col("__lbl").isNotNull())
-    )
+    base = df.select(
+        F.col(label_col).alias("__lbl"), prep_text(text_col).alias("__t")
+    ).filter(F.col("__lbl").isNotNull())
+    prepped = _spread(base)
 
     grams = prepped.select(
         "__lbl", F.explode(char_ngrams("__t", n)).alias("__g")
@@ -148,7 +152,7 @@ def fit_lang_classifier(
     # driver-head discipline); per-label gram totals fold driver-side
     # from the same rows. Round 13: this replaces three jobs (counts
     # checkpoint materialization, vocab head, in-vocab collect).
-    vocab_rows = (
+    vocab_q = (
         counts.groupBy("__g")
         .agg(
             F.sum("__c").alias("__tot"),
@@ -156,12 +160,21 @@ def fit_lang_classifier(
         )
         .orderBy(F.col("__tot").desc(), F.col("__g").asc())
         .limit(vocab_size)  # TakeOrdered: no global sort materialized
-        .collect()
     )
-    doc_rows = {
-        r["__lbl"]: r["cnt"]
-        for r in prepped.groupBy("__lbl").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    # The two training jobs are independent: overlap them (guide §2.6)
+    # — the tiny label-count job back-fills executors the gram job
+    # leaves idle instead of serializing after it. Doc counts run on
+    # the PRE-spread frame: per-label row counts are partitioning-
+    # invariant, so the count job skips _spread's exchange entirely.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        vocab_f = pool.submit(vocab_q.collect)
+        doc_rows = {
+            r["__lbl"]: r["cnt"]
+            for r in base.groupBy("__lbl").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        vocab_rows = vocab_f.result()
     tot_rows: dict[str, int] = {}
     gram_counts: dict[tuple[str, str], int] = {}
     for r in vocab_rows:

@@ -103,7 +103,14 @@ def train_ngram_lm(
     """
     from pyspark.sql import Window
 
-    pairs = _token_pairs(reference, text_col, None).persist()
+    from .text_dedup import scale_out
+
+    # the token-pair explode is the expensive per-row piece of
+    # training; a single-file reference corpus scans as 1-2 partitions
+    # and would run it on as many cores (round-15 event-log audit).
+    # scale_out is a no-op once the input is defaultParallelism wide —
+    # the 100 TB case pays no extra shuffle.
+    pairs = _token_pairs(scale_out(reference), text_col, None).persist()
     try:
         # model dims cached per the repo convention (caching.py): lazy
         # localCheckpoint, reclaimed when the NgramLM is GC'd — not a
@@ -156,7 +163,12 @@ def _per_doc_scores(
     columns (functionally dependent on the id) ride the explode and
     the group keys, so callers never re-join the corpus to recover
     them."""
-    pairs = _token_pairs(df, text_col, id_col, carry)
+    from .text_dedup import scale_out
+
+    # same guard as training: the explode + model joins + partial agg
+    # run BEFORE any exchange, so a narrow scan serializes the whole
+    # scoring pass onto 1-2 cores; no-op on already-wide input
+    pairs = _token_pairs(scale_out(df, id_col), text_col, id_col, carry)
     uni = lm.unigrams
     bi = lm.bigrams.select("prev", "tok", "bi_n", "prev_n")
     if broadcast_model:

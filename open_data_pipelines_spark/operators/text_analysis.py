@@ -10,7 +10,10 @@ shuffle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+
+from ..functions.exprmemo import memo_column
 
 from ..functions.hashing import stable_long_hash
 
@@ -25,11 +28,13 @@ STOPWORDS = {
 }
 
 
+@memo_column
 def whitespace_tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), r"\s+")
 
 
+@memo_column
 def tokens_or_empty(col: Column | str, lower: bool = False) -> Column:
     """Whitespace tokens with NULL/blank normalized to an EMPTY array:
     ``split(NULL)`` propagates NULL (which poisons ``size`` into
@@ -44,18 +49,21 @@ def tokens_or_empty(col: Column | str, lower: bool = False) -> Column:
     ).otherwise(whitespace_tokens(c))
 
 
+@memo_column
 def token_count_ws(col: Column | str) -> Column:
     """Whitespace token count (0 for empty/blank strings)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(whitespace_tokens(c)))
 
 
+@memo_column
 def token_count_bpe(col: Column | str) -> Column:
     """BPE-ish regex token count (letters / digit runs / punct marks)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(f"({TOKEN_REGEX})"), 1))
 
 
+@memo_column
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Number of tokens that are stopwords of ``lang``."""
     toks = whitespace_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
@@ -63,6 +71,7 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+@memo_column
 def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     """N-gram-heuristic language ID: argmax of stopword hits, 'und'
     (undetermined) when no language reaches ``min_hits``."""
@@ -74,6 +83,7 @@ def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     return out.otherwise(F.lit("und"))
 
 
+@memo_column
 def punct_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
@@ -81,6 +91,7 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
 
 
+@memo_column
 def quality_score(col: Column | str, lang: str = "en") -> Column:
     """Heuristic document quality in [0, 1]: length band + mean token
     length band + low punctuation + stopword presence. Weights are
@@ -210,6 +221,7 @@ def annotate_text(
     ).select(*others, "__ann.*")
 
 
+@memo_column
 def doc_fingerprint(col: Column | str) -> Column:
     """Normalization-invariant content fingerprint (md5 of lowercased,
     whitespace-collapsed text). Cheap exact-dup key at any scale."""
@@ -218,6 +230,7 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(norm)
 
 
+@memo_column
 def doc_fingerprint_long(col: Column | str) -> Column:
     """60-bit integer variant (cross-engine-portable, join-friendly)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -240,6 +253,7 @@ _PII_PATTERNS = (
 )
 
 
+@memo_column
 def redact_pii(col: Column | str) -> Column:
     """Regex PII redaction (emails, IPv4, card-like digit runs,
     phone-like digit runs) as chained ``regexp_replace`` — one
@@ -250,6 +264,7 @@ def redact_pii(col: Column | str) -> Column:
     return c
 
 
+@memo_column
 def normalize_text(col: Column | str) -> Column:
     """Whitespace canonicalization for dedup robustness: collapse runs,
     trim, lowercase — the cheap normalization applied before
@@ -258,6 +273,7 @@ def normalize_text(col: Column | str) -> Column:
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
+@memo_column
 def chunk_tokens(
     col: Column | str,
     chunk_size: int,
@@ -285,6 +301,7 @@ def chunk_tokens(
     )
 
 
+@memo_column
 def sentence_chunks(col: Column | str, budget: int) -> Column:
     """Array of SENTENCE-boundary chunks, each holding consecutive
     whole sentences up to ``budget`` whitespace tokens — the
@@ -334,6 +351,7 @@ def sentence_chunks(col: Column | str, budget: int) -> Column:
     ).otherwise(F.aggregate(sents, acc0, merge, lambda acc: acc["chunks"]))
 
 
+@memo_column
 def blockword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
     """Occurrences of blocklisted words/phrases in the TEXT, matched
     case-insensitively at letter/digit boundaries — ``'casino.'``,
@@ -434,6 +452,7 @@ def filter_content_blockwords(
     return df.join(bad, id_col, "left_anti")
 
 
+@memo_column
 def syllable_count_approx(col: Column | str) -> Column:
     """Approximate English syllable count, PER WORD then summed:
     each whitespace token is stripped of edge punctuation, counts its
@@ -460,6 +479,7 @@ def syllable_count_approx(col: Column | str) -> Column:
     )
 
 
+@memo_column
 def flesch_reading_ease(col: Column | str) -> Column:
     """Flesch reading ease, 206.835 - 1.015*(words/sentences)
     - 84.6*(syllables/words) — the classic document-difficulty signal

@@ -27,7 +27,10 @@ production runs.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+
+from ..functions.exprmemo import memo_column
 
 from ..caching import lazy_checkpoint
 
@@ -55,6 +58,7 @@ def scale_out(df: DataFrame, key: str | None = None) -> DataFrame:
     return df.repartition(target, key) if key else df.repartition(target)
 
 
+@memo_column
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles; empty array when fewer than n tokens."""
     toks = whitespace_tokens(col)
@@ -357,6 +361,7 @@ def minhash_lsh_dedup(
     return verified.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+@memo_column
 def simhash(col: Column | str, bits: int = 16, fast: bool = False) -> Column:
     """Frequency-weighted SimHash over whitespace tokens.
 

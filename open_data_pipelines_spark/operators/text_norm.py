@@ -45,7 +45,10 @@ no shuffle, no state, prune to the text column.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+
+from ..functions.exprmemo import memo_column
 
 __all__ = ["fix_mojibake", "normalize_unicode", "with_normalized_text"]
 
@@ -93,6 +96,7 @@ def _once(expr: Column, f) -> Column:
     return F.transform(F.array(expr), f)[0]
 
 
+@memo_column
 def fix_mojibake(col: Column | str) -> Column:
     """Repair UTF-8-decoded-as-cp1252/latin-1 mojibake in one pure
     expression; rows that are not provably mojibake pass through

@@ -35,7 +35,10 @@ no text), cap surviving domains with
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+
+from ..functions.exprmemo import memo_column
 
 # host suffixes that take a third label for the registered domain —
 # the high-traffic two-level subset of the public suffix list
@@ -70,6 +73,7 @@ def _once(expr: Column, f) -> Column:
     return F.transform(F.array(expr), f)[0]
 
 
+@memo_column
 def parse_url(url: Column | str) -> Column:
     """``struct(scheme, host, path, query)`` — NULL fields on
     malformed input (no exception path, unlike SQL ``parse_url``).
@@ -315,6 +319,7 @@ def filter_domain_blocklist(
     return kept.drop(dom_col)
 
 
+@memo_column
 def url_quality_flags(
     url: Column | str,
     badwords: tuple[str, ...] = DEFAULT_URL_BADWORDS,

@@ -74,7 +74,7 @@ from ..operators.text_analysis import (
     redact_pii,
     token_count_ws,
 )
-from ..operators.text_dedup import dedup_exact_text, minhash_lsh_dedup
+from ..operators.text_dedup import dedup_exact_text, minhash_lsh_dedup, scale_out
 from ..session import load_tables
 
 
@@ -235,6 +235,24 @@ def prepare_corpus(
             return df.observe(obs, F.count(F.lit(1)).alias("rows"))
         stats[name] = df.count()
         return df
+
+    # Fan the corpus across the cluster BEFORE the row-local gate/text
+    # chain (URL parsing, extraction regexes, mojibake repair, n-gram
+    # scoring). A single-file corpus scans as 1-4 partitions, and every
+    # stage derived from it — including the reuse checkpoints below,
+    # whose RDD blocks freeze the partitioning — then runs the
+    # regex/HOF work on that many cores (round-15 event-log audit: the
+    # funnel's extraction materialization ran 4 tasks on 32 cores,
+    # 3.2 s of its wall). scale_out is the same guard the dedup/lang
+    # operators use: keyed on doc_id, no-op when the input is already
+    # at least defaultParallelism wide (the 100 TB case — file splits
+    # provide parallelism; no corpus-wide shuffle is introduced at
+    # scale). It sits ABOVE the URL gate so the whole gate+extraction
+    # prefix is the exchange-free lazy tail of the first reuse
+    # checkpoint: an exchange between the spread and the checkpoint
+    # would make the checkpoint's toRdd (AQE materializes every stage
+    # below the last exchange) execute the gate narrow at construction.
+    docs = scale_out(docs, "doc_id")
 
     if url_col is not None and (url_blocklist is not None or url_quality):
         from ..operators.url_filter import filter_domain_blocklist, filter_url_quality

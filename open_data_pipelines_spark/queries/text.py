@@ -856,8 +856,21 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.corpus_prep import prepare_corpus
 
     docs, planted = funnel_planted_docs(spark, sf_dir)
-    lm = train_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), "text")
-    lang_model = funnel_lang_model(docs)
+    # The two trained gates are independent of each other and both
+    # bounded-collect jobs; submitting them from a 2-thread pool lets
+    # the second training's tasks back-fill executors the first one
+    # leaves idle (guide §2.6 overlap-independent-jobs; the driver
+    # actions serialize otherwise). Both first-actions race the shared
+    # base-docs checkpoint's lazy materialization — a deterministic
+    # scan either way, so the winner is irrelevant.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lm_f = pool.submit(
+            train_ngram_lm, docs.filter(F.col("doc_id") % 10 == 0), "text"
+        )
+        nb_f = pool.submit(funnel_lang_model, docs)
+        lm, lang_model = lm_f.result(), nb_f.result()
     return prepare_corpus(
         spark,
         sf_dir,
