@@ -23,17 +23,21 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import Column, DataFrame
+
+from .exprmemo import memo_column
 from pyspark.sql import functions as F
 
 NULL_TOKENS = ("", "nan", "NaN", "None", "null", " ")
 
 
+@memo_column
 def normalize_null_tokens(col: Column | str, tokens: tuple[str, ...] = NULL_TOKENS) -> Column:
     """Literal junk strings -> NULL (P3)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(c.isin(*tokens), F.lit(None)).otherwise(c)
 
 
+@memo_column
 def safe_cast(col: Column | str, to: str) -> Column:
     """Null-on-failure cast (P4/X5) — TRY_CAST semantics."""
     c = F.col(col) if isinstance(col, str) else col

@@ -26,13 +26,28 @@ import functools
 
 _PLAIN = (str, int, float, bool, bytes, type(None))
 
+# sentinel: argument is not plain data -> bypass the cache
+_OPAQUE = object()
 
-def _is_plain(x) -> bool:
+
+def _canon(x):
+    """Canonical hashable key for plain data, ``_OPAQUE`` otherwise.
+    Lists and dicts are accepted as VALUES (several builders take a
+    tiers list / score mapping) and canonicalized to tuples — safe
+    because the builders never mutate them and the produced expression
+    depends only on their contents."""
     if isinstance(x, _PLAIN):
-        return True
-    if isinstance(x, (tuple, frozenset)):
-        return all(_is_plain(e) for e in x)
-    return False
+        return x
+    if isinstance(x, (tuple, list)):
+        out = tuple(_canon(e) for e in x)
+        return _OPAQUE if _OPAQUE in out else ("t", out)
+    if isinstance(x, (frozenset, set)):
+        out = tuple(sorted((_canon(e) for e in x), key=repr))
+        return _OPAQUE if _OPAQUE in out else ("s", out)
+    if isinstance(x, dict):
+        out = tuple(sorted(((k, _canon(v)) for k, v in x.items()), key=repr))
+        return _OPAQUE if any(v is _OPAQUE for _, v in out) else ("d", out)
+    return _OPAQUE
 
 
 def memo_column(fn):
@@ -49,10 +64,10 @@ def memo_column(fn):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        if all(_is_plain(a) for a in args) and all(
-            _is_plain(v) for v in kwargs.values()
-        ):
-            key = (args, tuple(sorted(kwargs.items())))
+        cargs = tuple(_canon(a) for a in args)
+        ckw = tuple(sorted((k, _canon(v)) for k, v in kwargs.items()))
+        if _OPAQUE not in cargs and all(v is not _OPAQUE for _, v in ckw):
+            key = (cargs, ckw)
             hit = cache.get(key)
             if hit is None:
                 hit = cache[key] = fn(*args, **kwargs)

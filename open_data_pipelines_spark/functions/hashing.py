@@ -16,14 +16,18 @@
 from __future__ import annotations
 
 from pyspark.sql import Column
+
+from .exprmemo import memo_column
 from pyspark.sql import functions as F
 
 
+@memo_column
 def record_hash(*cols: Column | str, sep: str = "|") -> Column:
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     return F.md5(F.concat_ws(sep, *[c.cast("string") for c in cs]))
 
 
+@memo_column
 def stable_long_hash(col: Column | str, salt: str = "") -> Column:
     """Deterministic cross-engine 60-bit hash: first 15 hex chars of
     md5, parsed base-16. DuckDB equivalent:
@@ -37,6 +41,7 @@ def stable_long_hash(col: Column | str, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+@memo_column
 def fast_long_hash(col: Column | str, seed: int = 42) -> Column:
     """Scale-path hash: xxhash64 (JVM, codegen'd, no md5 string cost).
 

@@ -18,9 +18,12 @@ involved.
 from __future__ import annotations
 
 from pyspark.sql import Column
+
+from .exprmemo import memo_column
 from pyspark.sql import functions as F
 
 
+@memo_column
 def round_half_up(col: Column | str, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     p = float(10**scale)

@@ -22,15 +22,21 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column
+
+from .exprmemo import memo_column
 from pyspark.sql import functions as F
 
 
+@memo_column
 def category_score(
-    col: Column,
+    col: Column | str,
     mapping: dict[str, float],
     default: float = 0.0,
 ) -> Column:
-    """Chained CASE WHEN category map (impact_scores_england.sql:21-44)."""
+    """Chained CASE WHEN category map (impact_scores_england.sql:21-44).
+    Accepts a column NAME so plain-column call sites hit the
+    expression cache (a Column argument builds fresh)."""
+    col = F.col(col) if isinstance(col, str) else col
     expr: Column | None = None
     for value, score in mapping.items():
         expr = (
@@ -47,8 +53,9 @@ def flag_bonus(cond: Column, bonus: float = 0.5) -> Column:
     return F.when(cond, F.lit(bonus)).otherwise(F.lit(0.0))
 
 
+@memo_column
 def tier_score(
-    col: Column,
+    col: Column | str,
     thresholds: Sequence[tuple[float, float]],
     default: float,
     null_score: float | None = None,
@@ -59,6 +66,7 @@ def tier_score(
     impact_scores_england.sql:65-74) and the traffic-management tier
     with its NULL→0.5 rule (:45-58).
     """
+    col = F.col(col) if isinstance(col, str) else col
     expr: Column | None = None
     if null_score is not None:
         expr = F.when(col.isNull(), F.lit(null_score))
@@ -69,13 +77,15 @@ def tier_score(
     return expr.otherwise(F.lit(default))
 
 
+@memo_column
 def bucket_label(
-    score: Column,
+    score: Column | str,
     cuts: Sequence[tuple[float, str]],
     top_label: str,
 ) -> Column:
     """Score → category label (Severe/High/Moderate/Low/Minimal,
     impact_scores_england.sql:153-159). ``cuts`` ascending (limit, label)."""
+    score = F.col(score) if isinstance(score, str) else score
     expr: Column | None = None
     for limit, label in cuts:
         c = score <= F.lit(limit)

@@ -21,6 +21,8 @@ with shapely, row-at-a-time).
 from __future__ import annotations
 
 from pyspark.sql import Column
+
+from .exprmemo import memo_column
 from pyspark.sql import functions as F
 
 # exponent support matters because wkt_point renders via cast-to-
@@ -37,16 +39,19 @@ def wkt_point(x: Column, y: Column) -> Column:
     return F.format_string("POINT (%s %s)", x.cast("string"), y.cast("string"))
 
 
+@memo_column
 def wkt_point_x(wkt: Column | str) -> Column:
     c = F.col(wkt) if isinstance(wkt, str) else wkt
     return F.regexp_extract(c, rf"POINT \(({_NUM}) ", 1).try_cast("double")
 
 
+@memo_column
 def wkt_point_y(wkt: Column | str) -> Column:
     c = F.col(wkt) if isinstance(wkt, str) else wkt
     return F.regexp_extract(c, rf"POINT \({_NUM} ({_NUM})\)", 1).try_cast("double")
 
 
+@memo_column
 def wkt_coords(wkt: Column | str) -> Column:
     """All numeric tokens of a WKT geometry as array<string> —
     [x1, y1, x2, y2, ...]. Feed to centroid/extent aggregates."""
@@ -54,6 +59,7 @@ def wkt_coords(wkt: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(f"({_NUM})"), 1)
 
 
+@memo_column
 def wkt_xs(wkt: Column | str) -> Column:
     """X coordinates of any WKT geometry (POINT/LINESTRING/POLYGON):
     first number of each non-overlapping "x y" pair."""
@@ -61,6 +67,7 @@ def wkt_xs(wkt: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(rf"({_NUM}) {_NUM}"), 1)
 
 
+@memo_column
 def wkt_ys(wkt: Column | str) -> Column:
     c = F.col(wkt) if isinstance(wkt, str) else wkt
     return F.regexp_extract_all(c, F.lit(rf"{_NUM} ({_NUM})"), 1)
@@ -71,6 +78,7 @@ def _mean_of(tokens: Column) -> Column:
     return F.aggregate(nums, F.lit(0.0), lambda a, x: a + x) / F.size(nums)
 
 
+@memo_column
 def linestring_centroid_x(wkt: Column | str) -> Column:
     """ST_X(ST_Centroid(geom)) for point sets / linestring vertices —
     vertex mean on planar coords (X8, ``stg_emergency_works_by_authority
@@ -78,6 +86,7 @@ def linestring_centroid_x(wkt: Column | str) -> Column:
     return _mean_of(wkt_xs(wkt))
 
 
+@memo_column
 def linestring_centroid_y(wkt: Column | str) -> Column:
     return _mean_of(wkt_ys(wkt))
 

@@ -108,10 +108,10 @@ def impact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # X1: scoring — addition order matters for float determinism; keep
     # left-assoc base + ttro + sensitive + tier + density (all halves).
     score = (
-        category_score(F.col("o_orderpriority"), PRIORITY_SCORES)
+        category_score("o_orderpriority", PRIORITY_SCORES)
         + flag_bonus(F.col("l_returnflag") == "N", 0.5)
         + flag_bonus(F.col("c_mktsegment") == "AUTOMOBILE", 0.5)
-        + tier_score(F.col("l_quantity"), QTY_TIERS, default=0.0, null_score=0.5)
+        + tier_score("l_quantity", QTY_TIERS, default=0.0, null_score=0.5)
         + tier_score(F.coalesce(F.col("line_count"), F.lit(0)), DENSITY_TIERS, default=4.0)
     )
     scored = permits.withColumn("row_score", score)
@@ -130,7 +130,7 @@ def impact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W3 + X1: normalize then bucket
     normalized = minmax_normalize(grouped, "total_impact_level", "impact_score")
     return normalized.withColumn(
-        "impact_category", bucket_label(F.col("impact_score"), BUCKETS, "Severe")
+        "impact_category", bucket_label("impact_score", BUCKETS, "Severe")
     ).select("nation", "total_impact_level", "permit_count", "impact_score", "impact_category")
 
 
