@@ -37,7 +37,9 @@ from ..caching import lazy_checkpoint
 from .text_analysis import doc_fingerprint, whitespace_tokens
 
 
-def scale_out(df: DataFrame, key: str | None = None) -> DataFrame:
+def scale_out(
+    df: DataFrame, key: str | None = None, fence: bool = False
+) -> DataFrame:
     """Ensure CPU-heavy per-row work fans out across all cores.
 
     A single parquet file scans as 1-2 input partitions; hashing
@@ -46,6 +48,17 @@ def scale_out(df: DataFrame, key: str | None = None) -> DataFrame:
     repartition (by key if given — keeps later same-key shuffles
     cheap). No-op when the scan is already wide (the 100 TB case: file
     splits provide parallelism for free).
+
+    ``fence=True`` additionally caps the repartition with a pushdown
+    fence (a one-element ``explode(array(struct(...)))`` — the
+    annotate_text barrier): the optimizer pushes FILTERS through a
+    repartition, so an expensive predicate built above the spread
+    (the corpus URL gate) silently re-sinks onto the narrow input —
+    exactly the serialization the spread exists to break (round-15
+    event log: the gate ran 1.6 s on one core below the exchange).
+    The fence is only applied when the repartition actually happens,
+    so wide-input (100 TB) plans are byte-identical with or without
+    it.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     # JVM-side partition probe: df.rdd would wrap the plan in a fresh
@@ -55,7 +68,14 @@ def scale_out(df: DataFrame, key: str | None = None) -> DataFrame:
     # (round-15 optimization — measured, no job runs either way)
     if df._jdf.queryExecution().toRdd().getNumPartitions() >= target:
         return df
-    return df.repartition(target, key) if key else df.repartition(target)
+    out = df.repartition(target, key) if key else df.repartition(target)
+    if fence:
+        out = out.select(
+            F.explode(
+                F.array(F.struct(*[F.col(c) for c in out.columns]))
+            ).alias("__fence")
+        ).select("__fence.*")
+    return out
 
 
 @memo_column

@@ -252,7 +252,10 @@ def prepare_corpus(
     # checkpoint: an exchange between the spread and the checkpoint
     # would make the checkpoint's toRdd (AQE materializes every stage
     # below the last exchange) execute the gate narrow at construction.
-    docs = scale_out(docs, "doc_id")
+    # fence=True: without it the optimizer pushes the URL-gate filters
+    # back through the repartition onto the narrow input (round-15
+    # event log: 1.6 s of gate regexes on one core below the exchange)
+    docs = scale_out(docs, "doc_id", fence=True)
 
     if url_col is not None and (url_blocklist is not None or url_quality):
         from ..operators.url_filter import filter_domain_blocklist, filter_url_quality
@@ -639,6 +642,16 @@ def prepare_corpus(
         )
 
     surviving = near_deduped
+    # Re-fan after the dedup endgame (round-15 event-log audit): the
+    # reuse checkpoints freeze the AQE-FINALIZED partitioning of their
+    # segment, and on a small corpus AQE coalesces the tiny post-dedup
+    # exchanges to one partition — every downstream per-row pass (the
+    # decontamination 8-gram explode, the chunk posexplode) then ran
+    # single-task (1.3-1.7 s stages on one of 32 cores). Same scale_out
+    # guard as the input spread: probes the frozen width and no-ops on
+    # wide (100 TB) input. Placed BEFORE the decon reuse checkpoint so
+    # its blocks materialize wide and the shuffle runs once.
+    surviving = scale_out(surviving, "doc_id")
     if benchmark is not None:
         from ..operators.contamination import decontaminate
 
