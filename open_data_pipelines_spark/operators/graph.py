@@ -131,7 +131,16 @@ def _components_driver_union_find(adj: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("node", node_type), T.StructField("component", node_type)]
     )
-    return adj.sparkSession.createDataFrame(labels, schema)
+    spark = adj.sparkSession
+    # explicit slice count: createDataFrame(list) parallelizes into
+    # defaultParallelism slices, turning this dim-sized frame into a
+    # 32-task Python-serialization job PER consumer (round-15 event
+    # log). Bounded by driver_max_edges, so a handful of slices always
+    # suffices; sized up only for genuinely large label sets.
+    slices = max(1, min(8, len(labels) // 20_000))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(labels, slices), schema
+    )
 
 
 def _propagation_loop(adj: DataFrame, max_rounds: int) -> DataFrame:

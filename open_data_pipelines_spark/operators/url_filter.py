@@ -204,8 +204,14 @@ def registered_domain_psl(
     rule_rows = [
         (k, ps, exc) for k, (ps, exc) in sorted(rules.entries.items())
     ]
+    # few slices: the full PSL is ~10k rows; the default
+    # createDataFrame(list) path would fan it into defaultParallelism
+    # python tasks per broadcast build (round-15 event log)
     rule_df = spark.createDataFrame(
-        rule_rows, "psl_key string, psl_ps int, psl_exc boolean"
+        spark.sparkContext.parallelize(
+            rule_rows, max(1, min(4, len(rule_rows) // 20_000))
+        ),
+        "psl_key string, psl_ps int, psl_exc boolean",
     )
     # temp/probe column names derived to avoid collisions
     pfx = "__psl"
@@ -310,8 +316,14 @@ def filter_domain_blocklist(
         bl = blocked.select(F.lower(F.col(blocked.columns[0])).alias(dom_col)).distinct()
     else:
         spark = df.sparkSession
+        # one slice: the default createDataFrame(list) path fans a
+        # dim-sized blocklist into defaultParallelism python tasks per
+        # broadcast build (round-15 event log)
         bl = spark.createDataFrame(
-            [(d.lower(),) for d in blocked], f"{dom_col} string"
+            spark.sparkContext.parallelize(
+                [(d.lower(),) for d in blocked], 1
+            ),
+            f"{dom_col} string",
         ).distinct()
     kept = with_dom.join(F.broadcast(bl), dom_col, "left_anti")
     if not keep_unparseable:
