@@ -177,6 +177,16 @@ def prepare_media_corpus(
     # are fulfilled by a LAZY one only because top1_per_key happens to
     # shuffle — an eager materialization always fulfills them
     exact = lazy_checkpoint(exact, eager=with_stats and stats_via == "observe")
+    # Re-fan after the checkpoint (round-15, the corpus_prep endgame
+    # pattern): the checkpoint freezes the AQE-finalized partitioning
+    # of its segment, and on a small frame AQE coalesces the dedup
+    # exchange to one partition — the banding join, the cluster
+    # endgame and the survivors anti-join then all ran single-task
+    # (~1.6 s of 1-task stages in the round-15 event log). scale_out
+    # probes the frozen width and no-ops on wide (production) input.
+    from ..operators.text_dedup import scale_out
+
+    exact = scale_out(exact, id_col)
     # the observation rides ONLY the survivors side (the anti-join's
     # left input sees every exact row, so the count is identical):
     # attaching it to the frame the pair build reads would duplicate
