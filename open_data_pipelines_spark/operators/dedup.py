@@ -39,11 +39,36 @@ def top1_per_key(
     df: DataFrame,
     keys: Sequence[str],
     order_by: Sequence[Column],
+    spread: bool = False,
 ) -> DataFrame:
     """One row per key, first by ``order_by`` (make it a TOTAL order).
 
     Equivalent of DuckDB ``DISTINCT ON`` with an explicit ORDER BY.
+
+    ``spread=True`` fans narrow input out FIRST (round 15): the
+    map-side WindowGroupLimit Spark 4 inserts below the key exchange
+    is the right shape on wide input (pre-reduces every partition
+    before the shuffle — the skew rescue the module docstring
+    describes), but on a 1-3-partition scan (single-row-group files)
+    that partial sort+limit serializes the whole table onto as many
+    cores (event-log: 0.94 s single-task on the sf0.1 lineitem; the
+    wellbeing DAG's latest-line pass measured 4.2 -> 1.4 s). The
+    key-partitioned spread SATISFIES the window's distribution, so
+    exactly one exchange remains either way, and scale_out no-ops on
+    wide input, keeping the map-side pre-reduction at scale. It is
+    OPT-IN because the probe + exchange also carry a cost: callers
+    whose narrow input is genuinely small (SCD2 staging slices,
+    +0.15 s in the round-15 interleaved A/B) or who sit mid-pipeline
+    on deep plans (the funnel's exact-dedup — the probe would compile
+    and, under AQE, eagerly execute the upstream segment per call)
+    must keep the default. Enable it where the input is a wide-scan
+    candidate feeding real per-key reduction (distinct_on, the
+    wellbeing latest-line pass).
     """
+    if spread:
+        from .text_dedup import scale_out
+
+        df = scale_out(df, keys)
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))

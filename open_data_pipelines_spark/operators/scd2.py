@@ -72,6 +72,10 @@ def _latest_per_entity(
         )
         return top1_per_key_agg(staging, [entity_key], order)
     order = [F.col(event_time).desc()] + [F.col(t).desc() for t in tiebreakers]
+    # default spread=False: staging slices are dim-to-moderate frames
+    # behind reuse checkpoints; the narrow-input spread's extra
+    # exchange measured +0.15 s against a ~0.1 s single-task window
+    # (round-15 interleaved A/B)
     return top1_per_key(staging, [entity_key], order)
 
 

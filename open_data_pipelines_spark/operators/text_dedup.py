@@ -26,6 +26,8 @@ production runs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 
 from pyspark.sql import functions as F
@@ -38,16 +40,20 @@ from .text_analysis import doc_fingerprint, whitespace_tokens
 
 
 def scale_out(
-    df: DataFrame, key: str | None = None, fence: bool = False
+    df: DataFrame,
+    key: str | Sequence[str] | None = None,
+    fence: bool = False,
 ) -> DataFrame:
     """Ensure CPU-heavy per-row work fans out across all cores.
 
     A single parquet file scans as 1-2 input partitions; hashing
     thousands of shingles per row then runs on 2 of 32 cores. When the
     input has fewer partitions than the cluster's default parallelism,
-    repartition (by key if given — keeps later same-key shuffles
-    cheap). No-op when the scan is already wide (the 100 TB case: file
-    splits provide parallelism for free).
+    repartition (by key — one column name or a sequence — if given:
+    keeps later same-key shuffles cheap, and a repartition on a
+    window/groupBy's exact keys SATISFIES its distribution so no
+    second exchange appears). No-op when the scan is already wide (the
+    100 TB case: file splits provide parallelism for free).
 
     ``fence=True`` additionally caps the repartition with a pushdown
     fence (a one-element ``explode(array(struct(...)))`` — the
@@ -68,7 +74,8 @@ def scale_out(
     # (round-15 optimization — measured, no job runs either way)
     if df._jdf.queryExecution().toRdd().getNumPartitions() >= target:
         return df
-    out = df.repartition(target, key) if key else df.repartition(target)
+    keys = [key] if isinstance(key, str) else list(key or [])
+    out = df.repartition(target, *keys) if keys else df.repartition(target)
     if fence:
         out = out.select(
             F.explode(
@@ -154,6 +161,10 @@ def dedup_exact_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from .dedup import top1_per_key
 
     keyed = df.withColumn("__fp", doc_fingerprint(text_col))
+    # default spread=False: this operator sits mid-pipeline on deep
+    # corpus plans (the funnel spreads its input once, upstream);
+    # top1's narrow-input probe would re-compile — and, under AQE,
+    # eagerly re-execute — the whole upstream segment per call (r15)
     return top1_per_key(keyed, ["__fp"], [F.col(id_col).asc()]).drop("__fp")
 
 

@@ -78,6 +78,9 @@ def stg_works(
             F.col("l_linenumber").desc(),
             F.col("l_quantity").desc(),
         ],
+        # wide-scan candidate feeding real per-key reduction: the
+        # narrow-scan spread measured 4.2 -> 1.4 s on this DAG (r15)
+        spread=True,
     ).select("l_orderkey", F.col("l_shipdate").alias("end_ts"))
 
     if categories is not None:

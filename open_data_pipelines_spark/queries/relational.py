@@ -50,6 +50,7 @@ def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").desc(),
             F.col("l_quantity").desc(),
         ],
+        spread=True,  # wide-scan candidate: see top1_per_key (r15)
     )
     return out.select(
         "l_orderkey",
