@@ -71,7 +71,16 @@ def impact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   harness data (SURVEY.md §7 watch list);
     # - has_returned flag (J4's exclusion set);
     # - line count (J1 density).
-    line_stats = lineitem.groupBy("l_orderkey").agg(
+    # Narrow-scan spread (round 15, the distinct_on/top1 pattern): the
+    # harness lineitem scans as one task (single row group), so the
+    # partial max(struct) is a single-core SortAggregate over the
+    # whole table. Repartitioning on the group key satisfies the
+    # aggregation's distribution — exactly one exchange either way —
+    # and no-ops on wide input, keeping map-side partial aggregation
+    # (the scale-correct shape) at 100 TB.
+    from ..operators.text_dedup import scale_out
+
+    line_stats = scale_out(lineitem, "l_orderkey").groupBy("l_orderkey").agg(
         F.max(
             F.struct("l_shipdate", "l_linenumber", "l_quantity", "l_returnflag")
         ).alias("__latest"),
