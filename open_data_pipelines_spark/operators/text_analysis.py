@@ -157,10 +157,35 @@ def annotate_text(
     """
     if quality_lang not in STOPWORDS:
         raise ValueError(f"quality_lang {quality_lang!r} not in STOPWORDS")
-    others = [c for c in df.columns if c != text_col]
+    others = tuple(c for c in df.columns if c != text_col)
+    base_cols, counted_cols, final_col = _annotate_exprs(
+        others, text_col, lang_col, quality_col, tokens_col, quality_lang, min_hits
+    )
+    return (
+        df.select(*base_cols)
+        .select(*counted_cols)
+        .select(*[F.col(c) for c in others], final_col)
+        .select(*others, "__ann.*")
+    )
+
+
+@memo_column
+def _annotate_exprs(
+    others: tuple[str, ...],
+    text_col: str,
+    lang_col: str,
+    quality_col: str,
+    tokens_col: str,
+    quality_lang: str,
+    min_hits: int,
+):
+    """The annotate stage's three projection layers as cached Column
+    tuples — pure functions of the column NAMES (round 15: the
+    stopword isin-forest and quality CASE trees were rebuilt through
+    py4j on every construction; identical every time)."""
     t = F.col(text_col)
-    base = df.select(
-        *others,
+    base_cols = (
+        *[F.col(c) for c in others],
         t.alias(text_col),
         F.split(F.trim(F.lower(t)), r"\s+").alias("__lt"),
         F.trim(t).alias("__tt"),
@@ -169,9 +194,9 @@ def annotate_text(
     def _hit(words: list[str]):
         return lambda tok: tok.isin(*words)
 
-    counted = base.select(
-        *others,
-        text_col,
+    counted_cols = (
+        *[F.col(c) for c in others],
+        F.col(text_col),
         *[
             F.size(F.filter(F.col("__lt"), _hit(list(STOPWORDS[lang])))).alias(
                 f"__h_{lang}"
@@ -206,19 +231,17 @@ def annotate_text(
         + (p_ratio <= 0.2).cast("double") * 0.25
         + (F.col(f"__h_{quality_lang}") >= 1).cast("double") * 0.25
     )
-    return counted.select(
-        *others,
-        F.explode(
-            F.array(
-                F.struct(
-                    t.alias(text_col),
-                    lang_expr.alias(lang_col),
-                    quality_expr.alias(quality_col),
-                    F.col("__nt").alias(tokens_col),
-                )
+    final_col = F.explode(
+        F.array(
+            F.struct(
+                t.alias(text_col),
+                lang_expr.alias(lang_col),
+                quality_expr.alias(quality_col),
+                F.col("__nt").alias(tokens_col),
             )
-        ).alias("__ann"),
-    ).select(*others, "__ann.*")
+        )
+    ).alias("__ann")
+    return base_cols, counted_cols, final_col
 
 
 @memo_column
