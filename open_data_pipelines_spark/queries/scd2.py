@@ -17,8 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import lazy_checkpoint
-from ..operators.scd2 import scd2_initial_load, scd2_merge, with_surrogate_keys
+from ..operators.scd2 import scd2_two_batch_single_shuffle, with_surrogate_keys
 from ..session import load_tables
 
 ATTRS = ["event_type", "props", "value"]
@@ -28,19 +27,26 @@ HASH_COLS = ["event_type", "props"]  # strings only: double->string rendering
 
 def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, register_views=False)["events"]
-    batch1 = events.filter(F.col("event_id") % 2 == 0)
-    batch2 = events.filter(F.col("event_id") % 2 == 1)
 
-    # the merge consumes dim three ways (current filter, history
-    # filter, key-distinct for the brand-new anti-join); dim here is a
-    # COMPUTED window over batch1, so a lazy checkpoint runs that
-    # window once instead of three times (a dim read straight from
-    # storage would not need this — scans are cheap to repeat)
-    dim = scd2_initial_load(
-        batch1, "user_id", "ts", ATTRS, HASH_COLS, tiebreakers=["event_id"]
+    # Round-15 optimization (guide §2.4 — remove shuffles outright):
+    # both batches come from ONE source split by a row-local predicate,
+    # which is exactly the case scd2_two_batch_single_shuffle exists
+    # for. One hash aggregation (two conditional struct-maxes, map-side
+    # combined) replaces the generic path's two dedup windows + change
+    # join + brand-new anti-join (4 keyed shuffles + 3 reuse
+    # checkpoints -> 1 shuffle, 0 checkpoints). Row-identical to
+    # scd2_initial_load + scd2_merge by construction — pinned by
+    # tests/test_scd2_optimized.py and by this row's DuckDB oracle,
+    # which still mirrors the generic window+join algebra.
+    merged = scd2_two_batch_single_shuffle(
+        events,
+        F.col("event_id") % 2 == 0,
+        "user_id",
+        "ts",
+        ATTRS,
+        HASH_COLS,
+        tiebreakers=["event_id"],
     )
-    dim = lazy_checkpoint(dim)
-    merged = scd2_merge(dim, batch2, "user_id", "ts", ATTRS, HASH_COLS, tiebreakers=["event_id"])
     final = with_surrogate_keys(merged, ["user_id", "valid_from"])
     return final.select(
         # bigint: DuckDB row_number() is BIGINT, Spark's is INT — align

@@ -4,7 +4,7 @@ The audit's plan-text shuffle bracket (`expanded/ckpt`) was too wide
 to audit regressions (minhash 30/2). The `executed` reading counts
 shuffle-map stages that actually ran, from the status store: run <=
 expanded always (an exchange executes at most once per appearance),
-and for scd2_merge — the canonical checkpoint-reusing query, where
+and for substring_dedup — a canonical checkpoint-reusing query, where
 AQE does not elide exchanges — it lies inside the full bracket; the
 total scope (build + run) captures the shuffles that internal
 materializations execute outside either plan text. (Queries where
@@ -28,16 +28,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_executed_shuffles_lie_inside_bracket():
-    # scd2_merge is the canonical checkpoint-reusing query: its
-    # staging windows + change join execute once under lazy_checkpoint
-    # while the expanded plan text re-counts them per consumer (9/2
-    # bracket in the r9 verdict)
+    # substring_dedup is a canonical checkpoint-reusing query: its
+    # wins aggregation executes once under lazy_checkpoint while the
+    # expanded plan text re-counts it per consumer (4/2 bracket in the
+    # committed audit). It replaced scd2_merge as the canary in round
+    # 15: the scd2 driver row now runs the single-shuffle twin, which
+    # has no internal checkpoints and therefore a trivial bracket.
     proc = subprocess.run(
         [
             sys.executable,
             os.path.join(REPO, "tools", "explain_audit.py"),
             "/root/testdata/sf0.001",
-            "--only=scd2_merge",
+            "--only=substring_dedup",
             "--json",
         ],
         capture_output=True,
@@ -47,7 +49,7 @@ def test_executed_shuffles_lie_inside_bracket():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     rows = [json.loads(line) for line in proc.stdout.splitlines() if line.startswith("{")]
-    assert len(rows) == 1 and rows[0]["query"] == "scd2_merge"
+    assert len(rows) == 1 and rows[0]["query"] == "substring_dedup"
     r = rows[0]
     assert "error" not in r, r
     expanded, ckpt = r["shuffles"], r["ckpt_shuffles"]
@@ -67,8 +69,8 @@ def test_executed_shuffles_lie_inside_bracket():
 def test_segment_bracket_for_intractable_expanded():
     """Round-15 (VERDICT r14 #5): a query whose monolithic expanded
     compile blows the budget gets the per-segment bracket instead of
-    an n/a dagger. Forced here by a 0-second budget on scd2_merge (a
-    cheap stand-in with real internal checkpoints — the production
+    an n/a dagger. Forced here by a 0-second budget on substring_dedup
+    (a cheap stand-in with real internal checkpoints — the production
     target is corpus_funnel, audited the same way at full budget):
     expanded counts come back finite via collect_checkpoint_segments,
     with run <= bracket."""
@@ -82,7 +84,7 @@ def test_segment_bracket_for_intractable_expanded():
             sys.executable,
             os.path.join(REPO, "tools", "explain_audit.py"),
             "/root/testdata/sf0.001",
-            "--only=scd2_merge",
+            "--only=substring_dedup",
             "--json",
         ],
         capture_output=True,
