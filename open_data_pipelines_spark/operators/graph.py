@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.dimframe import dim_frame
+
 
 class ConvergenceError(RuntimeError):
     """Label propagation did not reach fixpoint within max_rounds."""
@@ -132,15 +134,13 @@ def _components_driver_union_find(adj: DataFrame) -> DataFrame:
         [T.StructField("node", node_type), T.StructField("component", node_type)]
     )
     spark = adj.sparkSession
-    # explicit slice count: createDataFrame(list) parallelizes into
-    # defaultParallelism slices, turning this dim-sized frame into a
-    # 32-task Python-serialization job PER consumer (round-15 event
-    # log). Bounded by driver_max_edges, so a handful of slices always
-    # suffices; sized up only for genuinely large label sets.
+    # dim_frame (round-15): Arrow LocalRelation — the label frame is
+    # bounded by driver_max_edges, so its consumers (broadcast joins
+    # in every dedup endgame) collect driver rows with no job and no
+    # Python worker; audit mode keeps the opaque parallelize RDD form
+    # with the explicit slice count (functions/dimframe.py)
     slices = max(1, min(8, len(labels) // 20_000))
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(labels, slices), schema
-    )
+    return dim_frame(spark, labels, schema, slices=slices)
 
 
 def _propagation_loop(adj: DataFrame, max_rounds: int) -> DataFrame:

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 
 from pyspark.sql import functions as F
 
+from ..functions.dimframe import dim_frame
 from ..functions.exprmemo import memo_column
 
 __all__ = [
@@ -252,21 +253,19 @@ def predict_language(
         sfx += "_"
     c_t, c_total, c_pred, c_pscore, c_id = (n + sfx for n in fixed)
 
-    # RDD-backed, not a literal LocalRelation: createDataFrame(list)
-    # would inline every (gram, label, logp) row into the LOGICAL PLAN
-    # as literals, and in a checkpoint-free plan (the explain-audit
-    # kill switch; any caller composing without reuse caches) the gate
-    # subtree — model rows included — is re-embedded once per
-    # downstream consumer, handing Catalyst's constant-heavy rules
-    # ~20 copies of the vocabulary to chew per pass (the round-13
-    # audit sat in the optimizer for 25+ minutes before this). A
-    # LogicalRDD is opaque: same broadcast join at runtime, zero
-    # literals in the tree.
+    # dim_frame (round-15 optimization): Arrow LocalRelation in
+    # production — the broadcast build collects driver rows with no
+    # job and no Python worker (the old parallelize form decoded
+    # pickled rows per consuming segment, ~0.2 s each in the funnel
+    # event log) — and the opaque parallelize LogicalRDD under the
+    # explain-audit kill switch, where a checkpoint-free composition
+    # re-embeds the gate subtree per consumer and driver-held rows
+    # would ride every copy through Catalyst (the round-13 25-minute
+    # grind hazard class; rationale in functions/dimframe.py).
     model_df = F.broadcast(
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(g, l, p) for (g, l), p in model.table.items()], 1
-            ),
+        dim_frame(
+            spark,
+            [(g, l, p) for (g, l), p in model.table.items()],
             "__g string, __lbl string, __logp double",
         )
     )

@@ -456,8 +456,11 @@ def filter_content_blockwords(
             f"mode='join' takes single-word entries only, got {bad_entries[:3]}"
         )
     spark = df.sparkSession
+    from ..functions.dimframe import dim_frame
+
+    # dim_frame (round-15): no Python worker per broadcast build
     word_df = F.broadcast(
-        spark.createDataFrame([(w.strip().lower(),) for w in words], "__w string")
+        dim_frame(spark, [(w.strip().lower(),) for w in words], "__w string")
     )
     toks = df.select(
         F.col(id_col),

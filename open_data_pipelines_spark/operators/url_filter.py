@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 
+from ..functions.dimframe import dim_frame
+
 from pyspark.sql import functions as F
 
 from ..functions.exprmemo import memo_column
@@ -204,14 +206,15 @@ def registered_domain_psl(
     rule_rows = [
         (k, ps, exc) for k, (ps, exc) in sorted(rules.entries.items())
     ]
-    # few slices: the full PSL is ~10k rows; the default
-    # createDataFrame(list) path would fan it into defaultParallelism
-    # python tasks per broadcast build (round-15 event log)
-    rule_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            rule_rows, max(1, min(4, len(rule_rows) // 20_000))
-        ),
+    # dim_frame (round-15): Arrow LocalRelation — the ~10k-row PSL is
+    # broadcast from driver rows with no job and no Python worker
+    # (the parallelize form decoded pickled rows per broadcast build);
+    # audit mode keeps the opaque RDD form (functions/dimframe.py)
+    rule_df = dim_frame(
+        spark,
+        rule_rows,
         "psl_key string, psl_ps int, psl_exc boolean",
+        slices=max(1, min(4, len(rule_rows) // 20_000)),
     )
     # temp/probe column names derived to avoid collisions
     pfx = "__psl"
@@ -316,14 +319,11 @@ def filter_domain_blocklist(
         bl = blocked.select(F.lower(F.col(blocked.columns[0])).alias(dom_col)).distinct()
     else:
         spark = df.sparkSession
-        # one slice: the default createDataFrame(list) path fans a
-        # dim-sized blocklist into defaultParallelism python tasks per
-        # broadcast build (round-15 event log)
-        bl = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(d.lower(),) for d in blocked], 1
-            ),
-            f"{dom_col} string",
+        # dim_frame (round-15): Arrow LocalRelation — broadcast with
+        # no job, no Python worker; audit mode keeps the opaque RDD
+        # form (functions/dimframe.py)
+        bl = dim_frame(
+            spark, [(d.lower(),) for d in blocked], f"{dom_col} string"
         ).distinct()
     kept = with_dom.join(F.broadcast(bl), dom_col, "left_anti")
     if not keep_unparseable:

@@ -841,14 +841,14 @@ def funnel_lang_model(docs: DataFrame):
 
 def funnel_benchmark(spark: SparkSession) -> DataFrame:
     """The funnel's 3-item eval benchmark (see _FUNNEL_BENCH).
-    RDD-backed, not createDataFrame(list): a literal LocalRelation
-    would inline the benchmark rows into the logical plan, and in the
-    checkpoint-free expanded form the decon subtree is re-embedded
-    per consumer (the lang-model LogicalRDD rationale, round 13)."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(list(_FUNNEL_BENCH), 1),
-        "bench_id int, text string",
-    )
+    dim_frame (round-15): Arrow LocalRelation in production (the
+    decon probes collect it driver-side with no job), the opaque
+    parallelize RDD under the explain-audit kill switch where the
+    checkpoint-free expanded form re-embeds the decon subtree per
+    consumer (the lang-model rationale, functions/dimframe.py)."""
+    from ..functions.dimframe import dim_frame
+
+    return dim_frame(spark, list(_FUNNEL_BENCH), "bench_id int, text string")
 
 
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
