@@ -43,11 +43,33 @@ def _boilerplate_fps(rows: DataFrame, id_col: str, min_docs: int) -> DataFrame:
     """The ONE definition of 'boilerplate': normalized-line
     fingerprints appearing in >= ``min_docs`` distinct docs. Shared by
     the curator audit and the strip so the two can never disagree on
-    what gets removed."""
+    what gets removed.
+
+    Two-level shape (round-15): ``count_distinct`` planned its final
+    aggregation onto ONE AQE-coalesced partition (the per-fingerprint
+    rollup is small in BYTES, which is all the coalesce heuristic
+    sees) — 0.3 s single-task in the funnel's probe collect. The
+    explicit (fp, doc) level keeps the skew-safe first key (a
+    universal banner fans across reducers by doc), and BOTH exchanges
+    are REPARTITION_BY_NUM so AQE leaves them wide (the ensured form's
+    (fp, doc) reader also coalesced to one task, 0.35 s). The traded
+    map-side pre-combine only collapsed duplicate lines WITHIN one
+    document (blanks are already filtered), so shuffle bytes are
+    near-identical. Value-identical to count_distinct: count of
+    distinct (fp, doc) pairs per fp; min-of-mins — and every row of
+    one fp carries the same ``__norm`` by construction,
+    fp = md5(norm)."""
+    n_part = rows.sparkSession.sparkContext.defaultParallelism
+    per_doc = (
+        rows.repartition(n_part, "__fp", id_col)
+        .groupBy("__fp", id_col)
+        .agg(F.min("__norm").alias("__norm"))
+    )
     return (
-        rows.groupBy("__fp")
+        per_doc.repartition(n_part, "__fp")
+        .groupBy("__fp")
         .agg(
-            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
             F.min("__norm").alias("sample_line"),
         )
         .filter(F.col("n_docs") >= min_docs)

@@ -153,8 +153,20 @@ def fit_lang_classifier(
     # driver-head discipline); per-label gram totals fold driver-side
     # from the same rows. Round 13: this replaces three jobs (counts
     # checkpoint materialization, vocab head, in-vocab collect).
+    # Explicit repartition (round-15): the per-gram rollup's exchange
+    # is small in bytes, so AQE coalesced it to ONE partition and the
+    # collect_list-of-structs aggregation ran single-task (0.3-0.4 s
+    # of the funnel's training phase). REPARTITION_BY_NUM on the
+    # grouping key satisfies the aggregation's distribution — one
+    # exchange either way (the partial combine moves to the wide side
+    # of it; collect_list partials don't shrink bytes, so the shuffle
+    # volume is unchanged) — and AQE leaves user-numbered exchanges
+    # alone. Driver folding is order-insensitive (dict inserts), so
+    # values are partitioning-invariant.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     vocab_q = (
-        counts.groupBy("__g")
+        counts.repartition(n_part, "__g")
+        .groupBy("__g")
         .agg(
             F.sum("__c").alias("__tot"),
             F.collect_list(F.struct("__lbl", "__c")).alias("__per"),

@@ -122,9 +122,18 @@ def train_ngram_lm(
             F.count(F.lit(1)).alias("bi_n")
         )
         # c(prev) == sum over tok of c(prev, tok) — integer-exact, so
-        # the window form is value-identical to the old third groupBy
+        # the window form is value-identical to the old third groupBy.
+        # Explicit repartition (round-15): the window's own exchange
+        # carries a few MB of bigram counts, so AQE coalesces it to
+        # ONE partition and the window sort ran single-task (0.44 s of
+        # the training phase in the funnel event log) — the byte
+        # heuristic cannot see the per-row sort cost. REPARTITION_BY_NUM
+        # on the window's exact key satisfies its distribution (one
+        # exchange either way, AQE leaves user-numbered exchanges
+        # alone); integer sums are partitioning-invariant.
+        n_part = reference.sparkSession.sparkContext.defaultParallelism
         bi = lazy_checkpoint(
-            bi_counts.withColumn(
+            bi_counts.repartition(n_part, "prev").withColumn(
                 "prev_n", F.sum("bi_n").over(Window.partitionBy("prev"))
             )
         )
