@@ -44,6 +44,7 @@ def connected_components(
     max_rounds: int = 25,
     algorithm: str = "propagation",
     driver_max_edges: int = 200_000,
+    include_sizes: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``.
 
@@ -68,46 +69,83 @@ def connected_components(
     distributed propagation loop, escalating to star contraction if no
     fixpoint lands within ``max_rounds``. Identical output on every
     path: min-node-id labels.
+
+    ``include_sizes=True`` appends ``cluster_size`` (members per
+    component). On the driver union-find path the counts fold in
+    Python for free; the distributed paths pay the same one tiny
+    aggregation + broadcast join ``cluster_members`` always did —
+    round-15: keeping the sizes join off the driver path removes two
+    plan compiles and their stage jobs from every dedup endgame.
     """
     if algorithm == "star":
-        return _connected_components_star(edges, src, dst, max_rounds)
+        comp = _connected_components_star(edges, src, dst, max_rounds)
+        return _with_sizes(comp) if include_sizes else comp
     if algorithm not in ("propagation", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    adj = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .persist()
-    )
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ep = None
+    if algorithm == "auto":
+        # Gate on the RAW directed edge list (round-15): the symmetric
+        # union + distinct below exists for the LOOP (duplicate edges
+        # would be re-joined every round), but union-find is
+        # idempotent under duplicates and orientation-agnostic — the
+        # common small-graph path now never executes that exchange,
+        # and the gate count materializes the (expensive) pair subtree
+        # straight into the cache the collect reuses. Duplicate-heavy
+        # inputs gate conservatively (raw count >= unique count), so
+        # the <= driver_max_edges collect bound still holds.
+        ep = e.persist()
+        if ep.count() <= driver_max_edges:
+            try:
+                return _components_driver_union_find(ep, include_sizes)
+            finally:
+                ep.unpersist()
+        e = ep  # big graph: the loop's adj build below reuses the cache
+    adj = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
     try:
-        if algorithm == "auto":
-            # adj is symmetric: 2 rows per unique undirected edge. The
-            # count doubles as the cache materialization the loop would
-            # pay anyway, so the gate costs nothing extra.
-            if adj.count() <= 2 * driver_max_edges:
-                return _components_driver_union_find(adj)
         try:
-            return _propagation_loop(adj, max_rounds)
+            comp = _propagation_loop(adj, max_rounds)
         except ConvergenceError:
             if algorithm != "auto":
                 raise
             # star needs O(log^2 n) rounds, not O(diameter) — its own
             # max_rounds budget is fresh and ample at any real scale
-            return _connected_components_star(edges, src, dst, max(max_rounds, 64))
+            comp = _connected_components_star(edges, src, dst, max(max_rounds, 64))
+        return _with_sizes(comp) if include_sizes else comp
     finally:
         adj.unpersist()
+        if ep is not None:
+            ep.unpersist()
 
 
-def _components_driver_union_find(adj: DataFrame) -> DataFrame:
+def _with_sizes(comp: DataFrame) -> DataFrame:
+    """Append ``cluster_size`` to a (node, component) frame: one tiny
+    aggregation on the labels, broadcast back (component count is tiny
+    relative to nodes) — the exact shape ``cluster_members`` carried
+    before round 15."""
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(F.broadcast(sizes), "component").select(
+        "node", "component", "cluster_size"
+    )
+
+
+def _components_driver_union_find(
+    adj: DataFrame, include_sizes: bool = False
+) -> DataFrame:
     """Union-find over a bounded, already-materialized edge set —
     ≤ ``driver_max_edges`` rows ever reach the driver (the same
     bounded-collect discipline as broadcast thresholds). Union-by-min
     with path compression: the root of every set is its minimum
     member, so labels equal the propagation/star result exactly.
-    ``a <= b`` (not ``<``) keeps self-loop rows: a node appearing only
-    in a self-loop must still label itself, exactly as the
-    propagation loop's ``adj.select("a").distinct()`` seeding does."""
-    rows = adj.filter(F.col("a") <= F.col("b")).collect()
+    Takes the RAW directed edge rows (round-15 — no symmetric union,
+    no distinct: union-find is idempotent under duplicates and
+    orientation-agnostic); self-loop rows still seed their node, as
+    the propagation loop's ``adj.select("a").distinct()`` does."""
+    rows = adj.collect()
     parent: dict = {}
 
     def find(x):
@@ -130,9 +168,18 @@ def _components_driver_union_find(adj: DataFrame) -> DataFrame:
             parent[hi] = lo  # min stays the root
     labels = [(n, find(n)) for n in parent]
     node_type = adj.schema["a"].dataType
-    schema = T.StructType(
-        [T.StructField("node", node_type), T.StructField("component", node_type)]
-    )
+    fields = [T.StructField("node", node_type), T.StructField("component", node_type)]
+    if include_sizes:
+        # sizes fold in Python for free here (round-15): the labels
+        # already live on the driver, so the separate groupBy +
+        # broadcast-join pass the distributed paths need would only
+        # add two plan compiles and their stage jobs
+        from collections import Counter
+
+        per_comp = Counter(c for _, c in labels)
+        labels = [(n, c, per_comp[c]) for n, c in labels]
+        fields.append(T.StructField("cluster_size", T.LongType(), False))
+    schema = T.StructType(fields)
     spark = adj.sparkSession
     # dim_frame (round-15): Arrow LocalRelation — the label frame is
     # bounded by driver_max_edges, so its consumers (broadcast joins
@@ -282,13 +329,15 @@ def cluster_members(
     """(doc_id, cluster_rep, cluster_size) for every clustered node.
 
     ``cluster_rep`` is the canonical keeper (min id); dedup drops every
-    row where ``doc_id != cluster_rep``. Sizes come from one extra
-    aggregation on the component labels (broadcast back — component
-    count is tiny relative to nodes).
+    row where ``doc_id != cluster_rep``. Sizes come with the labels
+    (``include_sizes=True``): folded driver-side on the union-find
+    path, one extra aggregation broadcast back on the distributed
+    paths (component count is tiny relative to nodes).
     """
-    comp = connected_components(edges, src, dst, algorithm=algorithm)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(F.broadcast(sizes), "component").select(
+    comp = connected_components(
+        edges, src, dst, algorithm=algorithm, include_sizes=True
+    )
+    return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_rep"),
         "cluster_size",
