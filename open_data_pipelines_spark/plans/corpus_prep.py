@@ -199,6 +199,18 @@ def prepare_corpus(
     the repetition-based alternative; ``splits`` e.g.
     ``(("train", .98), ("val", .01), ("test", .01))``.
     """
+    def _resolve_model(m):
+        """Optimization seam (round-15, guide §2.6): the two trained
+        gates may arrive as concurrent futures — the corpus PREFIX
+        (URL gate, extraction, mojibake repair, blockwords, the first
+        reuse checkpoint) is model-independent, so its construction
+        and the checkpoint's construction-time materialization overlap
+        the training collects instead of serializing after them
+        (~1.5 s of the sf0.1 funnel pass). Resolved exactly at first
+        use; a future must resolve to a real (non-None) model."""
+        result = getattr(m, "result", None)
+        return result() if callable(result) else m
+
     if stats_via not in ("count", "observe"):
         raise ValueError(f"unknown stats_via {stats_via!r}")
     if bpe_merges is not None and pack_budget is None:
@@ -318,6 +330,10 @@ def prepare_corpus(
         # (round-12 review, live-reproduced)
         docs = lazy_checkpoint(docs, eager=with_stats and stats_via == "observe")
 
+        # block on the training future only NOW — everything above
+        # (gate/extraction prefix + checkpoint construction) ran while
+        # it trained (the _resolve_model seam)
+        lang_model = _resolve_model(lang_model)
         # CCNet-style trained language gate, AFTER normalization (the
         # model scores the text the rest of the funnel will see),
         # against the SAME keep_langs whitelist the claimed-lang
@@ -533,6 +549,7 @@ def prepare_corpus(
     exact = note("exact_deduped", exact)
 
     if perplexity_lm is not None:
+        perplexity_lm = _resolve_model(perplexity_lm)  # the LM future
         from ..operators.lm_score import perplexity_buckets, perplexity_filter
 
         # CCNet-style LM stage runs AFTER exact dedup (round 12 — it

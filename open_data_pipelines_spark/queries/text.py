@@ -863,6 +863,12 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actions serialize otherwise). Both first-actions race the shared
     # base-docs checkpoint's lazy materialization — a deterministic
     # scan either way, so the winner is irrelevant.
+    # Round-15 continuation: the FUTURES are passed straight into
+    # prepare_corpus (its _resolve_model seam), so the model-
+    # independent gate/extraction prefix constructs and its checkpoint
+    # materializes WHILE the trainings run; the pool context joins
+    # after prepare_corpus returns, by which point both futures were
+    # resolved at their use sites.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
@@ -870,38 +876,38 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             train_ngram_lm, docs.filter(F.col("doc_id") % 10 == 0), "text"
         )
         nb_f = pool.submit(funnel_lang_model, docs)
-        lm, lang_model = lm_f.result(), nb_f.result()
-    return prepare_corpus(
-        spark,
-        sf_dir,
-        docs=planted,
-        url_col="url",
-        # round-14 fold: extraction + mojibake repair run INSIDE the
-        # driver row (the input is a markup page; the oracle plants
-        # the expected extraction — see funnel_planted_docs)
-        html=True,
-        fix_encoding=True,
-        url_blocklist=_FUNNEL_BLOCKLIST,
-        url_quality=True,
-        content_blocklist=_FUNNEL_BLOCKWORDS,
-        lang_model=lang_model,
-        keep_langs=_FUNNEL_KEEP_LANGS,
-        boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
-        perplexity_lm=lm,
-        perplexity_keep_buckets=_FUNNEL_PPL_BUCKETS,
-        perplexity_bucket_exact=True,
-        # round-15 fold: n-gram benchmark decontamination runs INSIDE
-        # the driver row (planted 8-gram collisions drop, 7-gram
-        # near-misses survive — see _FUNNEL_LEAK_SQL / _FUNNEL_BENCH)
-        benchmark=funnel_benchmark(spark),
-        contamination_n=_FUNNEL_DECON_N,
-        chunk_size=_FUNNEL_CHUNK,
-        overlap=_FUNNEL_OVERLAP,
-        # cap-free so the Spark algebra is EXACTLY the oracle SQL at
-        # every SF (the production default cap=1000 is a lossy guard
-        # the DuckDB mirror deliberately does not carry)
-        max_bucket_size=None,
-    )
+        return prepare_corpus(
+            spark,
+            sf_dir,
+            docs=planted,
+            url_col="url",
+            # round-14 fold: extraction + mojibake repair run INSIDE
+            # the driver row (the input is a markup page; the oracle
+            # plants the expected extraction — see funnel_planted_docs)
+            html=True,
+            fix_encoding=True,
+            url_blocklist=_FUNNEL_BLOCKLIST,
+            url_quality=True,
+            content_blocklist=_FUNNEL_BLOCKWORDS,
+            lang_model=nb_f,
+            keep_langs=_FUNNEL_KEEP_LANGS,
+            boilerplate_min_docs=_FUNNEL_BL_MIN_DOCS,
+            perplexity_lm=lm_f,
+            perplexity_keep_buckets=_FUNNEL_PPL_BUCKETS,
+            perplexity_bucket_exact=True,
+            # round-15 fold: n-gram benchmark decontamination runs
+            # INSIDE the driver row (planted 8-gram collisions drop,
+            # 7-gram near-misses survive — see _FUNNEL_LEAK_SQL /
+            # _FUNNEL_BENCH)
+            benchmark=funnel_benchmark(spark),
+            contamination_n=_FUNNEL_DECON_N,
+            chunk_size=_FUNNEL_CHUNK,
+            overlap=_FUNNEL_OVERLAP,
+            # cap-free so the Spark algebra is EXACTLY the oracle SQL
+            # at every SF (the production default cap=1000 is a lossy
+            # guard the DuckDB mirror deliberately does not carry)
+            max_bucket_size=None,
+        )
 
 
 _FUNNEL_PLANTED_SQL = """

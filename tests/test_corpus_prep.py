@@ -555,3 +555,43 @@ def test_domain_cap_stage_bounds_head_domain(spark):
     a = {r[0] for r in out.select("doc_id").distinct().collect()}
     b = {r[0] for r in out2.select("doc_id").distinct().collect()}
     assert a == b and len(a) == n2
+
+
+def test_model_futures_resolve_at_use(spark):
+    """Round-15 overlap seam: trained gates passed as concurrent
+    futures produce output identical to passing the models directly
+    (prepare_corpus._resolve_model blocks exactly at each model's
+    first use, after the model-independent prefix is built)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from open_data_pipelines_spark.operators.lang_classifier import (
+        fit_lang_classifier,
+    )
+    from open_data_pipelines_spark.operators.lm_score import train_ngram_lm
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    train = docs.select(F.lit("en").alias("__lbl"), "text")
+    lang_model = fit_lang_classifier(train, "text", "__lbl", vocab_size=256)
+    lm = train_ngram_lm(docs, "text")
+
+    kwargs = dict(
+        chunk_size=16,
+        overlap=4,
+        lang_model=lang_model,
+        perplexity_lm=lm,
+        perplexity_keep_buckets=("head", "middle", "tail"),
+    )
+    direct = prepare_corpus(spark, SF_SMOKE, **kwargs)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        via_futures = prepare_corpus(
+            spark,
+            SF_SMOKE,
+            **{
+                **kwargs,
+                "lang_model": pool.submit(lambda: lang_model),
+                "perplexity_lm": pool.submit(lambda: lm),
+            },
+        )
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, via_futures.collect()))
+    assert a == b and a
