@@ -62,7 +62,19 @@ def dim_frame(
     callers with genuinely large label sets size it up).
     """
     rows = list(rows)
-    if os.environ.get("SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"):
+    # The LocalRelation path depends on Arrow conversion being on
+    # (session.py sets it): with Arrow off, createDataFrame(pandas)
+    # silently degrades to a parallelize over defaultParallelism
+    # slices — strictly WORSE than the explicit bounded-slice RDD
+    # form below (round-16 advice). Route such sessions to the RDD
+    # form so the representation is at least the pre-round-15 shape.
+    arrow_on = (
+        str(
+            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        ).lower()
+        == "true"
+    )
+    if os.environ.get("SPARK_GRAFT_NO_INTERNAL_CHECKPOINT") or not arrow_on:
         return spark.createDataFrame(
             spark.sparkContext.parallelize(rows, max(1, slices)), schema
         )

@@ -58,7 +58,13 @@ def _boilerplate_fps(rows: DataFrame, id_col: str, min_docs: int) -> DataFrame:
     near-identical. Value-identical to count_distinct: count of
     distinct (fp, doc) pairs per fp; min-of-mins — and every row of
     one fp carries the same ``__norm`` by construction,
-    fp = md5(norm)."""
+    fp = md5(norm).
+
+    PRECONDITION: ``id_col`` is non-NULL (true of every pipeline in
+    this engine — doc ids come from parquet keys or ``uuid()``).
+    ``count(lit(1))`` over (fp, id) groups counts a NULL-id group
+    that ``count_distinct(id)`` would have excluded, so a NULL-id
+    corpus could cross ``min_docs`` one doc early (round-16 advice)."""
     n_part = rows.sparkSession.sparkContext.defaultParallelism
     per_doc = (
         rows.repartition(n_part, "__fp", id_col)

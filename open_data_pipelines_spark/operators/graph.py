@@ -58,9 +58,12 @@ def connected_components(
     (Kiveris et al., SoCC'14), O(log^2 n) rounds — right for deep
     chains where propagation would need diameter rounds.
     ``algorithm="auto"``: size-gated strategy chooser, the graph
-    analogue of a broadcast-join threshold. The deduplicated edge set
-    is materialized and counted once; at or under
-    ``driver_max_edges`` unique edges (a few MB — near-dup graphs
+    analogue of a broadcast-join threshold. The RAW directed edge
+    list is materialized and counted once (round-15 — no symmetric
+    union, no distinct: union-find is idempotent under duplicates and
+    orientation-agnostic, and a duplicate-heavy input only gates MORE
+    conservatively since raw count >= unique count); at or under
+    ``driver_max_edges`` raw edges (a few MB — near-dup graphs
     after thresholding are tiny relative to the corpus) components
     are solved in ONE driver union-find pass instead of paying the
     iterative loop's per-round fixed costs (each round is a join, an
@@ -144,8 +147,12 @@ def _components_driver_union_find(
     Takes the RAW directed edge rows (round-15 — no symmetric union,
     no distinct: union-find is idempotent under duplicates and
     orientation-agnostic); self-loop rows still seed their node, as
-    the propagation loop's ``adj.select("a").distinct()`` does."""
-    rows = adj.collect()
+    the propagation loop's ``adj.select("a").distinct()`` does.
+    NULL-keyed rows are dropped before the collect: the pre-round-15
+    ``a <= b`` orientation filter silently dropped them via NULL
+    propagation, and ``None <= int`` would raise in the Python
+    union-find (round-16 advice)."""
+    rows = adj.filter(F.col("a").isNotNull() & F.col("b").isNotNull()).collect()
     parent: dict = {}
 
     def find(x):

@@ -207,9 +207,13 @@ def prepare_corpus(
         and the checkpoint's construction-time materialization overlap
         the training collects instead of serializing after them
         (~1.5 s of the sf0.1 funnel pass). Resolved exactly at first
-        use; a future must resolve to a real (non-None) model."""
-        result = getattr(m, "result", None)
-        return result() if callable(result) else m
+        use; a future must resolve to a real (non-None) model.
+        isinstance, not duck-typing (round-16 advice): a model class
+        that legitimately carries a ``result()`` method must be
+        treated as a model, not invoked."""
+        import concurrent.futures
+
+        return m.result() if isinstance(m, concurrent.futures.Future) else m
 
     if stats_via not in ("count", "observe"):
         raise ValueError(f"unknown stats_via {stats_via!r}")
