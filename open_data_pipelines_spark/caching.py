@@ -132,8 +132,90 @@ class collect_checkpoint_segments:
         _segment_collector = self._prev
 
 
+# Checkpoint prefetch (round 16; guide §2.6 — overlap independent
+# jobs). A lazy localCheckpoint compiles its segment's physical plan
+# at CONSTRUCTION (Dataset.localCheckpoint calls queryExecution.toRdd
+# eagerly) but EXECUTES it at first use — so a chain of checkpointed
+# segments serializes strictly: [compile 1..N on the driver] then
+# [execute 1..N on the executors], with the driver idle during
+# execution and the executors idle during compilation. Prefetch
+# submits each segment's materialization to a background thread the
+# moment the segment is constructed: segment N executes WHILE the
+# main thread builds (analyzes, optimizes, plans) segment N+1 — the
+# compile-segment-N+1-while-N-executes overlap of VERDICT r15 #3.
+#
+# Properties that keep this an execution-order change only:
+# - the materializing action is a noop-sink write of the checkpointed
+#   frame itself — exactly the job its first use would have run;
+# - results are byte-identical (the checkpoint blocks are the same
+#   blocks, computed once; Spark's DAGScheduler shares shuffle-map
+#   stages between the prefetch job and the consumer job because both
+#   reference the same RDD objects);
+# - a single worker thread serializes prefetches in construction
+#   order, so each segment finds its upstream blocks already cached;
+# - NOTHING outlives the query: the work queue holds the only extra
+#   reference, the worker is a daemon thread (interpreter exit never
+#   blocks on an in-flight prefetch), and a prefetch failure is
+#   swallowed — the consumer job recomputes exactly as before.
+# Worst case (slow executors) the consumer action arrives while the
+# prefetch is mid-flight and the post-shuffle narrow tail of ONE
+# segment is computed twice — bounded duplicate work, never wrong
+# results (cache puts are idempotent).
+#
+# Opt-in per call site: a lazy checkpoint's "no job unless the caller
+# executes" contract must hold for explain/audit paths, so only
+# operators on ALWAYS-EXECUTED query paths pass prefetch=True.
+# ``SPARK_GRAFT_NO_CKPT_PREFETCH=1`` kills it globally (debugging /
+# single-threaded-driver comparisons).
+_prefetch_queue = None
+
+
+def _prefetch_worker(q) -> None:
+    while True:
+        out = q.get()
+        try:
+            sc = out.sparkSession.sparkContext
+            # job descriptions are thread-local (guide §1.5) — label
+            # the background jobs so event logs attribute them
+            sc.setJobDescription("ckpt-prefetch")
+            out.write.format("noop").mode("overwrite").save()
+        except Exception:
+            # best-effort: the consumer's first use materializes the
+            # checkpoint exactly as it would have without prefetch
+            pass
+        finally:
+            q.task_done()
+
+
+def _prefetch(out: DataFrame) -> None:
+    global _prefetch_queue
+    if _prefetch_queue is None:
+        import queue
+        import threading
+
+        _prefetch_queue = queue.Queue()
+        threading.Thread(
+            target=_prefetch_worker,
+            args=(_prefetch_queue,),
+            name="ckpt-prefetch",
+            daemon=True,
+        ).start()
+    _prefetch_queue.put(out)
+
+
+def drain_prefetch() -> None:
+    """Block until every submitted prefetch has finished — test/bench
+    hygiene so a background materialization can never bleed CPU into
+    a subsequent timed region."""
+    if _prefetch_queue is not None:
+        _prefetch_queue.join()
+
+
 def lazy_checkpoint(
-    df: DataFrame, eager: bool = False, consumers: int = 2
+    df: DataFrame,
+    eager: bool = False,
+    consumers: int = 2,
+    prefetch: bool = False,
 ) -> DataFrame:
     """Local checkpoint per the repo convention (no-op under
     ``SPARK_GRAFT_NO_INTERNAL_CHECKPOINT=1``), lazy by default.
@@ -155,7 +237,13 @@ def lazy_checkpoint(
     ``consumers`` declares how many downstream consumers the cached
     frame feeds (the default 2 is the minimum that justifies a reuse
     cache). It changes nothing when the checkpoint runs; under the
-    kill switch it feeds the grind-guard estimate above."""
+    kill switch it feeds the grind-guard estimate above.
+
+    ``prefetch=True`` (round 16) starts the segment's materialization
+    on a background thread immediately — see the prefetch note above.
+    Only pass it on paths whose plan is ALWAYS executed (query
+    functions, bench paths); it is ignored in audit mode and under
+    ``SPARK_GRAFT_NO_CKPT_PREFETCH=1``."""
     if os.environ.get("SPARK_GRAFT_NO_INTERNAL_CHECKPOINT"):
         _note_checkpoint_free(consumers)
         return df
@@ -163,4 +251,11 @@ def lazy_checkpoint(
         _segment_collector.append(
             df._jdf.queryExecution().executedPlan().toString()
         )
-    return df.localCheckpoint(eager=eager)
+    out = df.localCheckpoint(eager=eager)
+    if (
+        prefetch
+        and not eager
+        and not os.environ.get("SPARK_GRAFT_NO_CKPT_PREFETCH")
+    ):
+        _prefetch(out)
+    return out

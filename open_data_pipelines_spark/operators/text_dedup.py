@@ -122,11 +122,13 @@ def _shingle_hash(s: Column, perm: int, fast: bool) -> Column:
     return (F.lit(a) * _base_hash(s, fast) + F.lit(b)) % F.lit(_MERSENNE_31)
 
 
-def base_hashes(shingles: Column, fast: bool = False) -> Column:
+@memo_column
+def base_hashes(shingles: Column | str, fast: bool = False) -> Column:
     return F.transform(shingles, lambda s: _base_hash(s, fast))
 
 
-def minhash_signature_from_base(base: Column, k: int = 8) -> Column:
+@memo_column
+def minhash_signature_from_base(base: Column | str, k: int = 8) -> Column:
     """Array of k min-hashes from pre-computed base hashes
     ((a_j * h + b_j) mod M — universal hashing, cross-engine exact)."""
     sigs = []
@@ -145,8 +147,12 @@ def minhash_signature(shingles: Column, k: int = 8, fast: bool = False) -> Colum
     return minhash_signature_from_base(base_hashes(shingles, fast), k)
 
 
-def lsh_bands(signature: Column, bands: int, rows: int) -> list[Column]:
-    """One hash per band over ``rows`` consecutive signature slots."""
+@memo_column
+def lsh_bands(signature: Column | str, bands: int, rows: int) -> list[Column]:
+    """One hash per band over ``rows`` consecutive signature slots.
+    Memoized (round 16): the 4-band md5/concat forest is ~50 py4j
+    round-trips rebuilt identically per query construction; name-keyed
+    calls return the cached (immutable, unresolved) Column list."""
     out = []
     for b in range(bands):
         slots = [F.element_at(signature, b * rows + r + 1) for r in range(rows)]
@@ -180,7 +186,8 @@ def shingle_corpus(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
     return lazy_checkpoint(
         scale_out(df, id_col).select(
             F.col(id_col), word_shingles(text_col, n).alias("__sh")
-        )
+        ),
+        prefetch=True,
     )
 
 
@@ -217,8 +224,8 @@ def candidates_from_shingled(
         shingled.filter(F.size("__sh") > 0)
         # stage expensive pieces as real columns so each is evaluated
         # once: shingles -> base hashes -> k cheap affine minima
-        .select(F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh"))
-        .select(F.col(id_col), minhash_signature_from_base(F.col("__bh"), k).alias("__sig"))
+        .select(F.col(id_col), base_hashes("__sh", fast).alias("__bh"))
+        .select(F.col(id_col), minhash_signature_from_base("__bh", k).alias("__sig"))
     )
     # lazy checkpoint, not an internal persist: consumed by up to three
     # subtrees (hot-bucket audit, both self-join sides); materialized
@@ -226,11 +233,11 @@ def candidates_from_shingled(
     # GC'd — no clearCache() obligation leaks to the caller
     banded = sig.select(
         id_col,
-        F.posexplode(F.array(*lsh_bands(F.col("__sig"), bands, rows))).alias(
+        F.posexplode(F.array(*lsh_bands("__sig", bands, rows))).alias(
             "band_id", "band_hash"
         ),
     )
-    banded = lazy_checkpoint(banded)
+    banded = lazy_checkpoint(banded, prefetch=True)
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band_id", "band_hash")
@@ -264,13 +271,13 @@ def band_bucket_stats(
     rows = k // bands
     sig = (
         shingled.filter(F.size("__sh") > 0)
-        .select(F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh"))
-        .select(F.col(id_col), minhash_signature_from_base(F.col("__bh"), k).alias("__sig"))
+        .select(F.col(id_col), base_hashes("__sh", fast).alias("__bh"))
+        .select(F.col(id_col), minhash_signature_from_base("__bh", k).alias("__sig"))
     )
     return (
         sig.select(
             id_col,
-            F.posexplode(F.array(*lsh_bands(F.col("__sig"), bands, rows))).alias(
+            F.posexplode(F.array(*lsh_bands("__sig", bands, rows))).alias(
                 "band_id", "band_hash"
             ),
         )
@@ -299,17 +306,17 @@ def jaccard_from_shingled(
     materialized once on first use, blocks reclaimed when the result
     frame is GC'd (no unreclaimable internal persist).
     """
-    pairs = lazy_checkpoint(pairs)
+    pairs = lazy_checkpoint(pairs, prefetch=True)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = lazy_checkpoint(shingled.join(cand_ids, id_col, "left_semi"))
+    needed = lazy_checkpoint(shingled.join(cand_ids, id_col, "left_semi"), prefetch=True)
     sh = needed.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
     )
-    sh = lazy_checkpoint(sh)
+    sh = lazy_checkpoint(sh, prefetch=True)
     # per-doc distinct-shingle count is a projection on the array —
     # NOT a groupBy over the exploded rows (which would shuffle
     # |docs| * |shingles| rows just to count them). Zero-shingle docs

@@ -332,7 +332,9 @@ def prepare_corpus(
         # checkpoint with no intervening shuffle, and the measured
         # lazy-checkpoint rule (caching.py) would fulfill it with 0
         # (round-12 review, live-reproduced)
-        docs = lazy_checkpoint(docs, eager=with_stats and stats_via == "observe")
+        docs = lazy_checkpoint(
+            docs, eager=with_stats and stats_via == "observe", prefetch=True
+        )
 
         # block on the training future only NOW — everything above
         # (gate/extraction prefix + checkpoint construction) ran while
@@ -455,7 +457,7 @@ def prepare_corpus(
         # measured lazy-checkpoint rule, caching.py; round-10 review
         # find).
         cleaned = lazy_checkpoint(
-            cleaned, eager=with_stats and stats_via == "observe"
+            cleaned, eager=with_stats and stats_via == "observe", prefetch=True
         )
         cut = remove_duplicated_spans(
             cleaned,
@@ -549,7 +551,9 @@ def prepare_corpus(
         # measured lazy-checkpoint rule, caching.py) — eager in observe
         # mode anyway so that protection doesn't hinge on dedup's
         # implementation shuffling.
-        exact = lazy_checkpoint(exact, eager=with_stats and stats_via == "observe")
+        exact = lazy_checkpoint(
+            exact, eager=with_stats and stats_via == "observe", prefetch=True
+        )
     exact = note("exact_deduped", exact)
 
     if perplexity_lm is not None:
@@ -591,7 +595,7 @@ def prepare_corpus(
             # near-dup path (pairs side + anti-join side); without
             # this the whole scoring subtree would execute twice
             exact = lazy_checkpoint(
-                exact, eager=with_stats and stats_via == "observe"
+                exact, eager=with_stats and stats_via == "observe", prefetch=True
             )
 
     # near-dup pair generation is pluggable; every backend is banded
@@ -700,6 +704,7 @@ def prepare_corpus(
                 surviving,
                 eager=with_stats and stats_via == "observe",
                 consumers=2,
+                prefetch=True,
             )
 
         surviving = note(

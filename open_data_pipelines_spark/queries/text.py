@@ -753,7 +753,7 @@ def funnel_planted_docs(spark: SparkSession, sf_dir: str):
     # checkpointed scan feeds all of them instead of seven parquet
     # re-reads (round-9 trim); the declared fan-out feeds the
     # checkpoint-free grind guard (caching._note_checkpoint_free)
-    docs = lazy_checkpoint(_docs(spark, sf_dir), consumers=7)
+    docs = lazy_checkpoint(_docs(spark, sf_dir), consumers=7, prefetch=True)
     exact_copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10000
     )
@@ -1365,7 +1365,7 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one checkpointed scan feeds the three release branches; the
     # assembled new release feeds two consumers (diff + datasheet) —
     # the funnel's round-9 reuse discipline (round-14 review)
-    docs = lazy_checkpoint(_docs(spark, sf_dir), consumers=3)
+    docs = lazy_checkpoint(_docs(spark, sf_dir), consumers=3, prefetch=True)
     old = docs.select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 11 != 0).select(
         "doc_id", F.expr(_DIFF_MOD_SQL).alias("text"), "lang", "source"
@@ -1377,7 +1377,7 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     dup = base.filter(F.col("doc_id") % 13 == 5)
-    new = lazy_checkpoint(base.unionByName(added).unionByName(dup))
+    new = lazy_checkpoint(base.unionByName(added).unionByName(dup), prefetch=True)
     diff = corpus_diff(old, new.select("doc_id", "text"))
     sheet = corpus_report(new, exact=True)
     null_s = F.lit(None).cast("string")

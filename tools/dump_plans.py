@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for the headline queries into plans/r15/.
+"""Dump .explain('formatted') for the headline queries into plans/r16/.
 
     python tools/dump_plans.py before|after [query ...]
 """
@@ -15,6 +15,9 @@ def main() -> None:
     tag = sys.argv[1]
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # plan dumping never executes the final frame — don't let reuse
+    # checkpoints prefetch their segments in the background here
+    os.environ.setdefault("SPARK_GRAFT_NO_CKPT_PREFETCH", "1")
 
     import bench
     import __spark_entry__ as entry
@@ -24,7 +27,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
     os.makedirs(outdir, exist_ok=True)
     for name in bench.HEADLINE:
         if only and name not in only:
