@@ -50,6 +50,24 @@ def _canon(x):
     return _OPAQUE
 
 
+def _gateway_key():
+    """Identity of the live py4j gateway, or None before any context
+    exists. Cached Columns hold JVM object handles through this
+    gateway: an in-process SparkContext stop/restart builds a NEW
+    gateway, and a Column cached against the old one would carry
+    stale handles (round-16, VERDICT r15). Keying every cache entry
+    on the gateway makes such entries unreachable instead of wrong;
+    the dead entries are dim-sized and restarts are rare, so no
+    eviction is needed."""
+    try:
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+    except Exception:  # pragma: no cover - import-order edge
+        gw = None
+    return id(gw) if gw is not None else None
+
+
 def memo_column(fn):
     """Cache ``fn(*args, **kwargs) -> Column`` for plain-data calls.
 
@@ -58,7 +76,9 @@ def memo_column(fn):
     combinations per application, so the cache stays dim-sized; a
     pathological caller generating unbounded distinct literals would
     merely re-create what it already paid for before the cache
-    existed.
+    existed. Entries are additionally keyed on the active py4j
+    gateway (:func:`_gateway_key`) so a context restart can never
+    serve a Column holding handles into a dead JVM.
     """
     cache: dict = {}
 
@@ -67,7 +87,7 @@ def memo_column(fn):
         cargs = tuple(_canon(a) for a in args)
         ckw = tuple(sorted((k, _canon(v)) for k, v in kwargs.items()))
         if _OPAQUE not in cargs and all(v is not _OPAQUE for _, v in ckw):
-            key = (cargs, ckw)
+            key = (_gateway_key(), cargs, ckw)
             hit = cache.get(key)
             if hit is None:
                 hit = cache[key] = fn(*args, **kwargs)

@@ -65,6 +65,16 @@ def scale_out(
     The fence is only applied when the repartition actually happens,
     so wide-input (100 TB) plans are byte-identical with or without
     it.
+
+    CALLER CONTRACT (round-16, VERDICT r15): the partition probe
+    compiles the frame's physical plan, and under AQE a plan with
+    EXCHANGES below the probed node materializes its child stages at
+    compile time — i.e. probing a deep mid-pipeline frame EXECUTES
+    the upstream segment per call. Only call this on scan-rooted or
+    checkpoint-rooted frames (a parquet scan, a ``lazy_checkpoint``
+    output, or a projection/filter over one); mid-pipeline consumers
+    that cannot guarantee that must stay opt-out (the funnel's exact
+    dedup site does, see ``dedup_exact_text``).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     # JVM-side partition probe: df.rdd would wrap the plan in a fresh
