@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import lazy_checkpoint
+from ..caching import drain_prefetch, lazy_checkpoint
 from .text_analysis import whitespace_tokens
 
 BOS = "<s>"
@@ -132,14 +132,23 @@ def train_ngram_lm(
         # exchange either way, AQE leaves user-numbered exchanges
         # alone); integer sums are partitioning-invariant.
         n_part = reference.sparkSession.sparkContext.defaultParallelism
+        # prefetch (round 16): bi's first CONSUMER is the scoring pass,
+        # which runs after this function's finally-unpersist — so its
+        # lazy materialization used to re-execute the whole token-pair
+        # explode from scratch (the pairs cache was already gone). The
+        # background prefetch materializes bi FROM the live cache while
+        # the totals collect below runs; the drain before unpersist
+        # pins that ordering.
         bi = lazy_checkpoint(
             bi_counts.repartition(n_part, "prev").withColumn(
                 "prev_n", F.sum("bi_n").over(Window.partitionBy("prev"))
-            )
+            ),
+            prefetch=True,
         )
         totals = uni.agg(
             F.sum("uni_n").alias("n"), F.count(F.lit(1)).alias("v")
         ).first()
+        drain_prefetch()
         return NgramLM(
             uni, bi, int(totals["n"]), int(totals["v"]), float(alpha), float(lam)
         )
@@ -382,7 +391,8 @@ def perplexity_buckets(
     # BOTH the cutoff aggregation and the labeled output (the
     # perplexity_filter three-consumers rule, one subtree execution).
     scored = lazy_checkpoint(
-        per_doc.select(id_col, *keys, F.exp("avg_neg_logp").alias("perplexity"))
+        per_doc.select(id_col, *keys, F.exp("avg_neg_logp").alias("perplexity")),
+        prefetch=True,
     )
     if exact:
         cuts = scored.groupBy(*keys).agg(

@@ -105,16 +105,16 @@ def band_rows(
     sig = (
         shingle_corpus(df, text_col, id_col, n)
         .filter(F.size("__sh") > 0)
-        .select(F.col(id_col), base_hashes(F.col("__sh"), fast).alias("__bh"))
+        .select(F.col(id_col), base_hashes("__sh", fast).alias("__bh"))
         .select(
             F.col(id_col),
-            minhash_signature_from_base(F.col("__bh"), k).alias("msig"),
+            minhash_signature_from_base("__bh", k).alias("msig"),
         )
     )
     return sig.select(
         id_col,
         "msig",
-        F.posexplode(F.array(*lsh_bands(F.col("msig"), bands, rows))).alias(
+        F.posexplode(F.array(*lsh_bands("msig", bands, rows))).alias(
             "band_id", "band_hash"
         ),
     ).withColumn(
@@ -194,11 +194,15 @@ def near_dedup_against_index(
         raise ValueError(f"need 1 <= bands <= k, got bands={bands} k={k}")
     if min_agreement is not None and not 0.0 < min_agreement <= 1.0:
         raise ValueError(f"min_agreement must be in (0, 1], got {min_agreement}")
+    # prefetch (round 16): the band materialization overlaps the
+    # driver-side committed-segment listing below — at scale the FS
+    # listing of a many-segment index is real driver time
     bnd = lazy_checkpoint(
         band_rows(
             batch, text_col, id_col, n=n, k=k, bands=bands, fast=fast,
             n_buckets=n_buckets,
-        )
+        ),
+        prefetch=True,
     )
 
     base = path.rstrip("/")
