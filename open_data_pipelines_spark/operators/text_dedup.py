@@ -237,18 +237,27 @@ def candidates_from_shingled(
         .select(F.col(id_col), base_hashes("__sh", fast).alias("__bh"))
         .select(F.col(id_col), minhash_signature_from_base("__bh", k).alias("__sig"))
     )
-    # lazy checkpoint, not an internal persist: consumed by up to three
-    # subtrees (hot-bucket audit, both self-join sides); materialized
-    # once on first use, blocks reclaimed when the caller's result is
-    # GC'd — no clearCache() obligation leaks to the caller
     banded = sig.select(
         id_col,
         F.posexplode(F.array(*lsh_bands("__sig", bands, rows))).alias(
             "band_id", "band_hash"
         ),
     )
-    banded = lazy_checkpoint(banded, prefetch=True)
+    # Checkpoint policy (round 16, measured interleaved A/B + event
+    # log): WITHOUT a bucket cap the only consumers are the two self-
+    # join sides, and the join's planner-inserted exchanges on
+    # (band_id, band_hash) are canonically identical — runtime
+    # exchange reuse executes the banding computation ONCE either way,
+    # so the checkpoint bought nothing but a segment compile and a
+    # materialization job (minhash pass: 21 -> 19 jobs, gap time
+    # ~2.3 -> ~1.3 s/pass with this and the jaccard change below).
+    # WITH a cap there is a third consumer keyed the same way (the
+    # hot-bucket rollup) plus the anti-join probe side, which is NOT
+    # exchange-aligned — without a reuse point it would re-run the
+    # md5 banding forest once more, so the cap path keeps the
+    # checkpoint.
     if max_bucket_size is not None:
+        banded = lazy_checkpoint(banded, prefetch=True)
         hot = (
             banded.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("__bn"))
@@ -310,11 +319,13 @@ def jaccard_from_shingled(
     exploded — a semi-join prunes the corpus first, so the shuffled
     shingle volume is bounded by the CANDIDATE set (typically a tiny
     fraction after LSH), not the corpus. ``pairs`` (consumed three
-    times: id pruning, intersection, final join), the pruned corpus
-    ``needed`` (three: explode + both size sides), and the exploded
-    shingles (two join sides) are each lazily checkpointed —
-    materialized once on first use, blocks reclaimed when the result
-    frame is GC'd (no unreclaimable internal persist).
+    times: id pruning, intersection, final join) is lazily
+    checkpointed and prefetched; the pruned corpus ``needed`` and the
+    exploded shingles are NOT (round 16) — their embeddings share
+    canonically-identical exchanges that runtime exchange reuse
+    executes once, and skipping the checkpoints avoids two segment
+    compiles plus materializing the exploded shingle frame (the
+    operator's largest intermediate) into block storage.
     """
     pairs = lazy_checkpoint(pairs, prefetch=True)
     cand_ids = (
@@ -322,11 +333,20 @@ def jaccard_from_shingled(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = lazy_checkpoint(shingled.join(cand_ids, id_col, "left_semi"), prefetch=True)
+    # No checkpoints on `needed`/`sh` (round 16, measured): their
+    # consumers re-embed the semi-join/explode subtree, but the
+    # EXPENSIVE parts — the exchanges under the semi-join — are
+    # canonically identical across embeddings and runtime exchange
+    # reuse executes them once; what re-runs per consumer is the
+    # merge + explode/projection tail, cheaper than materializing the
+    # EXPLODED shingle frame (the largest intermediate of the whole
+    # operator) into checkpoint blocks plus two segment compiles.
+    # Interleaved A/B won all cycles; at scale this also avoids
+    # writing |candidates| x |shingles| rows to block storage.
+    needed = shingled.join(cand_ids, id_col, "left_semi")
     sh = needed.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("__sh"))).alias("__s")
     )
-    sh = lazy_checkpoint(sh, prefetch=True)
     # per-doc distinct-shingle count is a projection on the array —
     # NOT a groupBy over the exploded rows (which would shuffle
     # |docs| * |shingles| rows just to count them). Zero-shingle docs

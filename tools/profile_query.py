@@ -66,15 +66,28 @@ def main() -> None:
     spark.stop()
     time.sleep(1.0)
     logs = [os.path.join(evdir, f) for f in os.listdir(evdir) if not f.startswith(".")]
+    print(f"event logs in {evdir}: {logs}")
     for lg in logs:
         _report(lg)
+
+
+def _iter_lines(path: str):
+    """Yield event lines from a v1 file or a v2 rolling directory."""
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.startswith("events_"):
+                with open(os.path.join(path, name)) as fh:
+                    yield from fh
+    else:
+        with open(path) as fh:
+            yield from fh
 
 
 def _report(path: str) -> None:
     jobs = {}
     stages = {}
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in _iter_lines(path):
             try:
                 ev = json.loads(line)
             except ValueError:
