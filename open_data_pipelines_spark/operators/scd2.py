@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import lazy_checkpoint
+from ..functions.exprmemo import memo_column
 from ..functions.hashing import record_hash
 from .dedup import top1_per_key
 
@@ -215,14 +216,34 @@ def scd2_two_batch_single_shuffle(
     ``batch_col``: boolean column — True = initial batch, False =
     incremental batch.
     """
-    order_cols = [event_time, *tiebreakers]
-    payload = F.struct(
-        *[F.col(c) for c in order_cols], *[F.col(c) for c in attr_cols]
-    )
+    payload = _twin_payload(event_time, tuple(tiebreakers), tuple(attr_cols))
     agg = events.groupBy(entity_key).agg(
         F.max(F.when(batch_col, payload)).alias("__init"),
         F.max(F.when(~batch_col, payload)).alias("__inc"),
     )
+    rows = _twin_rows(event_time, tuple(attr_cols), tuple(hash_cols))
+    exploded = agg.select(entity_key, F.explode(rows).alias("__d"))
+    return exploded.select(entity_key, "__d.*")
+
+
+@memo_column
+def _twin_payload(
+    event_time: str, tiebreakers: tuple, attr_cols: tuple
+) -> Column:
+    """The twin's per-batch struct-max payload — pure names/literals,
+    memoized (round 16): rebuilt identically per query construction
+    otherwise."""
+    order_cols = [event_time, *tiebreakers]
+    return F.struct(
+        *[F.col(c) for c in order_cols], *[F.col(c) for c in attr_cols]
+    )
+
+
+@memo_column
+def _twin_rows(event_time: str, attr_cols: tuple, hash_cols: tuple) -> Column:
+    """The twin's merge-decision CASE/array forest (two full dim-row
+    structs + md5 change hashes — the expensive construction piece,
+    ~100 py4j round-trips). Pure names/literals, memoized."""
 
     def _hash(side: str) -> Column:
         return F.md5(
@@ -249,7 +270,7 @@ def scd2_two_batch_single_shuffle(
             _hash(side).alias("record_hash"),
         )
 
-    rows = F.when(
+    return F.when(
         is_changed,
         F.array(
             _row("__init", F.col(f"__inc.{event_time}"), F.lit(False)),
@@ -258,9 +279,6 @@ def scd2_two_batch_single_shuffle(
     ).when(is_new, F.array(_row("__inc", sentinel, F.lit(True)))).when(
         F.col("__init").isNotNull(), F.array(_row("__init", sentinel, F.lit(True)))
     )
-
-    exploded = agg.select(entity_key, F.explode(rows).alias("__d"))
-    return exploded.select(entity_key, "__d.*")
 
 
 def with_surrogate_keys(dim: DataFrame, order_by: Sequence[str]) -> DataFrame:
