@@ -100,21 +100,31 @@ TESTDATA_TABLES = (
 )
 
 
+# Session-lifetime scan catalog (round 16). Constructing a parquet
+# scan costs ~0.1-0.15 s of driver work (py4j + footer/schema read)
+# even on a warm JVM, and every load_tables call re-paid it — across
+# the bench that is several seconds of pure fixed cost for byte-
+# identical scan relations. Real applications register a table ONCE
+# per session (a catalog); this cache is exactly that: the unresolved
+# scan DataFrame per (session, file path, file stat), holding no
+# data, no results, no plan state — embedding one immutable relation
+# into many plans is as safe as calling read.parquet again (the
+# dim_frame/memo_column rationale). The file's (mtime_ns, size) is in
+# the key, so a rewritten fixture can never be served a stale scan;
+# entries of dead sessions are unreachable (session id in the key)
+# and dim-bounded (#sessions x #tables).
+_SCAN_CACHE: dict = {}
+
+
 class _LazyTables(Mapping):
     """Mapping name -> DataFrame that defers ``spark.read.parquet`` to
-    first access (round-15 optimization).
+    first access (round-15 optimization; round-16: construction is
+    additionally cached for the SESSION lifetime — see _SCAN_CACHE).
 
-    Constructing a parquet scan costs ~0.1-0.2 s of driver work
-    (footer/schema read + py4j) per table; the eager form paid that
-    for all ten harness tables on EVERY ``load_tables`` call when the
-    typical query reads one or two. Measured: 1.0 s/call eager vs
-    ~0.15 s per table actually touched — a pure fixed cost repeated
-    per bench pass per query. At cluster scale the same deferral
-    avoids footer reads and file listings for tables a job never
-    touches. Construction is cached per name, so repeated access
-    within one query build stays one scan object (plan-identical to
-    the eager dict — no data is materialized or reused across
-    actions)."""
+    At cluster scale the same deferral avoids footer reads and file
+    listings for tables a job never touches. The scan object is
+    plan-identical to a fresh ``read.parquet`` — no data is
+    materialized or reused across actions."""
 
     def __init__(self, names: tuple[str, ...], build) -> None:
         self._names = names
@@ -172,6 +182,16 @@ def load_tables(
             spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def _one(name: str):
+        path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+        st = os.stat(path)
+        key = (id(spark._jsparkSession), path, st.st_mtime_ns, st.st_size)
+        hit = _SCAN_CACHE.get(key)
+        if hit is not None:
+            return hit
+        df = _SCAN_CACHE[key] = _build(name)
+        return df
+
+    def _build(name: str):
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for col in _EVENT_TIME_COLUMNS.get(name, ()):
             # Normalize whatever the harness encoded the event-time
