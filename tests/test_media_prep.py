@@ -192,9 +192,9 @@ def test_media_observe_mode_checkpoints_eagerly(monkeypatch, spark):
     calls: list[bool] = []
     real = mp.lazy_checkpoint
 
-    def spy(df, eager=False):
+    def spy(df, eager=False, **kwargs):
         calls.append(eager)
-        return real(df, eager=eager)
+        return real(df, eager=eager, **kwargs)
 
     monkeypatch.setattr(mp, "lazy_checkpoint", spy)
     out, stats = prepare_media_corpus(
