@@ -147,65 +147,44 @@ def fit_lang_classifier(
     )
     counts = grams.groupBy("__lbl", "__g").agg(F.count(F.lit(1)).alias("__c"))
 
-    # ONE distributed job for vocabulary AND model: the per-gram
-    # per-label counts ride the TakeOrdered head as a collected list
-    # (<= vocab_size rows x n_labels structs — the bpe.train_bpe
-    # driver-head discipline); per-label gram totals fold driver-side
-    # from the same rows. Round 13: this replaces three jobs (counts
-    # checkpoint materialization, vocab head, in-vocab collect).
-    # Explicit repartition (round-15): the per-gram rollup's exchange
-    # is small in bytes, so AQE coalesced it to ONE partition and the
-    # collect_list-of-structs aggregation ran single-task (0.3-0.4 s
-    # of the funnel's training phase). REPARTITION_BY_NUM on the
-    # grouping key satisfies the aggregation's distribution — one
-    # exchange either way (the partial combine moves to the wide side
-    # of it; collect_list partials don't shrink bytes, so the shuffle
-    # volume is unchanged) — and AQE leaves user-numbered exchanges
-    # alone. Driver folding is order-insensitive (dict inserts), so
-    # values are partitioning-invariant.
+    # The explicit REPARTITION_BY_NUM on the grouping key (round 15)
+    # keeps the rollup wide where AQE's byte heuristic would coalesce
+    # the tiny exchange to one task; one exchange either way, and
+    # driver folding is order-insensitive (dict inserts), so values
+    # are partitioning-invariant.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    import os as _os  # TEMP r16 experiment gate (A/B only)
+    # Two-level head (round 16, VERDICT r15 #6): the vocabulary
+    # choice needs only (gram, total) — computing it over rows
+    # that also carry the per-label struct list shipped the model
+    # payload through the ordering path for every DISTINCT gram in
+    # the corpus, not just the vocab_size winners. Level 1: light
+    # per-gram totals, TakeOrderedAndProject partial head (per-
+    # partition top-K, driver merge — no global sort, no payload).
+    # Level 2: broadcast the winners back onto the (lbl, gram)
+    # counts and collect exactly vocab_size x n_labels rows. The
+    # counts frame gains a reuse checkpoint (prefetched — it
+    # materializes while the head job runs); tie-breaking
+    # (__tot desc, __g asc) is unchanged, so the selected
+    # vocabulary — and the model — are value-identical to the
+    # former collect_list one-pass shape (interleaved A/B at
+    # sf0.1: train 1.06 -> 0.96 s median, funnel row flat-to-
+    # better — the prefetched counts checkpoint materializes
+    # while the head job runs, so the extra job costs nothing).
+    from ..caching import lazy_checkpoint
 
-    if _os.environ.get("SPARK_GRAFT_X_VOCAB_ONEPASS"):
-        vocab_q = (
-            counts.repartition(n_part, "__g")
-            .groupBy("__g")
-            .agg(
-                F.sum("__c").alias("__tot"),
-                F.collect_list(F.struct("__lbl", "__c")).alias("__per"),
-            )
-            .orderBy(F.col("__tot").desc(), F.col("__g").asc())
-            .limit(vocab_size)  # TakeOrdered: no global sort materialized
-        )
-    else:
-        # Two-level head (round 16, VERDICT r15 #6): the vocabulary
-        # choice needs only (gram, total) — computing it over rows
-        # that also carry the per-label struct list shipped the model
-        # payload through the ordering path for every DISTINCT gram in
-        # the corpus, not just the vocab_size winners. Level 1: light
-        # per-gram totals, TakeOrderedAndProject partial head (per-
-        # partition top-K, driver merge — no global sort, no payload).
-        # Level 2: broadcast the winners back onto the (lbl, gram)
-        # counts and collect exactly vocab_size x n_labels rows. The
-        # counts frame gains a reuse checkpoint (prefetched — it
-        # materializes while the head job runs); tie-breaking
-        # (__tot desc, __g asc) is unchanged, so the selected
-        # vocabulary — and the model — are value-identical.
-        from ..caching import lazy_checkpoint
-
-        counts = lazy_checkpoint(
-            counts.repartition(n_part, "__g"), prefetch=True
-        )
-        head = (
-            counts.groupBy("__g")
-            .agg(F.sum("__c").alias("__tot"))
-            .orderBy(F.col("__tot").desc(), F.col("__g").asc())
-            .limit(vocab_size)
-            .select("__g")
-        )
-        vocab_q = counts.join(F.broadcast(head), "__g").select(
-            "__g", "__lbl", "__c"
-        )
+    counts = lazy_checkpoint(
+        counts.repartition(n_part, "__g"), prefetch=True
+    )
+    head = (
+        counts.groupBy("__g")
+        .agg(F.sum("__c").alias("__tot"))
+        .orderBy(F.col("__tot").desc(), F.col("__g").asc())
+        .limit(vocab_size)
+        .select("__g")
+    )
+    vocab_q = counts.join(F.broadcast(head), "__g").select(
+        "__g", "__lbl", "__c"
+    )
     # The training jobs are independent: overlap them (guide §2.6)
     # — the tiny label-count job back-fills executors the gram job
     # leaves idle instead of serializing after it. Doc counts run on
@@ -222,15 +201,9 @@ def fit_lang_classifier(
         vocab_rows = vocab_f.result()
     tot_rows: dict[str, int] = {}
     gram_counts: dict[tuple[str, str], int] = {}
-    if vocab_rows and "__per" in vocab_rows[0].__fields__:
-        for r in vocab_rows:
-            for e in r["__per"]:
-                gram_counts[(r["__g"], e["__lbl"])] = e["__c"]
-                tot_rows[e["__lbl"]] = tot_rows.get(e["__lbl"], 0) + e["__c"]
-    else:
-        for r in vocab_rows:
-            gram_counts[(r["__g"], r["__lbl"])] = r["__c"]
-            tot_rows[r["__lbl"]] = tot_rows.get(r["__lbl"], 0) + r["__c"]
+    for r in vocab_rows:
+        gram_counts[(r["__g"], r["__lbl"])] = r["__c"]
+        tot_rows[r["__lbl"]] = tot_rows.get(r["__lbl"], 0) + r["__c"]
 
     labels = tuple(sorted(doc_rows))
     v1 = vocab_size + 1  # +1: the unknown bucket
