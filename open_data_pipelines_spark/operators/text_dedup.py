@@ -270,7 +270,17 @@ def candidates_from_shingled(
         banded = banded.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    pairs = a.join(b, ["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+    # merge hint (round 16): both sides are the CORPUS-scale banded
+    # frame — a broadcast here ships the whole banding to every
+    # executor and computes it twice (the 800k-doc stress scenario
+    # planned exactly that once the checkpoint stopped hiding the
+    # size estimate, 8.5 -> 170 s). The sort-merge join's two
+    # exchanges are canonically identical, so runtime exchange reuse
+    # executes the banding once — the shape the checkpointed form
+    # always had, minus the checkpoint.
+    pairs = a.join(b.hint("merge"), ["band_id", "band_hash"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
     return pairs.select("id_a", "id_b").distinct()
 
 
@@ -358,9 +368,13 @@ def jaccard_from_shingled(
 
     a = sh.select(F.col(id_col).alias("id_a"), "__s")
     b = sh.select(F.col(id_col).alias("id_b"), "__s")
+    # merge hints (round 16): the exploded-shingle sides scale with
+    # |candidates| x |shingles| — the largest frames in the operator;
+    # broadcasting either (which the planner's post-checkpoint-removal
+    # size estimates chose at the 800k stress size) is never right.
     inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "__s"])
+        pairs.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), ["id_b", "__s"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
